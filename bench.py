@@ -1,0 +1,70 @@
+"""Benchmark harness: runs every registered query at the bench scale
+factor and prints ONE JSON line with per-query and total wall times.
+
+    SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS   (default: all cores)
+
+Execution is forced with the `noop` sink so timings measure scan +
+compute + shuffle without driver-side result materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hha_spark.session import get_spark  # noqa: E402
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("hha_spark_bench")
+    # warm the JVM + parquet footer caches outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float | None] = {}
+    total = 0.0
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            force(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            # null, not NaN — NaN is not valid JSON
+            timings[name] = None
+            continue
+        timings[name] = round(dt, 4)
+        total += dt
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+"""Registry of driver-facing queries and their DuckDB oracles.
+
+Each module contributes (name -> callable(spark, sf_dir) -> DataFrame)
+and (name -> ANSI SQL string). The driver runs both at sf0.01 and
+hash-compares row values, so every computed column is aliased to the
+same name on both sides and all arithmetic is cross-engine
+deterministic (see functions/exact.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hha_spark.queries import relational, spike_events
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    out.update(spike_events.QUERIES)
+    out.update(relational.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(spike_events.ORACLES)
+    out.update(relational.ORACLES)
+    return out

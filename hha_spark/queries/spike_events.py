@@ -1,0 +1,197 @@
+"""Reference-parity spike detection mapped onto the `events` table.
+
+The reference's fact table (histograms: timestamp/key/counter,
+hha.py:141-143) has no driver-provided analogue, so the correctness
+gate runs the same S1-S8 pipeline over `events`:
+
+    timestamp   -> ts (nanosecond BIGINT -> integer microseconds)
+    (num_protocol, type_proto, dst_ip) -> (user_id, event_type)
+    CountPkt    -> value
+    /24 rollup  -> user-decade bucket (user_id - user_id % 10)
+    now         -> max(ts) over the table (deterministic, data-derived)
+
+Windows: current = last 2 days, previous = everything older than
+7 days before `now` — both one-sided like the reference's
+(hha.py:141,148; endTime computed but unused, hha.py:321-323).
+
+All three queries compose the same operators as the histogram-domain
+`detect_spikes` (operators/spike.py), so the oracle checks pin the
+operator semantics themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hha_spark.operators.spike import (
+    compare_windows,
+    rollup_averages,
+    spike_filter,
+    window_averages,
+)
+from hha_spark.sources.tables import US_PER_DAY, load_table
+
+KEYS = ["user_id", "event_type"]
+Q = 1.5                 # quotientAmplification analogue
+LIMIT_NEW = 40          # LimitNewData analogue (≈ median sum_val)
+LIMIT_NEW_NET = 40      # LimitNewDataNet analogue
+CUR_DAYS = 2
+PREV_DAYS = 7
+BUCKET = "user_id - user_id % 10"
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # ts is BIGINT nanoseconds (sources/tables.py); DIV keeps the
+    # microsecond value exact (a double round-trip would not)
+    return ev.select(
+        F.expr("ts DIV 1000").alias("ts_us"), "user_id", "event_type", "value"
+    )
+
+
+def _cur_prev(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = _events_us(spark, sf_dir)
+    now_us = ev.agg(F.max("ts_us")).collect()[0][0]
+    cur = window_averages(
+        ev, key_cols=KEYS, value_col="value", time_col="ts_us",
+        lower=now_us - CUR_DAYS * US_PER_DAY, exact=True,
+    )
+    prev = window_averages(
+        ev, key_cols=KEYS, value_col="value", time_col="ts_us",
+        upper=now_us - PREV_DAYS * US_PER_DAY, exact=True,
+    )
+    return cur, prev
+
+
+def spike_events_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S3+S4 exposed: per-key cur/prev/clamped-baseline frame."""
+    cur, prev = _cur_prev(spark, sf_dir)
+    return compare_windows(
+        cur, prev, key_cols=KEYS, q=Q, limit_new=LIMIT_NEW, clamp_guard=True
+    )
+
+
+def spike_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full S1-S7: per-key and per-bucket spike alerts, unioned.
+
+    Alert rows carry the BASELINE in sum_val (reference quirk,
+    hha.py:199,210) plus a scope marker instead of the reference's
+    mixed-type positional column (hha.py:213-214).
+    """
+    cur, prev = _cur_prev(spark, sf_dir)
+    cur, prev = cur.persist(), prev.persist()
+
+    ip_cmp = compare_windows(
+        cur, prev, key_cols=KEYS, q=Q, limit_new=LIMIT_NEW, clamp_guard=True
+    )
+    cur_net = rollup_averages(
+        cur, group_cols=["event_type"], bucket_expr=F.expr(BUCKET),
+        bucket_name="bucket_id",
+    )
+    prev_net = rollup_averages(
+        prev, group_cols=["event_type"], bucket_expr=F.expr(BUCKET),
+        bucket_name="bucket_id",
+    )
+    net_cmp = compare_windows(
+        cur_net, prev_net, key_cols=["event_type", "bucket_id"], q=Q,
+        limit_new=LIMIT_NEW_NET, clamp_guard=False,
+    )
+    ip_alerts = spike_filter(ip_cmp, q=Q).select(
+        F.col("user_id").alias("entity_id"), "event_type",
+        F.col("prev_sum_val2").alias("sum_val"), F.lit("user").alias("scope"),
+    )
+    net_alerts = spike_filter(net_cmp, q=Q).select(
+        F.col("bucket_id").alias("entity_id"), "event_type",
+        F.col("prev_sum_val2").alias("sum_val"), F.lit("bucket").alias("scope"),
+    )
+    return ip_alerts.unionByName(net_alerts)
+
+
+def spike_events_net_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 isolated: avg-of-avg bucket rollup of the current window."""
+    cur, _ = _cur_prev(spark, sf_dir)
+    return rollup_averages(
+        cur, group_cols=["event_type"], bucket_expr=F.expr(BUCKET),
+        bucket_name="bucket_id",
+    )
+
+
+QUERIES = {
+    "spike_events_compare": spike_events_compare,
+    "spike_events_alerts": spike_events_alerts,
+    "spike_events_net_rollup": spike_events_net_rollup,
+}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — textual mirrors of the operator semantics above.
+# ---------------------------------------------------------------------------
+
+_EV = "SELECT epoch_us(ts) AS ts_us, user_id, event_type, value FROM events"
+_NOW = "SELECT epoch_us(max(ts)) AS now_us FROM events"
+_AVG = "CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6))) / COUNT(*)) AS BIGINT)"
+
+_CUR = f"""
+  SELECT user_id, event_type, {_AVG} AS sum_val
+  FROM ev, bounds WHERE ts_us > now_us - {CUR_DAYS} * 86400000000
+  GROUP BY user_id, event_type
+"""
+_PREV = f"""
+  SELECT user_id, event_type, {_AVG} AS sum_val
+  FROM ev, bounds WHERE ts_us < now_us - {PREV_DAYS} * 86400000000
+  GROUP BY user_id, event_type
+"""
+
+_CMP = f"""
+  SELECT c.user_id, c.event_type, c.sum_val,
+         COALESCE(p.sum_val, {LIMIT_NEW}) AS prev_sum_val,
+         COALESCE(CASE WHEN p.sum_val / NULLIF(c.sum_val, 0) > {Q}
+                        AND p.sum_val > {LIMIT_NEW}
+                       THEN {LIMIT_NEW} ELSE p.sum_val END,
+                  {LIMIT_NEW}) AS prev_sum_val2
+  FROM cur c LEFT JOIN prev p USING (user_id, event_type)
+"""
+
+_NET = f"""
+  cur_net AS (
+    SELECT event_type, user_id - user_id % 10 AS bucket_id,
+           CAST(SUM(sum_val) // COUNT(*) AS BIGINT) AS sum_val
+    FROM cur GROUP BY 1, 2),
+  prev_net AS (
+    SELECT event_type, user_id - user_id % 10 AS bucket_id,
+           CAST(SUM(sum_val) // COUNT(*) AS BIGINT) AS sum_val
+    FROM prev GROUP BY 1, 2),
+  cmp_net AS (
+    SELECT c.event_type, c.bucket_id, c.sum_val,
+           COALESCE(CASE WHEN p.sum_val / NULLIF(c.sum_val, 0) > {Q}
+                         THEN {LIMIT_NEW_NET} ELSE p.sum_val END,
+                    {LIMIT_NEW_NET}) AS prev_sum_val2
+    FROM cur_net c LEFT JOIN prev_net p USING (event_type, bucket_id))
+"""
+
+ORACLES = {
+    "spike_events_compare": f"""
+        WITH bounds AS ({_NOW}), ev AS ({_EV}),
+             cur AS ({_CUR}), prev AS ({_PREV})
+        {_CMP}
+    """,
+    "spike_events_alerts": f"""
+        WITH bounds AS ({_NOW}), ev AS ({_EV}),
+             cur AS ({_CUR}), prev AS ({_PREV}),
+             cmp AS ({_CMP}),
+             {_NET}
+        SELECT user_id AS entity_id, event_type,
+               prev_sum_val2 AS sum_val, 'user' AS scope
+        FROM cmp WHERE sum_val / NULLIF(prev_sum_val2, 0) > {Q}
+        UNION ALL
+        SELECT bucket_id AS entity_id, event_type,
+               prev_sum_val2 AS sum_val, 'bucket' AS scope
+        FROM cmp_net WHERE sum_val / NULLIF(prev_sum_val2, 0) > {Q}
+    """,
+    "spike_events_net_rollup": f"""
+        WITH bounds AS ({_NOW}), ev AS ({_EV}), cur AS ({_CUR})
+        SELECT event_type, user_id - user_id % 10 AS bucket_id,
+               CAST(SUM(sum_val) // COUNT(*) AS BIGINT) AS sum_val
+        FROM cur GROUP BY 1, 2
+    """,
+}
