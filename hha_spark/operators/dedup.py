@@ -1,0 +1,212 @@
+"""Document deduplication operators (exact, n-gram Jaccard, MinHash+LSH,
+SimHash).
+
+Extends the engine beyond the reference's surface with the operators a
+large-scale training-data pipeline needs (BASELINE.json north star).
+All are partition-parallel and shuffle-aware:
+
+  * exact dedup: one hash-shuffle on md5(text) — the canonical
+    map-side-combinable groupBy.
+  * n-gram Jaccard: pairwise verification is quadratic, so it must be
+    blocked; the block column (e.g. `source`, a length band, or an
+    LSH bucket) bounds each join partition. At 100 TB the blocked
+    self-join shuffles on the block key only.
+  * MinHash+LSH: the scale path — signatures are computed per-row
+    (no shuffle), candidates come from an equi-join on (band, key)
+    so only genuinely-colliding docs meet; expected cost is
+    O(docs + candidate pairs), not O(docs²).
+  * SimHash: per-row 16-bit signature via md5 nibbles; exact-collision
+    grouping is one shuffle.
+
+Determinism contract (for the DuckDB oracle gate): token sets use
+literal-space splitting, hashes are md5 hex strings (identical across
+engines), Jaccard thresholds compare scaled INTEGERS
+(10*|∩| >= 7*|∪|), and MinHash minima are lexicographic string minima
+— no engine-specific numeric hashing anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_token_set(
+    df: DataFrame, text_col: str = "text", out_col: str = "tokens"
+) -> DataFrame:
+    """Distinct whitespace tokens (the unigram shingle set)."""
+    return df.withColumn(out_col, F.array_distinct(F.split(F.col(text_col), " ")))
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Returns (text_hash, n_docs, canonical_doc_id) — canonical = lowest
+    id, the usual keep-first policy. One hash aggregation; Catalyst
+    partial-aggregates map-side so the shuffle carries one row per
+    distinct hash.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_doc_id"),
+        )
+    )
+
+
+def jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Blocked pairwise Jaccard-similar pairs over token SETS.
+
+    Emits (doc_id_a, doc_id_b, inter_size, union_size, jaccard) for
+    pairs in the same block with |∩|/|∪| >= threshold. The threshold
+    test is pure integer arithmetic (den*|∩| >= num*|∪|) so engines
+    agree at the boundary; `jaccard` itself is a single double
+    division of exact ints (correctly rounded, hence identical).
+    """
+    a = left.select(
+        *block_cols,
+        F.col(id_col).alias("doc_id_a"),
+        F.col(tokens_col).alias("tokens_a"),
+    )
+    b = right.select(
+        *block_cols,
+        F.col(id_col).alias("doc_id_b"),
+        F.col(tokens_col).alias("tokens_b"),
+    )
+    inter = F.size(F.array_intersect("tokens_a", "tokens_b"))
+    union = F.size(F.array_union("tokens_a", "tokens_b"))
+    return (
+        a.join(b, on=block_cols)
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            inter.alias("inter_size"),
+            union.alias("union_size"),
+        )
+        .where(
+            F.lit(threshold_den) * F.col("inter_size")
+            >= F.lit(threshold_num) * F.col("union_size")
+        )
+        .withColumn("jaccard", F.col("inter_size") / F.col("union_size"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    num_hashes: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """MinHash signature columns mh0..mh{k-1}.
+
+    Each hash family is min over md5("s{i}|" + token) — a lexicographic
+    minimum of hex strings, which both Spark and DuckDB order
+    identically (ASCII). Computed per-row with no shuffle; at 100 TB
+    this is a narrow map stage.
+    """
+    def _salted(i: int):
+        # NB: must be a ONE-argument lambda — F.transform inspects
+        # arity and would pass the array index as a second argument,
+        # silently corrupting a `lambda t, i=i: ...` closure
+        def f(t):
+            return F.md5(F.concat(F.lit(f"s{i}|"), t))
+
+        return f
+
+    sig_cols = [
+        F.array_min(F.transform(F.col(tokens_col), _salted(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), F.col(tokens_col), *sig_cols)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: docs sharing any band key become candidate pairs.
+
+    Bands are concatenations of `rows_per_band` adjacent signature
+    columns; the self-equi-join on (band, key) is the only shuffle and
+    touches only genuine collisions — this is what makes near-dedup
+    feasible at 100 TB (vs the quadratic blocked join).
+    """
+    band_structs = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.concat(*parts).alias("key"))
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("doc_id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("doc_id_b"), "band", "key")
+    return (
+        a.join(b, on=["band", "key"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
+def nibble_sum_sql(i: int) -> str:
+    """±1 weight sum for bit i: +1 when the i-th md5 nibble of the
+    token has its high bit set (hex digit in 8..f), else -1.
+    Engine-portable SQL (no strpos/instr argument-order traps)."""
+    high = "'8','9','a','b','c','d','e','f'"
+    return (
+        f"SUM(CASE WHEN substr(md5(tok), {i + 1}, 1) IN ({high}) "
+        f"THEN 1 ELSE -1 END)"
+    )
+
+
+def simhash16_sql_sums() -> list[str]:
+    """16 aliased per-bit weight sums (aggregate fragments over
+    exploded tokens); identical text in Spark SQL and DuckDB."""
+    return [f"{nibble_sum_sql(i)} AS w{i}" for i in range(16)]
+
+
+def simhash16_pack_sql() -> str:
+    """Pack the 16 weight signs into a BIGINT simhash."""
+    terms = " + ".join(
+        f"(CASE WHEN w{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def simhash16(
+    df: DataFrame, *, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """16-bit SimHash over the distinct-token set.
+
+    Bit i is the sign of the sum over tokens of ±1 by the high bit of
+    the i-th md5 nibble. Explode + two-level aggregate; the shuffle
+    key is the doc id so this scales linearly. Exact hash collisions
+    are near-duplicate candidates.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col).alias("tok"))
+    sums = toks.groupBy(id_col).agg(
+        *[F.expr(nibble_sum_sql(i)).alias(f"w{i}") for i in range(16)]
+    )
+    return sums.select(F.col(id_col), F.expr(simhash16_pack_sql()).alias("simhash"))

@@ -1,0 +1,179 @@
+"""Vector similarity search over embedding columns.
+
+Brute-force cosine top-k is the correctness baseline; the LSH/IVF
+bucketed variants (operators/dedup.py banding, sign-bit buckets) are
+the scale path. The dot product is computed EXACTLY:
+
+    per-element product in double (bit-identical across engines)
+      -> cast to DECIMAL(20,15) (exact sum, order-independent)
+      -> one double division / sqrt at the end (correctly rounded).
+
+This sidesteps float-summation order entirely — a requirement both
+for the DuckDB oracle gate and for run-to-run stability once partial
+aggregation reorders partitions on a real cluster.
+
+Layout note: element explosion multiplies row count by the dimension
+(64 here). At scale, keep the candidate set bounded (blocking /
+LSH / IVF probe lists) before exploding; the explode itself is a
+narrow map, and the (pair -> dot) aggregation shuffles on the pair
+key with map-side partial sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Element products are floor-quantized to integer 1e-12 units and
+# summed as BIGINT: float32 elements are promoted to double BEFORE
+# multiplying (float*float loses ~1e-8), and FLOOR sidesteps the
+# engines' differing double->decimal rounding modes entirely. The
+# 1e12 scale cancels in the cosine (numerator 1e12 vs
+# sqrt(1e12)*sqrt(1e12)); sums stay far below 2^53 so the final
+# BIGINT->DOUBLE cast is exact and the sqrt/division chain is
+# correctly rounded — bit-identical across engines and partition
+# orders, at the cost of a deterministic <=1e-12/element truncation.
+_Q = 1_000_000_000_000
+_DOT = (
+    f"CAST(SUM(CAST(FLOOR(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE) * {_Q}) "
+    "AS BIGINT)) AS DOUBLE)"
+)
+_NORM = (
+    f"CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * {_Q}) "
+    "AS BIGINT)) AS DOUBLE)"
+)
+
+
+def _elements(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{prefix}id"),
+        F.posexplode(F.col(vec_col)).alias("idx", f"{prefix}v"),
+    )
+
+
+def _norms_scaled(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, norm_sq) in picounits — the internal kernel currency; the
+    1e12 scale cancels against the scaled dot inside the cosine."""
+    el = df.select(F.col(id_col), F.explode(F.col(vec_col)).alias("v"))
+    return el.groupBy(id_col).agg(F.expr(_NORM).alias("norm_sq"))
+
+
+def vector_norms(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, norm_sq DOUBLE) — exact quantized sum of squares, in
+    natural units."""
+    return _norms_scaled(df, id_col=id_col, vec_col=vec_col).withColumn(
+        "norm_sq", F.col("norm_sq") / F.lit(float(_Q))
+    )
+
+
+def cosine_pairs(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (query, candidate) cosine similarities via element join.
+
+    Returns (qid, cid, cosine DOUBLE). Both inputs should already be
+    blocked/bounded — this is the exact kernel, not the pruner.
+    """
+    q_el = _elements(queries, id_col, vec_col, "a")
+    c_el = _elements(candidates, id_col, vec_col, "b")
+    # broadcast the (small) query side: the element join then runs
+    # without a shuffle on the 64-key idx column, which would
+    # otherwise cap parallelism at the vector dimension
+    dots = (
+        F.broadcast(q_el)
+        .join(c_el, on="idx")
+        .groupBy("aid", "bid")
+        .agg(F.expr(_DOT).alias("dot"))
+    )
+    qn = _norms_scaled(queries, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("aid"), F.col("norm_sq").alias("qn")
+    )
+    cn = _norms_scaled(candidates, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("bid"), F.col("norm_sq").alias("cn")
+    )
+    return (
+        dots.join(F.broadcast(qn), on="aid")
+        .join(F.broadcast(cn), on="bid")
+        .select(
+            F.col("aid").alias("qid"),
+            F.col("bid").alias("cid"),
+            (F.col("dot") / (F.sqrt("qn") * F.sqrt("cn"))).alias("cosine"),
+        )
+    )
+
+
+def cosine_pairs_for(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    a_col: str = "vec_id_a",
+    b_col: str = "vec_id_b",
+) -> DataFrame:
+    """Cosine similarity for an explicit candidate-pair set.
+
+    `pairs` is (a_col, b_col [, extra cols]); only those pairs are
+    exploded (|pairs| × dim element rows), so the cost tracks the
+    candidate count — the shape every blocked/LSH/IVF near-dup
+    pipeline needs at scale. Returns pairs + cosine.
+    """
+    el = vectors.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("idx", "v")
+    )
+    a_el = el.select(
+        F.col(id_col).alias(a_col), "idx", F.col("v").alias("av")
+    )
+    b_el = el.select(
+        F.col(id_col).alias(b_col), "idx", F.col("v").alias("bv")
+    )
+    dots = (
+        pairs.select(a_col, b_col)
+        .join(a_el, on=a_col)
+        .join(b_el, on=[b_col, "idx"])
+        .groupBy(a_col, b_col)
+        .agg(F.expr(_DOT).alias("dot"))
+    )
+    norms = vectors.select(
+        F.col(id_col), F.explode(F.col(vec_col)).alias("v")
+    ).groupBy(id_col).agg(F.expr(_NORM).alias("norm_sq"))
+    an = norms.select(F.col(id_col).alias(a_col), F.col("norm_sq").alias("an"))
+    bn = norms.select(F.col(id_col).alias(b_col), F.col("norm_sq").alias("bn"))
+    return (
+        pairs.join(dots, on=[a_col, b_col])
+        .join(F.broadcast(an), on=a_col)
+        .join(F.broadcast(bn), on=b_col)
+        .withColumn("cosine", F.col("dot") / (F.sqrt("an") * F.sqrt("bn")))
+        .drop("dot", "an", "bn")
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Brute-force top-k neighbors per query by cosine similarity.
+
+    Deterministic ranking: ties broken by candidate id. Output
+    (qid, cid, cosine, rank).
+    """
+    sims = cosine_pairs(queries, candidates, id_col=id_col, vec_col=vec_col)
+    if not include_self:
+        sims = sims.where(F.col("qid") != F.col("cid"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return sims.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

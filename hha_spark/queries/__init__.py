@@ -13,20 +13,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hha_spark.queries import relational, spike_events
+from hha_spark.queries import llm_ops, relational, spike_events
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = (spike_events, relational, llm_ops)
 
 
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
-    out.update(spike_events.QUERIES)
-    out.update(relational.QUERIES)
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    out.update(spike_events.ORACLES)
-    out.update(relational.ORACLES)
+    for mod in _MODULES:
+        out.update(mod.ORACLES)
     return out

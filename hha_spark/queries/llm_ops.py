@@ -1,0 +1,412 @@
+"""Driver-gate queries for the LLM-data-pipeline operators (M3):
+dedup, similarity search, text analysis, multimodal plumbing —
+over the `documents` and `embeddings` tables.
+
+Shared determinism contract with the oracles: md5 hex strings, scaled-
+integer Jaccard thresholds, exact-decimal dot products, CASE over
+integer comparisons. See the operator modules for the scale design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hha_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+    simhash16_pack_sql,
+    simhash16_sql_sums,
+    with_token_set,
+)
+from hha_spark.operators.multimodal import blob_stats, with_blob
+from hha_spark.operators.similarity import cosine_pairs_for, cosine_topk
+from hha_spark.operators.text import (
+    STOPWORDS,
+    WORD_RE,
+    fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+    token_count_regex,
+)
+from hha_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _cast_longs(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Spark size()/row_number() yield INT; oracles yield BIGINT."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+# --- dedup -----------------------------------------------------------------
+
+def dedup_exact_docs(spark, sf_dir):
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+ORACLE_EXACT = """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = with_token_set(_docs(spark, sf_dir))
+    out = jaccard_pairs(
+        docs, docs, block_cols=["source"], threshold_num=7, threshold_den=10
+    )
+    return _cast_longs(out, ["inter_size", "union_size"])
+
+
+ORACLE_NGRAM = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_distinct(string_split(text, ' ')) AS tokens
+      FROM documents)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.tokens, b.tokens)) AS BIGINT) AS inter_size,
+           CAST(len(list_distinct(list_concat(a.tokens, b.tokens))) AS BIGINT)
+               AS union_size,
+           CAST(len(list_intersect(a.tokens, b.tokens)) AS BIGINT)
+             / CAST(len(list_distinct(list_concat(a.tokens, b.tokens))) AS BIGINT)
+               AS jaccard
+    FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE 10 * len(list_intersect(a.tokens, b.tokens))
+          >= 7 * len(list_distinct(list_concat(a.tokens, b.tokens)))
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = with_token_set(_docs(spark, sf_dir))
+    sigs = minhash_signatures(docs, num_hashes=8)
+    cand = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    toks = docs.select("doc_id", "tokens")
+    verified = (
+        cand.join(
+            toks.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("tokens").alias("tokens_a")
+            ),
+            on="doc_id_a",
+        )
+        .join(
+            toks.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("tokens").alias("tokens_b")
+            ),
+            on="doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("tokens_a", "tokens_b")).alias("inter_size"),
+            F.size(F.array_union("tokens_a", "tokens_b")).alias("union_size"),
+        )
+        .where(F.lit(10) * F.col("inter_size") >= F.lit(7) * F.col("union_size"))
+    )
+    return _cast_longs(verified, ["inter_size", "union_size"])
+
+
+_SIG_COLS = ", ".join(
+    f"list_aggregate(list_transform(tokens, t -> md5('s{i}|' || t)), 'min') AS mh{i}"
+    for i in range(8)
+)
+_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, mh{2 * b} || mh{2 * b + 1} AS key FROM sigs"
+    for b in range(4)
+)
+
+ORACLE_MINHASH = f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
+      FROM documents),
+    sigs AS (SELECT doc_id, tokens, {_SIG_COLS} FROM toks),
+    bands AS ({_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT doc_id_a, doc_id_b,
+           CAST(len(list_intersect(ta.tokens, tb.tokens)) AS BIGINT) AS inter_size,
+           CAST(len(list_distinct(list_concat(ta.tokens, tb.tokens))) AS BIGINT)
+               AS union_size
+    FROM cand
+    JOIN toks ta ON ta.doc_id = doc_id_a
+    JOIN toks tb ON tb.doc_id = doc_id_b
+    WHERE 10 * len(list_intersect(ta.tokens, tb.tokens))
+          >= 7 * len(list_distinct(list_concat(ta.tokens, tb.tokens)))
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    docs = with_token_set(_docs(spark, sf_dir))
+    hashes = simhash16(docs)
+    w = Window.partitionBy("simhash")
+    return hashes.withColumn("n_same", F.count(F.lit(1)).over(w).cast("long"))
+
+
+_SIMHASH_SUMS = ", ".join(simhash16_sql_sums())
+
+ORACLE_SIMHASH = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM toks GROUP BY doc_id),
+    hashes AS (SELECT doc_id, {simhash16_pack_sql()} AS simhash FROM sums)
+    SELECT doc_id, simhash,
+           CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same
+    FROM hashes
+"""
+
+
+# --- similarity search ------------------------------------------------------
+
+# DuckDB's range() can't take lateral column args; the embedding
+# dimension is fixed at 64 in this dataset (FIXTURES.md §B)
+EMB_DIM = 64
+_EMB_EL = f"""
+      SELECT vec_id, i AS idx, embedding[i] AS v
+      FROM embeddings, range(1, {EMB_DIM} + 1) t(i)
+"""
+# mirrors operators/similarity.py: floor-quantized picounit BIGINT sums
+_Q = 1_000_000_000_000
+_DOT_SQL = (
+    f"CAST(SUM(CAST(FLOOR(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) * {_Q}) "
+    "AS BIGINT)) AS DOUBLE)"
+)
+_NORM_SQL = (
+    f"CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * {_Q}) "
+    "AS BIGINT)) AS DOUBLE)"
+)
+
+
+def ann_topk_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 16 == 0)
+    out = cosine_topk(queries, emb, k=5)
+    return _cast_longs(out, ["rank"])
+
+
+ORACLE_ANN = f"""
+    WITH el AS ({_EMB_EL}),
+    q_el AS (SELECT * FROM el WHERE vec_id % 16 = 0),
+    dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, {_DOT_SQL} AS dot
+      FROM q_el a JOIN el b USING (idx) GROUP BY a.vec_id, b.vec_id),
+    norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq FROM el GROUP BY vec_id),
+    sims AS (
+      SELECT qid, cid, dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+      FROM dots JOIN norms qn ON qn.vec_id = qid
+                JOIN norms cn ON cn.vec_id = cid
+      WHERE qid <> cid),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+      FROM sims)
+    SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+COSINE_PAIR_THRESHOLD = 0.25
+PAIR_ID_WINDOW = 25
+
+
+def embedding_cosine_pairs(spark, sf_dir):
+    """Near-dup pairs: label-blocked, id-window-bounded, cosine >= τ.
+
+    The label block + id window is the demo blocking strategy; at
+    scale the candidate set comes from LSH/IVF buckets instead (same
+    exact kernel underneath).
+    """
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), "label")
+    b = emb.select(F.col("vec_id").alias("vec_id_b"), "label")
+    cand = a.join(b, on="label").where(
+        (F.col("vec_id_b") > F.col("vec_id_a"))
+        & (F.col("vec_id_b") - F.col("vec_id_a") <= PAIR_ID_WINDOW)
+    )
+    sims = cosine_pairs_for(cand, emb)
+    return sims.where(F.col("cosine") >= COSINE_PAIR_THRESHOLD).select(
+        "vec_id_a", "vec_id_b", "label", "cosine"
+    )
+
+
+ORACLE_COSINE_PAIRS = f"""
+    WITH el AS ({_EMB_EL}),
+    cand AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, a.label
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND b.vec_id > a.vec_id
+       AND b.vec_id - a.vec_id <= {PAIR_ID_WINDOW}),
+    dots AS (
+      SELECT c.qid, c.cid, c.label, {_DOT_SQL} AS dot
+      FROM cand c
+      JOIN el a ON a.vec_id = c.qid
+      JOIN el b ON b.vec_id = c.cid AND b.idx = a.idx
+      GROUP BY c.qid, c.cid, c.label),
+    norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq FROM el GROUP BY vec_id)
+    SELECT qid AS vec_id_a, cid AS vec_id_b, label,
+           dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+    FROM dots JOIN norms qn ON qn.vec_id = qid
+              JOIN norms cn ON cn.vec_id = cid
+    WHERE dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) >= {COSINE_PAIR_THRESHOLD}
+"""
+
+
+# --- text analysis ----------------------------------------------------------
+
+def text_stats_docs(spark, sf_dir):
+    out = text_stats(_docs(spark, sf_dir))
+    return _cast_longs(out, ["n_tokens", "n_distinct_tokens", "n_chars"])
+
+
+ORACLE_TEXT_STATS = """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           (length(text) - (len(toks) - 1)) / len(toks) AS mean_token_len
+    FROM t
+"""
+
+
+def text_langid(spark, sf_dir):
+    out = language_id(_docs(spark, sf_dir))
+    return _cast_longs(out, [f"hits_{lang}" for lang in STOPWORDS])
+
+
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"t -> t IN ({words}))) AS BIGINT)"
+    )
+
+
+ORACLE_LANGID = f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_hits_sql('en')} AS hits_en,
+             {_hits_sql('es')} AS hits_es,
+             {_hits_sql('de')} AS hits_de,
+             {_hits_sql('fr')} AS hits_fr
+      FROM documents)
+    SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+           CASE WHEN hits_en >= hits_es AND hits_en >= hits_de
+                     AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+                WHEN hits_es >= hits_de AND hits_es >= hits_fr
+                     AND hits_es > 0 THEN 'es'
+                WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+                WHEN hits_fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS lang_guess
+    FROM h
+"""
+
+
+def text_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir)).withColumn(
+        "quality_score", F.col("quality_score").cast("long")
+    )
+
+
+ORACLE_QUALITY = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             (CASE WHEN len(toks) BETWEEN 20 AND 400 THEN 1 ELSE 0 END
+              + CASE WHEN 10 * len(list_distinct(toks)) >= 3 * len(toks)
+                     THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+                 AS quality_score
+      FROM t)
+    SELECT doc_id, CAST(quality_score AS BIGINT) AS quality_score,
+           CASE WHEN quality_score >= 3 THEN 'high'
+                WHEN quality_score = 2 THEN 'medium'
+                ELSE 'low' END AS quality_class
+    FROM s
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+ORACLE_FINGERPRINT = r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+           substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp16
+    FROM documents
+"""
+
+
+def text_token_count(spark, sf_dir):
+    return _cast_longs(token_count_regex(_docs(spark, sf_dir)), ["n_word_tokens"])
+
+
+ORACLE_TOKEN_COUNT = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{WORD_RE}')) AS BIGINT)
+               AS n_word_tokens
+    FROM documents
+"""
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+def multimodal_blob_stats(spark, sf_dir):
+    """Arrow-batched mapInPandas over a binary payload column."""
+    return blob_stats(with_blob(_docs(spark, sf_dir)))
+
+
+ORACLE_BLOB = """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS blob_md5
+    FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_topk_cosine": ann_topk_cosine,
+    "embedding_cosine_pairs": embedding_cosine_pairs,
+    "text_stats_docs": text_stats_docs,
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "doc_fingerprint": doc_fingerprint,
+    "text_token_count": text_token_count,
+    "multimodal_blob_stats": multimodal_blob_stats,
+}
+
+ORACLES = {
+    "dedup_exact_docs": ORACLE_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM,
+    "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_simhash": ORACLE_SIMHASH,
+    "ann_topk_cosine": ORACLE_ANN,
+    "embedding_cosine_pairs": ORACLE_COSINE_PAIRS,
+    "text_stats_docs": ORACLE_TEXT_STATS,
+    "text_langid": ORACLE_LANGID,
+    "text_quality": ORACLE_QUALITY,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+    "text_token_count": ORACLE_TOKEN_COUNT,
+    "multimodal_blob_stats": ORACLE_BLOB,
+}

@@ -193,7 +193,7 @@ def top3_customers_per_nation(spark, sf_dir):
     return (
         cust.join(nation, cust.c_nationkey == nation.n_nationkey)
         .select("n_name", "c_custkey", "c_acctbal")
-        .withColumn("rank_in_nation", F.row_number().over(w))
+        .withColumn("rank_in_nation", F.row_number().over(w).cast("long"))
         .where(F.col("rank_in_nation") <= 3)
     )
 
@@ -324,7 +324,8 @@ def events_json_extract(spark, sf_dir):
 
 ORACLE_JSON = """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
 """
@@ -363,9 +364,9 @@ ORACLE_SESSIONIZE = f"""
                               ORDER BY ts_us, event_id) AS prev_ts
       FROM e)
     SELECT user_id,
-           SUM(CASE WHEN prev_ts IS NULL
-                      OR ts_us - prev_ts > {SESSION_GAP_US}
-                    THEN 1 ELSE 0 END) AS n_sessions,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                           OR ts_us - prev_ts > {SESSION_GAP_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
     FROM l GROUP BY user_id
 """

@@ -1,0 +1,74 @@
+"""Unit tests for dedup operators (exact, Jaccard, MinHash+LSH, SimHash)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hha_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+    with_token_set,
+)
+
+DOCS = [
+    (1, "the quick brown fox", "a"),
+    (2, "the quick brown fox", "a"),      # exact dup of 1
+    (3, "the quick brown wolf", "a"),     # near dup of 1 (3/5 jaccard)
+    (4, "completely different text here", "a"),
+    (5, "the quick brown fox", "b"),      # exact dup, other block
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_groups(spark):
+    out = exact_dedup_groups(docs_df(spark)).collect()
+    groups = {r.text_hash: (r.n_docs, r.canonical_doc_id) for r in out}
+    assert len(groups) == 3
+    assert (3, 1) in groups.values()  # docs 1,2,5 share a hash, keep id 1
+
+
+def test_jaccard_pairs_blocked(spark):
+    docs = with_token_set(docs_df(spark))
+    out = jaccard_pairs(
+        docs, docs, block_cols=["source"], threshold_num=7, threshold_den=10
+    ).collect()
+    pairs = {(r.doc_id_a, r.doc_id_b): r.jaccard for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0   # identical
+    assert (1, 5) not in pairs                        # blocked apart
+    # fox/wolf: |∩|=3, |∪|=5 -> 0.6 < 0.7 threshold
+    assert (1, 3) not in pairs
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    docs = with_token_set(docs_df(spark))
+    sigs = minhash_signatures(docs, num_hashes=8)
+    rows = {r.doc_id: [r[f"mh{i}"] for i in range(8)] for r in sigs.collect()}
+    assert rows[1] == rows[2] == rows[5]   # same token set -> same signature
+    assert rows[1] != rows[4]
+
+
+def test_lsh_candidates_catch_exact_dups(spark):
+    docs = with_token_set(docs_df(spark))
+    sigs = minhash_signatures(docs, num_hashes=8)
+    cand = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).collect()
+    }
+    assert {(1, 2), (1, 5), (2, 5)} <= cand
+    assert not any(4 in p for p in cand)   # nothing collides with doc 4
+
+
+def test_simhash_stability_and_collision(spark):
+    docs = with_token_set(docs_df(spark))
+    out = {r.doc_id: r.simhash for r in simhash16(docs).collect()}
+    assert out[1] == out[2] == out[5]
+    assert 0 <= out[1] < (1 << 16)
+    # one-token difference moves few bits: hamming distance small
+    ham = bin(out[1] ^ out[3]).count("1")
+    assert ham <= 8

@@ -1,0 +1,86 @@
+"""Unit tests for text-analysis operators and multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from hha_spark.operators.multimodal import (
+    blob_stats,
+    decode_image_stub,
+    fake_decode_meta,
+    with_blob,
+)
+from hha_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+    token_count_regex,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "el gato y la casa de los arboles"),
+    (3, "xyz qrs tuv"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_text_stats(spark):
+    out = {r.doc_id: r for r in text_stats(docs_df(spark)).collect()}
+    assert out[1].n_tokens == 6
+    assert out[1].n_distinct_tokens == 5      # 'the' twice
+    assert out[1].n_chars == len("the cat sat on the mat")
+    # 17 letters over 6 tokens
+    assert abs(out[1].mean_token_len - 17 / 6) < 1e-12
+
+
+def test_language_id(spark):
+    out = {r.doc_id: r.lang_guess for r in language_id(docs_df(spark)).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "unknown"
+
+
+def test_quality_score_bounds(spark):
+    out = {r.doc_id: r for r in quality_score(docs_df(spark)).collect()}
+    assert out[3].quality_class == "low"       # short, no 'the'
+    assert out[1].quality_score >= 2           # diverse + has 'the'
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, "a b"), (3, "A B")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.fp for r in fingerprint(df).collect()}
+    assert out[1] == out[2] == out[3]          # whitespace + case folded
+    assert out[1] == hashlib.md5(b"a b").hexdigest()
+
+
+def test_token_count_regex(spark):
+    df = spark.createDataFrame([(1, "foo, bar! baz42")], "doc_id long, text string")
+    assert token_count_regex(df).collect()[0].n_word_tokens == 3
+
+
+def test_blob_stats_matches_hashlib(spark):
+    out = blob_stats(with_blob(docs_df(spark))).collect()
+    for r in out:
+        text = dict((d, t) for d, t in [(x[0], x[1]) for x in DOCS])[r.doc_id]
+        assert r.n_bytes == len(text.encode())
+        assert r.blob_md5 == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_fake_decode_deterministic_and_stub_raises(spark):
+    df = with_blob(docs_df(spark))
+    a = sorted(map(tuple, fake_decode_meta(df).collect()))
+    b = sorted(map(tuple, fake_decode_meta(df).collect()))
+    assert a == b                               # deterministic fake
+    for row in a:
+        assert 64 <= row[1] <= 255 and row[4] in ("png", "jpeg", "webp")
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(df)
