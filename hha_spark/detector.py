@@ -1,0 +1,69 @@
+"""Batch detection cycle — the operable replacement for the
+reference's main loop (hha.py:315-327).
+
+One cycle = read pruned windows -> detect_spikes (S1-S8) -> gate by
+watchlist -> suppress recently-alerted keys -> append to the alerts
+table -> emit rules. The reference's hand-rolled pieces map as:
+
+    wall-clock window bounds (hha.py:320-323) -> `now` parameter
+    hour-file name math (hha.py:293-301)      -> partition pruning
+    Consul thread + shared set (hha.py:41-71) -> per-cycle zones read
+    GlobalRowList TTL dict (hha.py:234-244)   -> recent_alerts anti-join
+    collect+loop gating (hha.py:233-242)      -> broadcast semi-join
+    GenerateRule stub (hha.py:248-249)        -> collect_rules output
+
+`run_cycle` is a pure function of (data, zones, alert log, now) — the
+scheduler around it (cron, Airflow, a while/sleep loop) is deliberately
+out of scope; Structured Streaming covers the continuous deployment
+shape (hha_spark/streaming/).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hha_spark.config import DetectorParams
+from hha_spark.operators.spike import detect_spikes
+from hha_spark.sinks.alerts import append_alerts, collect_rules, recent_alerts
+from hha_spark.sources.histograms import read_window
+
+
+def run_cycle(
+    spark: SparkSession,
+    *,
+    data_root: str,
+    alerts_path: str,
+    params: DetectorParams | None = None,
+    zones: DataFrame | None = None,
+    now: int | None = None,
+) -> list[dict]:
+    """Execute one detection cycle; returns the emitted rules."""
+    p = params or DetectorParams()
+    now = int(time.time()) if now is None else now
+
+    # one pruned scan covering both windows; detect_spikes applies the
+    # row-level window bounds itself (both windows are one-sided, so
+    # the union of what they touch is everything below `now` — the
+    # pruning win comes from the partitioned layout dropping hours
+    # outside [prev history start, now], bounded here to cur window's
+    # hour and anything older than the data's retention)
+    hist = read_window(spark, data_root, upper=now + 1)
+
+    prior = recent_alerts(spark, alerts_path, now=now, ttl_sec=p.limit_detect_time_sec)
+    alerts = detect_spikes(
+        hist, params=p, now=now, zones=zones, prior_alerts=prior
+    )
+    alerts = alerts.persist()
+    try:
+        # materialize BEFORE appending: the TTL anti-join reads the
+        # same table the append writes, and Spark's refreshByPath
+        # invalidates the cached plan on write — collecting after the
+        # append would re-evaluate against the post-append table and
+        # suppress every alert just raised
+        rules = collect_rules(alerts)
+        append_alerts(alerts, alerts_path, detected_at=now)
+        return rules
+    finally:
+        alerts.unpersist()

@@ -1,0 +1,60 @@
+"""Alerts sink: a persisted Parquet table.
+
+The reference's sink is `collect()` + a driver loop that prints/logs
+each rule and remembers raised alerts in an in-memory dict that dies
+with the process (hha.py:223-249). Writing alerts to a table instead
+(a) survives restarts, (b) turns the TTL dedup into a broadcast
+anti-join against `recent_alerts`, and (c) gives downstream rule
+generators a queryable log. `collect_rules` keeps a driver-side path
+for parity tests and actual rule emission.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hha_spark.schemas import ALERTS_SCHEMA
+
+
+def append_alerts(alerts: DataFrame, table_path: str, *, detected_at: int) -> None:
+    """Stamp and append a cycle's alerts."""
+    (
+        alerts.withColumn("detected_at", F.lit(detected_at).cast("long"))
+        .select([f.name for f in ALERTS_SCHEMA.fields])
+        .write.mode("append")
+        .parquet(table_path)
+    )
+
+
+def recent_alerts(
+    spark: SparkSession, table_path: str, *, now: int, ttl_sec: int
+) -> DataFrame | None:
+    """Alerts raised within the TTL — the dedup anti-join's right side.
+
+    Returns None when the table doesn't exist yet (first cycle).
+    """
+    try:
+        df = spark.read.schema(ALERTS_SCHEMA).parquet(table_path)
+    except Exception:  # noqa: BLE001 — path-not-found on first run
+        return None
+    return df.where(F.col("detected_at") > F.lit(now - ttl_sec))
+
+
+def collect_rules(alerts: DataFrame) -> list[dict]:
+    """Driver-side rule materialization (the reference's observable
+    output is a log line per alert, hha.py:240-241)."""
+    out = []
+    for row in alerts.collect():
+        out.append(
+            {
+                "num_protocol": row.num_protocol,
+                "type_proto": row.type_proto,
+                "sum_val": row.sum_val,
+                "dst_ip": str(ipaddress.IPv4Address(int(row.dst_ip))),
+                "scope": row.scope,
+            }
+        )
+    return out

@@ -1,0 +1,126 @@
+"""M1 tests: partitioned source pruning, watchlist parsing, alerts
+sink round-trip, and the full batch cycle with cross-cycle TTL dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hha_spark.config import DetectorParams
+from hha_spark.detector import run_cycle
+from hha_spark.schemas import HISTOGRAM_SCHEMA
+from hha_spark.sinks.alerts import append_alerts, recent_alerts
+from hha_spark.sources.histograms import (
+    read_hour_files,
+    read_window,
+    write_hourly,
+    write_partitioned,
+)
+from hha_spark.sources.watchlist import parse_zone_lines, zones_from_ints
+
+NOW = 1_700_000_000
+IP = 174327308
+
+
+def hist_rows(spark, rows):
+    data = [(ts, 1, np_, tp, cnt, ip) for ts, np_, tp, cnt, ip in rows]
+    return spark.createDataFrame(data, HISTOGRAM_SCHEMA)
+
+
+def spread_rows():
+    """rows across 3 hours around NOW"""
+    return [
+        (NOW - 7200, 65, 11, 100, IP),   # two hours ago
+        (NOW - 3600, 65, 11, 200, IP),   # previous hour
+        (NOW - 10, 65, 11, 300, IP),     # current hour
+    ]
+
+
+def test_partitioned_roundtrip_and_pruning(spark, tmp_path):
+    root = str(tmp_path / "hist")
+    write_partitioned(hist_rows(spark, spread_rows()), root)
+    # full read returns everything with the declared schema
+    full = read_window(spark, root)
+    assert full.count() == 3
+    # parquet read-back is nullable; names and types must match
+    assert [(f.name, f.dataType) for f in full.schema.fields] == [
+        (f.name, f.dataType) for f in HISTOGRAM_SCHEMA.fields
+    ]
+    # window bounds prune partitions AND filter rows
+    cur = read_window(spark, root, lower=NOW - 90)
+    assert [r.CountPkt for r in cur.collect()] == [300]
+    plan = cur._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the pruned scan must not read every hour directory
+    prev = read_window(spark, root, upper=NOW - 3600 - 10)
+    assert prev.count() == 1
+
+
+def test_hourly_reference_naming_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "flat")
+    write_hourly(hist_rows(spark, spread_rows()), root)
+    hour = (NOW - 10) // 3600 * 3600
+    df = read_hour_files(spark, root, [hour, hour - 3600])
+    assert df.count() == 2
+    # all-missing hours -> None, not a crash (reference bug: second
+    # ReadData call site never checks for False, hha.py:147)
+    assert read_hour_files(spark, root, [12345]) is None
+
+
+def test_watchlist_parser_tolerance():
+    blobs = [
+        "10.0.0.1\n# comment line\n10.0.0.2",
+        "not-an-ip\n256.1.1.1\n\n10.0.0.2",   # dups collapse, junk skipped
+    ]
+    zones = parse_zone_lines(blobs)
+    assert zones == {167772161, 167772162}
+
+
+def test_alerts_sink_ttl_window(spark, tmp_path):
+    path = str(tmp_path / "alerts")
+    alerts = spark.createDataFrame(
+        [(65, 11, 100, IP, "ip")],
+        "num_protocol int, type_proto int, sum_val int, dst_ip long, scope string",
+    )
+    append_alerts(alerts, path, detected_at=NOW - 100)
+    append_alerts(alerts, path, detected_at=NOW - 999)
+    recent = recent_alerts(spark, path, now=NOW, ttl_sec=300)
+    assert recent.count() == 1
+    assert recent_alerts(spark, str(tmp_path / "missing"), now=NOW, ttl_sec=300) is None
+
+
+def test_full_cycle_with_cross_cycle_dedup(spark, tmp_path):
+    data_root = str(tmp_path / "hist")
+    alerts_path = str(tmp_path / "alerts")
+    # a brand-new key big enough to alert (cur > Q*L32 = 7500)
+    rows = [(NOW - 10, 65, 11, 8000, IP), (NOW - 10, 65, 11, 8000, IP)]
+    write_partitioned(hist_rows(spark, rows), data_root)
+    zones = zones_from_ints(spark, [IP])
+    p = DetectorParams()
+
+    rules1 = run_cycle(
+        spark, data_root=data_root, alerts_path=alerts_path,
+        params=p, zones=zones, now=NOW,
+    )
+    assert len(rules1) == 1
+    assert rules1[0]["dst_ip"] == "10.100.6.12"  # 174327308 dotted
+
+    # second cycle 10 s later: same spike still present -> suppressed
+    rules2 = run_cycle(
+        spark, data_root=data_root, alerts_path=alerts_path,
+        params=p, zones=zones, now=NOW + 10,
+    )
+    assert rules2 == []
+
+    # after the TTL expires, a fresh spike on the same key re-fires:
+    # by now the original rows sit in the PREVIOUS window (baseline
+    # 8000) and the new rows spike 30000/8000 > Q
+    later = NOW + p.limit_detect_time_sec + 60
+    write_partitioned(
+        hist_rows(spark, [(later - 5, 65, 11, 30000, IP)] * 2), data_root
+    )
+    rules3 = run_cycle(
+        spark, data_root=data_root, alerts_path=alerts_path,
+        params=p, zones=zones, now=later,
+    )
+    assert len(rules3) == 1
+    assert rules3[0]["sum_val"] == 8000  # baseline in the sum_val slot
