@@ -1,0 +1,142 @@
+"""M2 tests: streaming detection == batch semantics, replayed through
+the file source with a deterministic (injected) clock; cross-batch
+TTL dedup; watchlist gating; state-table eviction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hha_spark.config import DetectorParams
+from hha_spark.operators.spike import detect_spikes
+from hha_spark.schemas import HISTOGRAM_SCHEMA, ZONES_SCHEMA
+from hha_spark.sources.histograms import write_partitioned
+from hha_spark.streaming.spike_stream import (
+    evict_expired_hours,
+    run_streaming_detector,
+)
+
+P = DetectorParams()
+NOW = 1_700_000_000
+IP_A = 174327308
+IP_B = 174327451
+
+
+def hist_df(spark, rows):
+    return spark.createDataFrame(
+        [(ts, 1, np_, tp, cnt, ip) for ts, np_, tp, cnt, ip in rows],
+        HISTOGRAM_SCHEMA,
+    )
+
+
+def write_input(spark, path, rows):
+    hist_df(spark, rows).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    paths = {
+        "in": str(tmp_path / "stream_in"),
+        "state": str(tmp_path / "samples"),
+        "alerts": str(tmp_path / "alerts"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(paths["in"], exist_ok=True)
+    emitted: list[list[dict]] = []
+    yield spark, paths, emitted
+    for q in spark.streams.active:
+        q.stop()
+
+
+def start(spark, paths, emitted, *, zones=None, now_fn):
+    return run_streaming_detector(
+        spark,
+        data_root=paths["in"],
+        samples_root=paths["state"],
+        alerts_path=paths["alerts"],
+        checkpoint=paths["ckpt"],
+        params=P,
+        zones=zones,
+        now_fn=now_fn,
+        on_rules=emitted.append,
+    )
+
+
+def test_stream_matches_batch(env):
+    spark, paths, emitted = env
+    rows = (
+        [(NOW - 400, 65, 11, 174, IP_B)] * 2      # prev window
+        + [(NOW - 10, 65, 11, 961, IP_B)] * 2     # cur spike 961/174 > 3
+        + [(NOW - 400, 68, 11, 170, IP_A)] * 2    # flat key
+        + [(NOW - 10, 68, 11, 175, IP_A)] * 2
+    )
+    write_input(spark, paths["in"], rows)
+    q = start(spark, paths, emitted, now_fn=lambda: NOW)
+    q.processAllAvailable()
+
+    got = {
+        (r["num_protocol"], r["type_proto"], r["dst_ip"], r["sum_val"], r["scope"])
+        for batch in emitted
+        for r in batch
+    }
+    batch_alerts = {
+        (r.num_protocol, r.type_proto, str(__import__("ipaddress").IPv4Address(r.dst_ip)),
+         r.sum_val, r.scope)
+        for r in detect_spikes(
+            hist_df(spark, rows), params=P, now=NOW, persist=False
+        ).collect()
+    }
+    assert got == batch_alerts
+    assert "10.100.6.12" not in {g[2] for g in got}  # flat key (IP_A) silent
+    assert any(g[4] == "ip" for g in got)
+
+
+def test_incremental_batches_and_ttl(env):
+    spark, paths, emitted = env
+    clock = {"now": NOW}
+    q = start(spark, paths, emitted, now_fn=lambda: clock["now"])
+
+    # batch 1: only history -> no alerts
+    write_input(spark, paths["in"], [(NOW - 400, 65, 11, 8000, IP_A)] * 2)
+    q.processAllAvailable()
+    # batch 2: spike arrives -> one /32 alert (30000/8000 > Q)
+    clock["now"] = NOW + 10
+    write_input(spark, paths["in"], [(NOW + 5, 65, 11, 30000, IP_A)] * 2)
+    q.processAllAvailable()
+    # batch 3: spike persists -> suppressed by TTL
+    clock["now"] = NOW + 20
+    write_input(spark, paths["in"], [(NOW + 18, 65, 11, 30000, IP_A)] * 2)
+    q.processAllAvailable()
+
+    per_batch = [[r for r in b if r["scope"] == "ip"] for b in emitted]
+    counts = [len(b) for b in per_batch]
+    assert counts == [0, 1, 0]
+    assert per_batch[1][0]["sum_val"] == 8000  # baseline in sum_val slot
+
+
+def test_stream_watchlist_gating(env):
+    spark, paths, emitted = env
+    zones = spark.createDataFrame([(IP_A,)], ZONES_SCHEMA)
+    rows = (
+        [(NOW - 10, 65, 11, 12000, IP_A)] * 2     # new-key alert, watched
+        + [(NOW - 10, 68, 11, 12000, IP_B)] * 2   # alert-worthy, not watched
+    )
+    write_input(spark, paths["in"], rows)
+    q = start(spark, paths, emitted, zones=zones, now_fn=lambda: NOW)
+    q.processAllAvailable()
+    ips = {r["dst_ip"] for b in emitted for r in b}
+    assert ips == {"10.100.6.12"}
+
+
+def test_state_table_eviction(spark, tmp_path):
+    root = str(tmp_path / "state")
+    rows = [
+        (NOW - 5 * 3600, 65, 11, 100, IP_A),   # long expired
+        (NOW - 100, 65, 11, 100, IP_A),        # fresh
+    ]
+    write_partitioned(hist_df(spark, rows), root)
+    dropped = evict_expired_hours(root, now=NOW, retention_sec=2 * 3600)
+    assert dropped == 1
+    remaining = spark.read.parquet(root)
+    assert remaining.count() == 1
