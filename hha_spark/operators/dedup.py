@@ -76,26 +76,37 @@ def jaccard_pairs(
     agree at the boundary; `jaccard` itself is a single double
     division of exact ints (correctly rounded, hence identical).
     """
-    a = left.select(
-        *block_cols,
-        F.col(id_col).alias("doc_id_a"),
-        F.col(tokens_col).alias("tokens_a"),
-    )
-    b = right.select(
-        *block_cols,
-        F.col(id_col).alias("doc_id_b"),
-        F.col(tokens_col).alias("tokens_b"),
-    )
-    inter = F.size(F.array_intersect("tokens_a", "tokens_b"))
-    union = F.size(F.array_union("tokens_a", "tokens_b"))
-    return (
-        a.join(b, on=block_cols)
+    # Inverted-index formulation: explode token sets once, equi-join
+    # postings on (block, token), count shared tokens per pair. Only
+    # (id, token) rows ever shuffle — never array payloads — and
+    # |∪| = |A| + |B| - |∩| comes from per-doc set sizes. This is the
+    # shape that survives 100 TB: the join key includes the token, so
+    # hot tokens parallelize across partitions instead of one
+    # executor re-intersecting giant arrays.
+    def _postings(df: DataFrame, suffix: str) -> DataFrame:
+        return df.select(
+            *block_cols,
+            F.col(id_col).alias(f"doc_id_{suffix}"),
+            F.size(F.col(tokens_col)).alias(f"n_{suffix}"),
+            F.explode(F.col(tokens_col)).alias("tok"),
+        )
+
+    a = _postings(left, "a")
+    b = _postings(right, "b")
+    inter = (
+        a.join(b, on=[*block_cols, "tok"])
         .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select(
+        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    return (
+        inter.select(
             "doc_id_a",
             "doc_id_b",
-            inter.alias("inter_size"),
-            union.alias("union_size"),
+            F.col("inter_size").cast("int").alias("inter_size"),
+            (F.col("n_a") + F.col("n_b") - F.col("inter_size"))
+            .cast("int")
+            .alias("union_size"),
         )
         .where(
             F.lit(threshold_den) * F.col("inter_size")
@@ -135,19 +146,30 @@ def minhash_signatures(
     return df.select(F.col(id_col), F.col(tokens_col), *sig_cols)
 
 
+# Buckets larger than this are degenerate (boilerplate/templated
+# content, or adversarially self-similar corpora): a bucket of n docs
+# contributes n(n-1)/2 candidate pairs, so one 3000-doc bucket costs
+# ~4.5M verifications while signalling nothing about any specific
+# pair. Production LSH dedup pipelines cap or divert such buckets;
+# the cap keeps worst-case candidate count linear in corpus size.
+MAX_LSH_BUCKET = 64
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     *,
     bands: int = 4,
     rows_per_band: int = 2,
     id_col: str = "doc_id",
+    max_bucket: int = MAX_LSH_BUCKET,
 ) -> DataFrame:
     """LSH banding: docs sharing any band key become candidate pairs.
 
     Bands are concatenations of `rows_per_band` adjacent signature
     columns; the self-equi-join on (band, key) is the only shuffle and
     touches only genuine collisions — this is what makes near-dedup
-    feasible at 100 TB (vs the quadratic blocked join).
+    feasible at 100 TB (vs the quadratic blocked join). Buckets larger
+    than `max_bucket` are skipped entirely (see MAX_LSH_BUCKET).
     """
     band_structs = []
     for b in range(bands):
@@ -160,6 +182,13 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ok_buckets = (
+        banded.groupBy("band", "key")
+        .count()
+        .where(F.col("count") <= F.lit(max_bucket))
+        .select("band", "key")
+    )
+    banded = banded.join(ok_buckets, on=["band", "key"])
     a = banded.select(F.col(id_col).alias("doc_id_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("doc_id_b"), "band", "key")
     return (

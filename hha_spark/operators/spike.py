@@ -115,6 +115,78 @@ def rollup_averages(
     )
 
 
+def fused_window_compare(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    value_col: str,
+    time_col: str,
+    cur_lower: Column | int,
+    prev_upper: Column | int,
+    q: float,
+    limit_new: int,
+    clamp_guard: bool,
+) -> DataFrame:
+    """Single-pass S1+S3+S4: both window averages from ONE conditional
+    aggregation, compare on the same row.
+
+    The two-frame formulation (window_averages ×2 + left join) mirrors
+    the reference's two-file reads, but when both windows come from
+    the same source the whole comparison collapses: per key, aggregate
+    CASE-filtered sums/counts for each window in one shuffle, then
+    derive cur/prev/clamp by projection. At scale this replaces
+    2 scans + 2 shuffles + 1 join with 1 scan + 1 shuffle + 0 joins,
+    with identical results (keys missing from the previous window
+    surface as prev_n = 0 -> the S4 default, exactly like a left-join
+    miss).
+
+    Bounds may be Columns (e.g. data-derived `now` broadcast via a
+    1-row cross join) or int literals. Averages use the exact decimal
+    path (functions/exact.py semantics). Output: all keys seen in
+    EITHER window, with
+        sum_val       cur avg (NULL when the key has no current rows)
+        prev_sum_val  raw prev avg (NULL when absent)
+        prev_sum_val2 clamped/defaulted baseline (S3/S4)
+    Callers filter `sum_val IS NOT NULL` for the alert path and reuse
+    prev columns for rollups.
+    """
+    lo = cur_lower if isinstance(cur_lower, Column) else F.lit(cur_lower)
+    hi = prev_upper if isinstance(prev_upper, Column) else F.lit(prev_upper)
+    in_cur = F.col(time_col) > lo
+    in_prev = F.col(time_col) < hi
+    dec = F.col(value_col).cast("decimal(18,6)")
+    agg = df.groupBy(*key_cols).agg(
+        F.sum(F.when(in_cur, dec)).alias("_cur_sum"),
+        F.sum(F.when(in_cur, 1).otherwise(0)).alias("_cur_n"),
+        F.sum(F.when(in_prev, dec)).alias("_prev_sum"),
+        F.sum(F.when(in_prev, 1).otherwise(0)).alias("_prev_n"),
+    )
+    cur_avg = F.when(
+        F.col("_cur_n") > 0,
+        F.floor(F.col("_cur_sum") / F.col("_cur_n")).cast("long"),
+    )
+    prev_avg = F.when(
+        F.col("_prev_n") > 0,
+        F.floor(F.col("_prev_sum") / F.col("_prev_n")).cast("long"),
+    )
+    with_avgs = agg.select(*key_cols, cur_avg.alias("sum_val"), prev_avg.alias("prev_sum_val"))
+    clamp_cond = _safe_ratio(F.col("prev_sum_val"), F.col("sum_val")) > F.lit(q)
+    if clamp_guard:
+        clamp_cond = clamp_cond & (F.col("prev_sum_val") > F.lit(limit_new))
+    return with_avgs.select(
+        *key_cols,
+        "sum_val",
+        "prev_sum_val",
+        F.when(
+            F.col("sum_val").isNotNull(),
+            F.coalesce(
+                F.when(clamp_cond, F.lit(limit_new)).otherwise(F.col("prev_sum_val")),
+                F.lit(limit_new),
+            ),
+        ).alias("prev_sum_val2"),
+    ).where((F.col("sum_val").isNotNull()) | (F.col("prev_sum_val").isNotNull()))
+
+
 def compare_windows(
     cur: DataFrame,
     prev: DataFrame,

@@ -127,13 +127,19 @@ _BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, mh{2 * b} || mh{2 * b + 1} AS key FROM sigs"
     for b in range(4)
 )
+MAX_LSH_BUCKET_SQL = 64  # mirrors operators.dedup.MAX_LSH_BUCKET
 
 ORACLE_MINHASH = f"""
     WITH toks AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
       FROM documents),
     sigs AS (SELECT doc_id, tokens, {_SIG_COLS} FROM toks),
-    bands AS ({_BANDS}),
+    bands_all AS ({_BANDS}),
+    bands AS (
+      SELECT b.* FROM bands_all b
+      JOIN (SELECT band, key FROM bands_all GROUP BY band, key
+            HAVING COUNT(*) <= {MAX_LSH_BUCKET_SQL}) ok
+        USING (band, key)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
       FROM bands a JOIN bands b

@@ -26,9 +26,9 @@ from pyspark.sql import functions as F
 
 from hha_spark.operators.spike import (
     compare_windows,
+    fused_window_compare,
     rollup_averages,
     spike_filter,
-    window_averages,
 )
 from hha_spark.sources.tables import US_PER_DAY, load_table
 
@@ -50,25 +50,48 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cur_prev(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass S1+S3+S4 frame over events.
+
+    The data-derived `now` rides a broadcast 1-row cross join instead
+    of a driver collect, so the whole query is one scan + one shuffle
+    (fused_window_compare) — no separate max() pass over the fact
+    table, which at 100 TB is a full extra read.
+    """
     ev = _events_us(spark, sf_dir)
-    now_us = ev.agg(F.max("ts_us")).collect()[0][0]
-    cur = window_averages(
-        ev, key_cols=KEYS, value_col="value", time_col="ts_us",
-        lower=now_us - CUR_DAYS * US_PER_DAY, exact=True,
+    bounds = ev.agg(F.max("ts_us").alias("now_us"))
+    with_now = ev.join(F.broadcast(bounds))
+    return fused_window_compare(
+        with_now,
+        key_cols=KEYS,
+        value_col="value",
+        time_col="ts_us",
+        cur_lower=F.col("now_us") - F.lit(CUR_DAYS * US_PER_DAY),
+        prev_upper=F.col("now_us") - F.lit(PREV_DAYS * US_PER_DAY),
+        q=Q,
+        limit_new=LIMIT_NEW,
+        clamp_guard=True,
     )
-    prev = window_averages(
-        ev, key_cols=KEYS, value_col="value", time_col="ts_us",
-        upper=now_us - PREV_DAYS * US_PER_DAY, exact=True,
+
+
+def _cur_from(fused: DataFrame) -> DataFrame:
+    return fused.where(F.col("sum_val").isNotNull()).select(*KEYS, "sum_val")
+
+
+def _prev_from(fused: DataFrame) -> DataFrame:
+    return fused.where(F.col("prev_sum_val").isNotNull()).select(
+        *KEYS, F.col("prev_sum_val").alias("sum_val")
     )
-    return cur, prev
 
 
 def spike_events_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S3+S4 exposed: per-key cur/prev/clamped-baseline frame."""
-    cur, prev = _cur_prev(spark, sf_dir)
-    return compare_windows(
-        cur, prev, key_cols=KEYS, q=Q, limit_new=LIMIT_NEW, clamp_guard=True
+    fused = _fused(spark, sf_dir)
+    return fused.where(F.col("sum_val").isNotNull()).select(
+        *KEYS,
+        "sum_val",
+        F.coalesce(F.col("prev_sum_val"), F.lit(LIMIT_NEW)).alias("prev_sum_val"),
+        "prev_sum_val2",
     )
 
 
@@ -77,29 +100,28 @@ def spike_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Alert rows carry the BASELINE in sum_val (reference quirk,
     hha.py:199,210) plus a scope marker instead of the reference's
-    mixed-type positional column (hha.py:213-214).
+    mixed-type positional column (hha.py:213-214). The fused frame is
+    persisted once and feeds the /32-analog filter and both bucket
+    rollups.
     """
-    cur, prev = _cur_prev(spark, sf_dir)
-    cur, prev = cur.persist(), prev.persist()
-
-    ip_cmp = compare_windows(
-        cur, prev, key_cols=KEYS, q=Q, limit_new=LIMIT_NEW, clamp_guard=True
+    fused = _fused(spark, sf_dir).persist()
+    ip_alerts = spike_filter(
+        fused.where(F.col("sum_val").isNotNull()), q=Q
+    ).select(
+        F.col("user_id").alias("entity_id"), "event_type",
+        F.col("prev_sum_val2").alias("sum_val"), F.lit("user").alias("scope"),
     )
     cur_net = rollup_averages(
-        cur, group_cols=["event_type"], bucket_expr=F.expr(BUCKET),
+        _cur_from(fused), group_cols=["event_type"], bucket_expr=F.expr(BUCKET),
         bucket_name="bucket_id",
     )
     prev_net = rollup_averages(
-        prev, group_cols=["event_type"], bucket_expr=F.expr(BUCKET),
+        _prev_from(fused), group_cols=["event_type"], bucket_expr=F.expr(BUCKET),
         bucket_name="bucket_id",
     )
     net_cmp = compare_windows(
         cur_net, prev_net, key_cols=["event_type", "bucket_id"], q=Q,
         limit_new=LIMIT_NEW_NET, clamp_guard=False,
-    )
-    ip_alerts = spike_filter(ip_cmp, q=Q).select(
-        F.col("user_id").alias("entity_id"), "event_type",
-        F.col("prev_sum_val2").alias("sum_val"), F.lit("user").alias("scope"),
     )
     net_alerts = spike_filter(net_cmp, q=Q).select(
         F.col("bucket_id").alias("entity_id"), "event_type",
@@ -110,9 +132,10 @@ def spike_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def spike_events_net_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 isolated: avg-of-avg bucket rollup of the current window."""
-    cur, _ = _cur_prev(spark, sf_dir)
     return rollup_averages(
-        cur, group_cols=["event_type"], bucket_expr=F.expr(BUCKET),
+        _cur_from(_fused(spark, sf_dir)),
+        group_cols=["event_type"],
+        bucket_expr=F.expr(BUCKET),
         bucket_name="bucket_id",
     )
 
