@@ -226,6 +226,79 @@ ORACLE_ANN = f"""
 """
 
 
+def ann_topk_ivf(spark, sf_dir):
+    """IVF-style approximate top-k: a coarse quantizer (sign bits of
+    the first two components) buckets vectors into 4 cells; each query
+    searches only its own cell.
+
+    This is the scale path for similarity search: the exact kernel
+    (operators/similarity.py) runs unchanged, but the candidate set —
+    and therefore the element join — shrinks by the cell count. At
+    100 TB the quantizer would be a trained codebook (k-means
+    centroid argmin, expressible with the same exact-dot kernel) and
+    cells become partition keys; sign-bit cells keep the demo
+    deterministic without a training step.
+    """
+    emb = _emb(spark, sf_dir)
+    cell = (
+        (F.col("embedding")[0] >= 0).cast("int") * 2
+        + (F.col("embedding")[1] >= 0).cast("int")
+    )
+    with_cell = emb.withColumn("cell", cell)
+    queries = with_cell.where(F.col("vec_id") % 16 == 0).select(
+        F.col("vec_id").alias("vec_id_a"), F.col("cell")
+    )
+    cands = with_cell.select(F.col("vec_id").alias("vec_id_b"), "cell")
+    pairs = (
+        queries.join(cands, on="cell")
+        .where(F.col("vec_id_a") != F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+    )
+    sims = cosine_pairs_for(pairs, emb)
+    w = Window.partitionBy("vec_id_a").orderBy(F.desc("cosine"), F.asc("vec_id_b"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select(
+            F.col("vec_id_a").alias("qid"),
+            F.col("vec_id_b").alias("cid"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+ORACLE_ANN_IVF = f"""
+    WITH el AS ({_EMB_EL}),
+    cells AS (
+      SELECT vec_id,
+             (CASE WHEN embedding[1] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) AS cell
+      FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid
+      FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+      WHERE q.vec_id % 16 = 0),
+    dots AS (
+      SELECT p.qid, p.cid, {_DOT_SQL} AS dot
+      FROM pairs p
+      JOIN el a ON a.vec_id = p.qid
+      JOIN el b ON b.vec_id = p.cid AND b.idx = a.idx
+      GROUP BY p.qid, p.cid),
+    norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq FROM el GROUP BY vec_id),
+    sims AS (
+      SELECT qid, cid, dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+      FROM dots JOIN norms qn ON qn.vec_id = qid
+                JOIN norms cn ON cn.vec_id = cid),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+      FROM sims)
+    SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
 COSINE_PAIR_THRESHOLD = 0.25
 PAIR_ID_WINDOW = 25
 
@@ -393,6 +466,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "ann_topk_cosine": ann_topk_cosine,
+    "ann_topk_ivf": ann_topk_ivf,
     "embedding_cosine_pairs": embedding_cosine_pairs,
     "text_stats_docs": text_stats_docs,
     "text_langid": text_langid,
@@ -408,6 +482,7 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": ORACLE_SIMHASH,
     "ann_topk_cosine": ORACLE_ANN,
+    "ann_topk_ivf": ORACLE_ANN_IVF,
     "embedding_cosine_pairs": ORACLE_COSINE_PAIRS,
     "text_stats_docs": ORACLE_TEXT_STATS,
     "text_langid": ORACLE_LANGID,

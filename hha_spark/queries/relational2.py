@@ -1,0 +1,296 @@
+"""Second relational coverage batch: pivot, cube, exact percentiles,
+correlated EXISTS, string functions, set difference, running windows,
+lag gaps, ntile, and the spark.sql front end.
+
+Same determinism rules as queries/relational.py. Functions whose
+results are legitimately engine-specific (approx_count_distinct's
+HLL, percentile_approx's sketch) are exposed WITHOUT oracles — the
+driver records a rows-only check and the judge sees which.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hha_spark.functions.exact import dec_sum
+from hha_spark.sources.tables import load_table
+from hha_spark.sources.tables import register_views
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- pivot -----------------------------------------------------------------
+
+def lineitem_status_pivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dec_sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_open"),
+            F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_filled"),
+        )
+    )
+
+
+ORACLE_PIVOT = """
+    SELECT l_returnflag,
+           COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    FILTER (WHERE l_linestatus = 'O') AS DOUBLE), 0.0) AS qty_open,
+           COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    FILTER (WHERE l_linestatus = 'F') AS DOUBLE), 0.0) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- cube ------------------------------------------------------------------
+
+def orders_cube(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+ORACLE_CUBE = """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- exact median ----------------------------------------------------------
+
+def median_qty_per_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("CAST(MIN(l_quantity) AS DOUBLE)").alias("min_qty"),
+        F.expr("CAST(MAX(l_quantity) AS DOUBLE)").alias("max_qty"),
+    )
+
+
+ORACLE_MEDIAN = """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- approximate aggregates (engine-specific sketches: NO oracle) ----------
+
+def approx_stats(spark, sf_dir):
+    """approx_count_distinct (HLL++) + percentile_approx — results are
+    sketch-dependent and not portable across engines, so this query is
+    deliberately oracle-less (driver records rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    )
+
+
+# --- correlated EXISTS (semi join with predicate) --------------------------
+
+def orders_with_big_lineitem(spark, sf_dir):
+    orders, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    big = li.where(F.col("l_extendedprice") > 90000).select("l_orderkey")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+ORACLE_EXISTS = """
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)
+"""
+
+
+# --- string functions ------------------------------------------------------
+
+def customer_name_features(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_name")).alias("tagged"),
+        F.expr("replace(c_name, 'Customer', 'Cust')").alias("short_name"),
+    )
+
+
+ORACLE_STRINGS = """
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           c_mktsegment || '#' || c_name AS tagged,
+           REPLACE(c_name, 'Customer', 'Cust') AS short_name
+    FROM customer
+"""
+
+
+# --- set difference --------------------------------------------------------
+
+def nations_customers_only(spark, sf_dir):
+    cust, supp = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+        .exceptAll(supp.select(F.col("s_nationkey").alias("nationkey")).distinct())
+    )
+
+
+ORACLE_EXCEPT = """
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# --- running total (window frame) ------------------------------------------
+
+def customer_running_spend(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+               "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+               ).alias("running_spend"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).cast("long").alias("order_seq"),
+    )
+
+
+ORACLE_RUNNING = """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+               AS order_seq
+    FROM orders
+"""
+
+
+# --- lag: gaps between consecutive orders ----------------------------------
+
+def order_gap_days(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev_date.cast("date"))
+        .cast("long")
+        .alias("gap_days"),
+    )
+
+
+ORACLE_GAPS = """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                CAST(LAG(o_orderdate) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+    FROM orders
+"""
+
+
+# --- ntile -----------------------------------------------------------------
+
+def customer_balance_quartiles(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+ORACLE_NTILE = """
+    SELECT c_custkey, c_acctbal,
+           CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+               AS quartile
+    FROM customer
+"""
+
+
+# --- SQL surface (M4): same engine, spark.sql front end --------------------
+
+SQL_NATION_REVENUE = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY n_name
+"""
+
+
+def sql_nation_revenue(spark, sf_dir):
+    """The spark.sql front end over registered temp views — Catalyst
+    produces the same plan as the DataFrame API (SURVEY.md M4)."""
+    register_views(spark, sf_dir, ["customer", "nation", "orders", "lineitem"])
+    return spark.sql(SQL_NATION_REVENUE)
+
+
+QUERIES = {
+    "lineitem_status_pivot": lineitem_status_pivot,
+    "orders_cube": orders_cube,
+    "median_qty_per_flag": median_qty_per_flag,
+    "approx_stats": approx_stats,
+    "orders_with_big_lineitem": orders_with_big_lineitem,
+    "customer_name_features": customer_name_features,
+    "nations_customers_only": nations_customers_only,
+    "customer_running_spend": customer_running_spend,
+    "order_gap_days": order_gap_days,
+    "customer_balance_quartiles": customer_balance_quartiles,
+    "sql_nation_revenue": sql_nation_revenue,
+}
+
+ORACLES = {
+    "lineitem_status_pivot": ORACLE_PIVOT,
+    "orders_cube": ORACLE_CUBE,
+    "median_qty_per_flag": ORACLE_MEDIAN,
+    # approx_stats: intentionally no oracle (engine-specific sketches)
+    "orders_with_big_lineitem": ORACLE_EXISTS,
+    "customer_name_features": ORACLE_STRINGS,
+    "nations_customers_only": ORACLE_EXCEPT,
+    "customer_running_spend": ORACLE_RUNNING,
+    "order_gap_days": ORACLE_GAPS,
+    "customer_balance_quartiles": ORACLE_NTILE,
+    "sql_nation_revenue": SQL_NATION_REVENUE,
+}
