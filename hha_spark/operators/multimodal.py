@@ -70,6 +70,84 @@ def decode_image_stub(df_with_blob: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = "doc_id bigint, width int, height int, thumb binary"
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+
+
+def resize_stub(df_with_blob: DataFrame, *, max_px: int = 256) -> DataFrame:
+    """Real resize entry point — requires an image library (stub)."""
+    raise NotImplementedError(
+        "image resizing requires an imaging library not present in this "
+        "environment; use fake_resize() for plumbing tests"
+    )
+
+
+def fake_resize(
+    df_with_blob: DataFrame, *, max_px: int = 256, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic fake 'resize': emits a truncated payload as the
+    thumbnail plus clamped dimensions — the exact schema/batch
+    contract a real resizer would use."""
+    import hashlib
+
+    import pandas as pd
+
+    src = df_with_blob.select(F.col(id_col).alias("doc_id"), "blob")
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            digests = pdf["blob"].map(lambda b: hashlib.md5(bytes(b)).digest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": digests.map(
+                        lambda d: min(max_px, 64 + d[0] % 192)
+                    ).astype("int32"),
+                    "height": digests.map(
+                        lambda d: min(max_px, 64 + d[1] % 192)
+                    ).astype("int32"),
+                    "thumb": pdf["blob"].map(lambda b: bytes(b)[:32]),
+                }
+            )
+
+    return src.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def fake_frame_sample(
+    df_with_blob: DataFrame, *, every_n: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic fake video frame sampling: one output row per
+    sampled 'frame' (payload chunk), the fan-out shape a real frame
+    sampler produces (rows multiply, partitioning by doc is
+    preserved)."""
+    import hashlib
+
+    import pandas as pd
+
+    src = df_with_blob.select(F.col(id_col).alias("doc_id"), "blob")
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                data = bytes(blob)
+                n_frames = max(1, len(data) // 64)
+                for i in range(0, n_frames, every_n):
+                    chunk = data[i * 64 : (i + 1) * 64]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_md5": pd.Series(out["frame_md5"], dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(fn, FRAMES_SCHEMA)
+
+
 def fake_decode_meta(df_with_blob: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic fake 'decode': metadata derived from payload bytes.
 

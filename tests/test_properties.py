@@ -1,0 +1,148 @@
+"""Property-based tests (SURVEY.md §5.4): invariants of the spike
+semantics over randomized histogram tables.
+
+Hypothesis drives the row generator; each property is checked against
+the real DataFrame pipeline on a shared local session. Sizes are kept
+small (Spark job per example is the cost), with `max_examples` tuned
+so the suite stays in CI budget.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hha_spark.config import DetectorParams
+from hha_spark.functions.ip import net24_base
+from hha_spark.operators.spike import detect_spikes
+from hha_spark.schemas import HISTOGRAM_SCHEMA
+
+NOW = 1_700_000_000
+P = DetectorParams()
+
+keys = st.tuples(
+    st.integers(min_value=1, max_value=5),        # num_protocol
+    st.sampled_from([11, 31, 32, 41, 42]),        # type_proto
+    st.integers(min_value=174327296, max_value=174327296 + 1023),  # dst_ip (4 /24s)
+)
+
+# (key, cur_avg or None, prev_avg or None)
+key_specs = st.lists(
+    st.tuples(
+        keys,
+        st.one_of(st.none(), st.integers(min_value=0, max_value=20_000)),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=20_000)),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda s: s[0],
+)
+
+
+def build_rows(specs):
+    rows = []
+    for (np_, tp, ip), cur, prev in specs:
+        if cur is not None:
+            rows.append((NOW - 10, 1, np_, tp, cur, ip))
+        if prev is not None:
+            rows.append((NOW - 400, 1, np_, tp, prev, ip))
+    return rows
+
+
+def run(spark, specs, params=P):
+    rows = build_rows(specs)
+    if not rows:
+        return []
+    df = spark.createDataFrame(rows, HISTOGRAM_SCHEMA)
+    return detect_spikes(df, params=params, now=NOW, persist=False).collect()
+
+
+SET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(specs=key_specs)
+@SET
+def test_no_alert_when_all_ratios_bounded(spark, specs):
+    """If every key's cur <= Q*prev (prev present, positive) and no
+    clamp can fire (prev <= Q*cur), the /32 alert set is empty."""
+    bounded = [
+        (k, cur, prev)
+        for (k, cur, prev) in specs
+        if cur is not None and prev is not None and prev > 0
+        and cur <= P.quotient_amplification * prev
+        and prev <= P.quotient_amplification * cur
+    ]
+    alerts = run(spark, bounded)
+    assert [a for a in alerts if a.scope == "ip"] == []
+
+
+@given(specs=key_specs)
+@SET
+def test_new_key_threshold_exact(spark, specs):
+    """Keys with no prev data alert iff cur > Q * LimitNewData (S4);
+    restrict to one key per /24 so rollup effects can't interfere."""
+    new_only = [(k, cur, None) for (k, cur, _) in specs if cur is not None]
+    # dedupe by /24 to isolate the /32 semantics
+    seen = set()
+    isolated = []
+    for (np_, tp, ip), cur, _ in new_only:
+        net = (np_, tp, net24_base(ip))
+        if net not in seen:
+            seen.add(net)
+            isolated.append(((np_, tp, ip), cur, None))
+    alerts = run(spark, isolated)
+    got = {(a.num_protocol, a.type_proto, a.dst_ip) for a in alerts if a.scope == "ip"}
+    expected = {
+        k
+        for (k, cur, _) in isolated
+        if cur / P.limit_new_data > P.quotient_amplification
+    }
+    assert got == expected
+
+
+@given(specs=key_specs, q2=st.integers(min_value=4, max_value=10))
+@SET
+def test_alert_set_monotone_in_q(spark, specs, q2):
+    """Raising Q can only shrink the /32 alert set (for keys where no
+    clamp interplay flips: restrict to prev <= LimitNewData so the
+    guarded clamp never fires)."""
+    safe = [
+        (k, cur, prev)
+        for (k, cur, prev) in specs
+        if cur is not None and (prev is None or prev <= P.limit_new_data)
+    ]
+    loose = {
+        (a.num_protocol, a.type_proto, a.dst_ip)
+        for a in run(spark, safe, P)
+        if a.scope == "ip"
+    }
+    import dataclasses
+
+    tight = {
+        (a.num_protocol, a.type_proto, a.dst_ip)
+        for a in run(spark, safe, dataclasses.replace(P, quotient_amplification=q2))
+        if a.scope == "ip"
+    }
+    assert tight <= loose
+
+
+@given(specs=key_specs)
+@SET
+def test_net_alert_implies_member_activity(spark, specs):
+    """Every /24 alert's network must contain at least one member /32
+    with current-window rows (the rollup is derived from cur keys)."""
+    alerts = run(spark, specs)
+    cur_nets = {
+        (np_, tp, net24_base(ip))
+        for (np_, tp, ip), cur, _ in specs
+        if cur is not None
+    }
+    for a in alerts:
+        if a.scope == "net":
+            assert (a.num_protocol, a.type_proto, a.dst_ip) in cur_nets

@@ -129,6 +129,29 @@ def test_stream_watchlist_gating(env):
     assert ips == {"10.100.6.12"}
 
 
+def test_late_arriving_history_fills_baseline(env):
+    """A file with OLD timestamps arriving AFTER newer data must still
+    land in the previous window and flip a would-be new-key alert into
+    a ratio decision (late-data case from FIXTURES.md §A5)."""
+    spark, paths, emitted = env
+    clock = {"now": NOW}
+    q = start(spark, paths, emitted, now_fn=lambda: clock["now"])
+
+    # current spike arrives FIRST: with no history the key is "new";
+    # 6000 < Q*LimitNewData = 7500 -> silent
+    write_input(spark, paths["in"], [(NOW - 10, 65, 11, 6000, IP_A)] * 2)
+    q.processAllAvailable()
+    assert [len(b) for b in emitted] == [0]
+
+    # the history file arrives LATE with prev-window timestamps:
+    # baseline becomes 1500, ratio 6000/1500 > 3 -> alert fires now
+    clock["now"] = NOW + 10
+    write_input(spark, paths["in"], [(NOW - 400, 65, 11, 1500, IP_A)] * 2)
+    q.processAllAvailable()
+    ip_alerts = [r for b in emitted for r in b if r["scope"] == "ip"]
+    assert len(ip_alerts) == 1 and ip_alerts[0]["sum_val"] == 1500
+
+
 def test_state_table_eviction(spark, tmp_path):
     root = str(tmp_path / "state")
     rows = [

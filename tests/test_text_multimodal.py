@@ -10,6 +10,9 @@ from hha_spark.operators.multimodal import (
     blob_stats,
     decode_image_stub,
     fake_decode_meta,
+    fake_frame_sample,
+    fake_resize,
+    resize_stub,
     with_blob,
 )
 from hha_spark.operators.text import (
@@ -73,6 +76,27 @@ def test_blob_stats_matches_hashlib(spark):
         text = dict((d, t) for d, t in [(x[0], x[1]) for x in DOCS])[r.doc_id]
         assert r.n_bytes == len(text.encode())
         assert r.blob_md5 == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_fake_resize_contract(spark):
+    df = with_blob(docs_df(spark))
+    out = fake_resize(df, max_px=128).collect()
+    assert len(out) == len(DOCS)
+    for r in out:
+        assert r.width <= 128 and r.height <= 128
+        assert isinstance(r.thumb, (bytes, bytearray)) and len(r.thumb) <= 32
+    with pytest.raises(NotImplementedError):
+        resize_stub(df)
+
+
+def test_fake_frame_sample_fanout(spark):
+    long_doc = spark.createDataFrame(
+        [(1, "x" * 300)], "doc_id long, text string"
+    )
+    out = fake_frame_sample(with_blob(long_doc), every_n=2).collect()
+    # 300 bytes -> 4 frames -> sampled at stride 2 -> frames 0 and 2
+    assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 2]
+    assert all(len(r.frame_md5) == 32 for r in out)
 
 
 def test_fake_decode_deterministic_and_stub_raises(spark):
