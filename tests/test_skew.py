@@ -1,0 +1,28 @@
+"""Salted aggregation must be bit-identical to the direct path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hha_spark.functions.exact import trunc_avg_exact
+from hha_spark.operators.skew import salted_trunc_avg
+
+
+def test_salted_equals_direct_on_skewed_data(spark):
+    # one hot key with 90% of rows + a tail of small keys
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 50).alias("k"),
+        (F.col("id") % 997 + 0.25).alias("v"),
+    )
+    direct = {
+        r.k: r.sum_val
+        for r in df.groupBy("k").agg(trunc_avg_exact("v")).collect()
+    }
+    salted = {
+        r.k: r.sum_val
+        for r in salted_trunc_avg(
+            df, key_cols=["k"], value_col="v", salt_buckets=8
+        ).collect()
+    }
+    assert salted == direct
+    assert len(direct) > 1 and direct[1] is not None
