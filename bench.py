@@ -23,6 +23,8 @@ from hha_spark.session import get_spark  # noqa: E402
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+    # queries may persist() internal frames; keep runs independent
+    df.sparkSession.catalog.clearCache()
 
 
 def main() -> None:

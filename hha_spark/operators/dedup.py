@@ -38,6 +38,35 @@ def with_token_set(
     return df.withColumn(out_col, F.array_distinct(F.split(F.col(text_col), " ")))
 
 
+def with_shingle_set(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    out_col: str = "shingles",
+) -> DataFrame:
+    """Distinct word n-gram shingles (default trigrams).
+
+    element_at is 1-based in both Spark and DuckDB list indexing, so
+    the oracle mirrors this expression verbatim. Documents shorter
+    than n tokens produce an empty shingle set.
+    """
+    parts = ", ".join(f"element_at(_toks, i + {k})" for k in range(n))
+    # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+    # short documents need the explicit size guard
+    shingles = (
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE array() END"
+    )
+    return (
+        df.withColumn("_toks", F.split(F.col(text_col), " "))
+        .withColumn(out_col, F.expr(shingles))
+        .drop("_toks")
+    )
+
+
 def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -20,6 +20,7 @@ from hha_spark.operators.dedup import (
     simhash16,
     simhash16_pack_sql,
     simhash16_sql_sums,
+    with_shingle_set,
     with_token_set,
 )
 from hha_spark.operators.multimodal import blob_stats, with_blob
@@ -87,6 +88,49 @@ ORACLE_NGRAM = """
     FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
     WHERE 10 * len(list_intersect(a.tokens, b.tokens))
           >= 7 * len(list_distinct(list_concat(a.tokens, b.tokens)))
+"""
+
+
+def dedup_trigram_jaccard(spark, sf_dir):
+    """Near-dup pairs over word TRIGRAM shingles (order-sensitive,
+    unlike the unigram token-set variant), source-blocked, via the
+    same inverted-index kernel. Threshold 0.5."""
+    # persist: both sides of the self-join read the shingled frame,
+    # and the per-row shingle construction is the expensive part
+    docs = with_shingle_set(_docs(spark, sf_dir), n=3).persist()
+    out = jaccard_pairs(
+        docs, docs, block_cols=["source"], tokens_col="shingles",
+        threshold_num=5, threshold_den=10,
+    )
+    return _cast_longs(out, ["inter_size", "union_size"])
+
+
+_SHINGLES = """
+      CASE WHEN len(toks) >= 3 THEN
+        list_distinct(list_transform(generate_series(1, len(toks) - 2),
+          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+      ELSE [] END
+"""
+
+ORACLE_TRIGRAM = f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, source, {_SHINGLES} AS shingles FROM t),
+    postings AS (
+      SELECT doc_id, source, len(shingles) AS n, unnest(shingles) AS tok
+      FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             a.n AS n_a, b.n AS n_b, COUNT(*) AS inter_size
+      FROM postings a JOIN postings b
+        ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_id_a, doc_id_b,
+           CAST(inter_size AS BIGINT) AS inter_size,
+           CAST(n_a + n_b - inter_size AS BIGINT) AS union_size,
+           inter_size / (n_a + n_b - inter_size) AS jaccard
+    FROM inter
+    WHERE 10 * inter_size >= 5 * (n_a + n_b - inter_size)
 """
 
 
@@ -463,6 +507,7 @@ ORACLE_BLOB = """
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_trigram_jaccard": dedup_trigram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "ann_topk_cosine": ann_topk_cosine,
@@ -479,6 +524,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact_docs": ORACLE_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM,
+    "dedup_trigram_jaccard": ORACLE_TRIGRAM,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": ORACLE_SIMHASH,
     "ann_topk_cosine": ORACLE_ANN,

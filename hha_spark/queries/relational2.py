@@ -245,6 +245,41 @@ ORACLE_NTILE = """
 """
 
 
+# --- exact moments: mean/variance without float accumulation ---------------
+
+_S1 = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+# squared decimals have scale 12 -> rescaled sum exceeds 2^53 and
+# DuckDB's int128->double cast double-rounds; floor to scale 6 first
+_S2 = (
+    "CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))"
+    " * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)"
+)
+
+
+def event_value_stats(spark, sf_dir):
+    """Mean + sample variance per event type, computed from exact
+    decimal sums (the textbook E[x²]-E[x]² route is only safe because
+    s1/s2 are exact; float-accumulated moments would differ per
+    partition order)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"{_S1} / COUNT(*)").alias("mean_value"),
+        F.expr(
+            f"({_S2} - {_S1} * {_S1} / COUNT(*)) / (COUNT(*) - 1)"
+        ).alias("var_value"),
+    )
+
+
+ORACLE_STATS = f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {_S1} / COUNT(*) AS mean_value,
+           ({_S2} - {_S1} * {_S1} / COUNT(*)) / (COUNT(*) - 1) AS var_value
+    FROM events GROUP BY event_type
+"""
+
+
 # --- SQL surface (M4): same engine, spark.sql front end --------------------
 
 SQL_NATION_REVENUE = """
@@ -278,6 +313,7 @@ QUERIES = {
     "customer_running_spend": customer_running_spend,
     "order_gap_days": order_gap_days,
     "customer_balance_quartiles": customer_balance_quartiles,
+    "event_value_stats": event_value_stats,
     "sql_nation_revenue": sql_nation_revenue,
 }
 
@@ -292,5 +328,6 @@ ORACLES = {
     "customer_running_spend": ORACLE_RUNNING,
     "order_gap_days": ORACLE_GAPS,
     "customer_balance_quartiles": ORACLE_NTILE,
+    "event_value_stats": ORACLE_STATS,
     "sql_nation_revenue": SQL_NATION_REVENUE,
 }

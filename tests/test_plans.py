@@ -1,0 +1,43 @@
+"""Physical-plan regression tests: the optimizations we rely on must
+stay in the plan (pushdown, pruning, broadcast joins), not just in
+the commit message."""
+
+from __future__ import annotations
+
+import hha_spark.queries.relational as R
+import hha_spark.queries.spike_events as S
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of(R.q1_pricing_summary(spark, "/root/testdata/sf0.01"))
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # the 11-column table is read as only the 7 needed columns
+    import re
+
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m and len(m.group(1).split(",")) <= 7
+
+
+def test_top_revenue_join_is_broadcast(spark):
+    plan = plan_of(R.top_revenue_orders(spark, "/root/testdata/sf0.01"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fused_spike_plan_has_single_fact_aggregation(spark):
+    plan = plan_of(S.spike_events_compare(spark, "/root/testdata/sf0.01"))
+    # one scan of events (plus the 1-row bounds agg side), broadcast
+    # for the bounds join, and no sort-merge anywhere
+    assert plan.count("FileScan parquet") == 2  # fact scan + bounds scan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(R.suppliers_in_rich_nations(spark, "/root/testdata/sf0.01"))
+    assert "LeftSemi" in plan
