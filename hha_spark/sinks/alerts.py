@@ -43,6 +43,35 @@ def recent_alerts(
     return df.where(F.col("detected_at") > F.lit(now - ttl_sec))
 
 
+def compact_alerts(
+    spark: SparkSession, table_path: str, *, now: int, keep_sec: int
+) -> int:
+    """Rewrite the alerts table keeping only the last `keep_sec`.
+
+    The TTL anti-join only ever reads recent rows, but the append-only
+    table grows forever; periodic compaction bounds it. Writes to a
+    sibling tmp dir then swaps, so a concurrent reader never sees a
+    half-written table. Returns the retained row count.
+    """
+    import os
+    import shutil
+
+    try:
+        df = spark.read.schema(ALERTS_SCHEMA).parquet(table_path)
+    except Exception:  # noqa: BLE001 — nothing to compact yet
+        return 0
+    kept = df.where(F.col("detected_at") > F.lit(now - keep_sec))
+    tmp = f"{table_path}__compact_tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    n = spark.read.schema(ALERTS_SCHEMA).parquet(tmp).count()
+    old = f"{table_path}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(table_path, old)
+    os.rename(tmp, table_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
 def collect_rules(alerts: DataFrame) -> list[dict]:
     """Driver-side rule materialization (the reference's observable
     output is a log line per alert, hha.py:240-241)."""

@@ -88,6 +88,25 @@ def test_alerts_sink_ttl_window(spark, tmp_path):
     assert recent_alerts(spark, str(tmp_path / "missing"), now=NOW, ttl_sec=300) is None
 
 
+def test_compact_alerts_bounds_table(spark, tmp_path):
+    from hha_spark.sinks.alerts import compact_alerts
+
+    path = str(tmp_path / "alerts")
+    alerts = spark.createDataFrame(
+        [(65, 11, 100, IP, "ip")],
+        "num_protocol int, type_proto int, sum_val int, dst_ip long, scope string",
+    )
+    for age in (10, 100, 5000, 9000):
+        append_alerts(alerts, path, detected_at=NOW - age)
+    kept = compact_alerts(spark, path, now=NOW, keep_sec=300)
+    assert kept == 2
+    assert spark.read.parquet(path).count() == 2
+    # recent_alerts keeps working against the compacted table
+    assert recent_alerts(spark, path, now=NOW, ttl_sec=300).count() == 2
+    # compacting a missing table is a no-op
+    assert compact_alerts(spark, str(tmp_path / "nope"), now=NOW, keep_sec=1) == 0
+
+
 def test_full_cycle_with_cross_cycle_dedup(spark, tmp_path):
     data_root = str(tmp_path / "hist")
     alerts_path = str(tmp_path / "alerts")

@@ -152,6 +152,33 @@ def test_late_arriving_history_fills_baseline(env):
     assert len(ip_alerts) == 1 and ip_alerts[0]["sum_val"] == 1500
 
 
+def test_restart_from_checkpoint_no_duplicate_alerts(env):
+    """Kill the query after an alert, restart from the same
+    checkpoint + state + alerts table: already-processed files are
+    not replayed and the persisted TTL still suppresses."""
+    spark, paths, emitted = env
+    clock = {"now": NOW}
+    q = start(spark, paths, emitted, now_fn=lambda: clock["now"])
+    write_input(spark, paths["in"], [(NOW - 400, 65, 11, 8000, IP_A)] * 2)
+    q.processAllAvailable()
+    clock["now"] = NOW + 10
+    write_input(spark, paths["in"], [(NOW + 5, 65, 11, 30000, IP_A)] * 2)
+    q.processAllAvailable()
+    assert sum(len([r for r in b if r["scope"] == "ip"]) for b in emitted) == 1
+    q.stop()
+
+    # restart: same checkpoint; a new file with the ongoing spike
+    emitted2: list[list[dict]] = []
+    clock["now"] = NOW + 30
+    q2 = start(spark, paths, emitted2, now_fn=lambda: clock["now"])
+    write_input(spark, paths["in"], [(NOW + 28, 65, 11, 30000, IP_A)] * 2)
+    q2.processAllAvailable()
+    # the old files were not replayed as new alerts, and the alert
+    # raised before the restart still suppresses within the TTL
+    assert sum(len([r for r in b if r["scope"] == "ip"]) for b in emitted2) == 0
+    q2.stop()
+
+
 def test_state_table_eviction(spark, tmp_path):
     root = str(tmp_path / "state")
     rows = [
