@@ -1,0 +1,105 @@
+"""Driver-gate queries for the temporal join operators (as-of join,
+bounded range join) over the events table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hha_spark.operators.temporal import asof_join, range_join_pairs
+from hha_spark.sources.tables import load_table
+
+
+def _events_us(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def events_asof_last_purchase(spark, sf_dir):
+    """For every click, the value of the user's most recent purchase
+    at or before the click time (NULL if none yet) — the as-of join."""
+    ev = _events_us(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_us"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("last_purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases.withColumnRenamed("p_event_id", "event_id_r"),
+        by=["user_id"],
+        left_ts="ts_us",
+        right_ts="p_ts",
+        value_cols=["last_purchase_value"],
+        tie_col="event_id_r",
+    ).select("user_id", "event_id", "ts_us", "last_purchase_value")
+
+
+ORACLE_ASOF = """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+      FROM events),
+    u AS (
+      SELECT user_id, ts_us, event_id, 1 AS src,
+             CAST(NULL AS DOUBLE) AS pval, CAST(NULL AS BIGINT) AS rtie
+      FROM ev WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts_us, NULL, 0, value, event_id
+      FROM ev WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, ts_us, event_id, src,
+             last_value(pval IGNORE NULLS) OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts_us, src, rtie NULLS LAST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_purchase_value
+      FROM u)
+    SELECT user_id, event_id, ts_us, last_purchase_value
+    FROM c WHERE src = 1
+"""
+
+RANGE_WINDOW_US = 30 * 60 * 1_000_000
+
+
+def events_pairs_within_30min(spark, sf_dir):
+    """Per-user count of ordered event pairs within 30 minutes — the
+    bucketized range self-join (count output keeps rows bounded)."""
+    ev = _events_us(spark, sf_dir)
+    pairs = range_join_pairs(
+        ev, by=["user_id"], ts_col="ts_us", window=RANGE_WINDOW_US,
+        id_col="event_id",
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+ORACLE_RANGE = f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM ev a JOIN ev b
+      ON a.user_id = b.user_id
+     AND b.ts_us - a.ts_us <= {RANGE_WINDOW_US}
+     AND (a.ts_us < b.ts_us
+          OR (a.ts_us = b.ts_us AND a.event_id < b.event_id))
+    GROUP BY a.user_id
+"""
+
+
+QUERIES = {
+    "events_asof_last_purchase": events_asof_last_purchase,
+    "events_pairs_within_30min": events_pairs_within_30min,
+}
+
+ORACLES = {
+    "events_asof_last_purchase": ORACLE_ASOF,
+    "events_pairs_within_30min": ORACLE_RANGE,
+}
