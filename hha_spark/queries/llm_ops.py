@@ -490,6 +490,81 @@ ORACLE_TOKEN_COUNT = f"""
 """
 
 
+def corpus_vocabulary(spark, sf_dir):
+    """Top-50 corpus terms by document frequency (ties by term) —
+    the vocabulary/DF statistics a dedup or filtering pipeline keeps."""
+    docs = with_token_set(_docs(spark, sf_dir))
+    postings = docs.select("doc_id", F.explode("tokens").alias("tok"))
+    return (
+        postings.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+ORACLE_VOCAB = """
+    WITH postings AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents)
+    SELECT tok, COUNT(*) AS doc_freq
+    FROM postings GROUP BY tok
+    ORDER BY doc_freq DESC, tok
+    LIMIT 50
+"""
+
+
+def doc_top_terms(spark, sf_dir):
+    """Top-3 distinctive terms per doc by a log-free tf-idf analogue:
+    score = tf * N / df (same ranking as tf-idf for a fixed doc since
+    log is monotone; avoids ln(), whose last-ulp behavior is
+    libm-specific and would break cross-engine hashing)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toks.select("doc_id", "tok").distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, on="tok")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.col("n_docs") / F.col("df"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("term_rank") <= 3)
+        .select("doc_id", "tok", F.col("tf").alias("term_freq"), "score", "term_rank")
+    )
+
+
+ORACLE_TOP_TERMS = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(*) AS df
+           FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, tf.tf * n.n_docs / df.df AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, tok, tf AS term_freq, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, tok) AS BIGINT)
+                 AS term_rank
+      FROM scored)
+    SELECT * FROM ranked WHERE term_rank <= 3
+"""
+
+
 # --- multimodal plumbing ----------------------------------------------------
 
 def multimodal_blob_stats(spark, sf_dir):
@@ -513,6 +588,8 @@ QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_cosine_pairs": embedding_cosine_pairs,
+    "corpus_vocabulary": corpus_vocabulary,
+    "doc_top_terms": doc_top_terms,
     "text_stats_docs": text_stats_docs,
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -530,6 +607,8 @@ ORACLES = {
     "ann_topk_cosine": ORACLE_ANN,
     "ann_topk_ivf": ORACLE_ANN_IVF,
     "embedding_cosine_pairs": ORACLE_COSINE_PAIRS,
+    "corpus_vocabulary": ORACLE_VOCAB,
+    "doc_top_terms": ORACLE_TOP_TERMS,
     "text_stats_docs": ORACLE_TEXT_STATS,
     "text_langid": ORACLE_LANGID,
     "text_quality": ORACLE_QUALITY,

@@ -245,6 +245,31 @@ ORACLE_NTILE = """
 """
 
 
+# --- histogram binning (the reference's namesake operation) ----------------
+
+BIN_WIDTH = 20
+
+
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values per type — the
+    histogram-building side of 'histogram analyze' (upstream agents in
+    the reference emit exactly this shape). FLOOR keeps the bin edge
+    cross-engine deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.expr(f"CAST(FLOOR(value / {BIN_WIDTH}) AS BIGINT)").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_HISTOGRAM = f"""
+    SELECT event_type,
+           CAST(FLOOR(value / {BIN_WIDTH}) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+"""
+
+
 # --- exact moments: mean/variance without float accumulation ---------------
 
 _S1 = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
@@ -313,6 +338,7 @@ QUERIES = {
     "customer_running_spend": customer_running_spend,
     "order_gap_days": order_gap_days,
     "customer_balance_quartiles": customer_balance_quartiles,
+    "events_value_histogram": events_value_histogram,
     "event_value_stats": event_value_stats,
     "sql_nation_revenue": sql_nation_revenue,
 }
@@ -328,6 +354,7 @@ ORACLES = {
     "customer_running_spend": ORACLE_RUNNING,
     "order_gap_days": ORACLE_GAPS,
     "customer_balance_quartiles": ORACLE_NTILE,
+    "events_value_histogram": ORACLE_HISTOGRAM,
     "event_value_stats": ORACLE_STATS,
     "sql_nation_revenue": SQL_NATION_REVENUE,
 }
