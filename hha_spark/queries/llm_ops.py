@@ -490,6 +490,37 @@ ORACLE_TOKEN_COUNT = f"""
 """
 
 
+def doc_array_features(spark, sf_dir):
+    """Array-function family coverage: sort/slice/contains/positions
+    over the token arrays (array outputs are flattened to strings so
+    the value-hash comparison stays representation-independent)."""
+    docs = with_token_set(_docs(spark, sf_dir))
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "concat_ws(',', slice(array_sort(tokens), 1, 3))"
+        ).alias("first3_sorted"),
+        F.array_contains("tokens", "the").alias("has_the"),
+        F.expr("CAST(array_position(array_sort(tokens), 'spark') AS BIGINT)").alias(
+            "spark_pos"
+        ),
+        F.expr("size(array_sort(tokens))").cast("long").alias("n_tokens"),
+    )
+
+
+ORACLE_ARRAY = """
+    WITH t AS (
+      SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+      FROM documents)
+    SELECT doc_id,
+           array_to_string(list_slice(toks, 1, 3), ',') AS first3_sorted,
+           list_contains(toks, 'the') AS has_the,
+           CAST(COALESCE(list_position(toks, 'spark'), 0) AS BIGINT) AS spark_pos,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM t
+"""
+
+
 def corpus_vocabulary(spark, sf_dir):
     """Top-50 corpus terms by document frequency (ties by term) —
     the vocabulary/DF statistics a dedup or filtering pipeline keeps."""
@@ -588,6 +619,7 @@ QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_cosine_pairs": embedding_cosine_pairs,
+    "doc_array_features": doc_array_features,
     "corpus_vocabulary": corpus_vocabulary,
     "doc_top_terms": doc_top_terms,
     "text_stats_docs": text_stats_docs,
@@ -607,6 +639,7 @@ ORACLES = {
     "ann_topk_cosine": ORACLE_ANN,
     "ann_topk_ivf": ORACLE_ANN_IVF,
     "embedding_cosine_pairs": ORACLE_COSINE_PAIRS,
+    "doc_array_features": ORACLE_ARRAY,
     "corpus_vocabulary": ORACLE_VOCAB,
     "doc_top_terms": ORACLE_TOP_TERMS,
     "text_stats_docs": ORACLE_TEXT_STATS,
