@@ -251,6 +251,7 @@ def detect_spikes(
     zones: DataFrame | None = None,
     prior_alerts: DataFrame | None = None,
     persist: bool = True,
+    fused: bool = True,
 ) -> DataFrame:
     """Full S1-S8 detection cycle over the histogram fact table.
 
@@ -274,28 +275,54 @@ def detect_spikes(
     keys = ["num_protocol", "type_proto", "dst_ip"]
     net_keys = ["num_protocol", "type_proto", "dst_net"]
 
-    cur = window_averages(
-        histograms, key_cols=keys, value_col="CountPkt", lower=now - p.cur_window_sec
-    )
-    prev = window_averages(
-        histograms, key_cols=keys, value_col="CountPkt", upper=now - p.prev_window_sec
-    )
-    if persist:
-        # each frame feeds both the /32 comparison and the /24 rollup
-        # (replaces recreateDF, hha.py:119-128,155-156)
-        cur = cur.persist()
-        prev = prev.persist()
+    if fused:
+        # scale path: ONE scan + ONE shuffle produces both window
+        # averages and the /32 comparison; the /24 rollups derive
+        # from the same persisted frame (fused == two-frame proven by
+        # tests/test_equivalence.py). floor(avg(int)) via the exact
+        # decimal path is identical for integral counters and immune
+        # to double-precision loss on huge partial sums.
+        base = fused_window_compare(
+            histograms, key_cols=keys, value_col="CountPkt",
+            time_col="timestamp", cur_lower=now - p.cur_window_sec,
+            prev_upper=now - p.prev_window_sec,
+            q=p.quotient_amplification, limit_new=p.limit_new_data,
+            clamp_guard=True,
+        )
+        if persist:
+            base = base.persist()
+        cur = base.where(F.col("sum_val").isNotNull()).select(*keys, "sum_val")
+        prev = base.where(F.col("prev_sum_val").isNotNull()).select(
+            *keys, F.col("prev_sum_val").alias("sum_val")
+        )
+        ip_cmp = base.where(F.col("sum_val").isNotNull())
+    else:
+        # reference-shape two-frame path (mirrors the two ReadData
+        # calls, hha.py:137,147); kept for parity documentation and
+        # for callers whose windows come from different sources
+        cur = window_averages(
+            histograms, key_cols=keys, value_col="CountPkt",
+            lower=now - p.cur_window_sec,
+        )
+        prev = window_averages(
+            histograms, key_cols=keys, value_col="CountPkt",
+            upper=now - p.prev_window_sec,
+        )
+        if persist:
+            # each frame feeds both the /32 comparison and the /24
+            # rollup (replaces recreateDF, hha.py:119-128,155-156)
+            cur = cur.persist()
+            prev = prev.persist()
+        ip_cmp = compare_windows(
+            cur, prev, key_cols=keys, q=p.quotient_amplification,
+            limit_new=p.limit_new_data, clamp_guard=True,
+        )
 
     cur_net = rollup_averages(
         cur, group_cols=keys[:2], bucket_expr=ip_to_net24("dst_ip"), bucket_name="dst_net"
     )
     prev_net = rollup_averages(
         prev, group_cols=keys[:2], bucket_expr=ip_to_net24("dst_ip"), bucket_name="dst_net"
-    )
-
-    ip_cmp = compare_windows(
-        cur, prev, key_cols=keys, q=p.quotient_amplification,
-        limit_new=p.limit_new_data, clamp_guard=True,
     )
     net_cmp = compare_windows(
         cur_net, prev_net, key_cols=net_keys, q=p.quotient_amplification,
