@@ -200,6 +200,37 @@ ORACLE_MINHASH = f"""
 """
 
 
+def dedup_minhash_recall(spark, sf_dir):
+    """Measured LSH quality: of the exact source-blocked near-dup
+    pairs (Jaccard >= 0.7), how many does the MinHash+LSH pipeline
+    recover? One row: (n_exact, n_found, recall). This is the
+    'measure, don't guess' check that the probabilistic path is
+    actually usable before trusting it at scale."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("found")
+    )
+    joined = exact.join(lsh, on=["doc_id_a", "doc_id_b"], how="left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("found").alias("n_found"),
+        (F.count("found") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+
+ORACLE_RECALL = f"""
+    WITH exact_pairs AS ({ORACLE_NGRAM}),
+    lsh_pairs AS ({ORACLE_MINHASH})
+    SELECT COUNT(*) AS n_exact,
+           COUNT(l.doc_id_a) AS n_found,
+           COUNT(l.doc_id_a) / COUNT(*) AS recall
+    FROM exact_pairs e
+    LEFT JOIN lsh_pairs l
+      ON e.doc_id_a = l.doc_id_a AND e.doc_id_b = l.doc_id_b
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     docs = with_token_set(_docs(spark, sf_dir))
     hashes = simhash16(docs)
@@ -615,6 +646,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_trigram_jaccard": dedup_trigram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_simhash": dedup_simhash,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf": ann_topk_ivf,
@@ -635,6 +667,7 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_NGRAM,
     "dedup_trigram_jaccard": ORACLE_TRIGRAM,
     "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_minhash_recall": ORACLE_RECALL,
     "dedup_simhash": ORACLE_SIMHASH,
     "ann_topk_cosine": ORACLE_ANN,
     "ann_topk_ivf": ORACLE_ANN_IVF,
