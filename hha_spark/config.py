@@ -29,6 +29,10 @@ class DetectorParams:
     cur_window_sec: int = 90
     # previous window cutoff in seconds (hha.py:322: now-300)
     prev_window_sec: int = 300
+    # how many hourly files of history a cycle reads (hha.py:147,293-297
+    # physically bounds the previous window to the current + previous
+    # hourly file; 2 reproduces that lower bound exactly)
+    history_hours: int = 2
 
     @classmethod
     def from_ini(cls, path: str) -> "DetectorParams":

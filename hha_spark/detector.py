@@ -44,12 +44,18 @@ def run_cycle(
     now = int(time.time()) if now is None else now
 
     # one pruned scan covering both windows; detect_spikes applies the
-    # row-level window bounds itself (both windows are one-sided, so
-    # the union of what they touch is everything below `now` — the
-    # pruning win comes from the partitioned layout dropping hours
-    # outside [prev history start, now], bounded here to cur window's
-    # hour and anything older than the data's retention)
-    hist = read_window(spark, data_root, upper=now + 1)
+    # row-level window bounds itself. The LOWER bound matters for
+    # semantics, not just pruning: the reference physically restricts
+    # the previous window to the current + previous hourly file
+    # (hha.py:147,293-297), so with long data retention an unbounded
+    # scan would average the baseline over all history. history_hours=2
+    # reproduces the reference's lower edge exactly.
+    hour_start = (now // 3600) * 3600
+    # read_window's row filter is strict (ts > lower); -1 keeps a row
+    # sitting exactly on the oldest hour boundary, as the hourly file
+    # layout would.
+    lower = hour_start - (p.history_hours - 1) * 3600 - 1
+    hist = read_window(spark, data_root, lower=lower, upper=now + 1)
 
     prior = recent_alerts(spark, alerts_path, now=now, ttl_sec=p.limit_detect_time_sec)
     alerts = detect_spikes(

@@ -300,13 +300,16 @@ def detect_spikes(
         # reference-shape two-frame path (mirrors the two ReadData
         # calls, hha.py:137,147); kept for parity documentation and
         # for callers whose windows come from different sources
+        # exact=True so this branch is bit-identical to the fused path
+        # (which always sums exactly): a double avg landing on an
+        # integer boundary could otherwise floor differently
         cur = window_averages(
             histograms, key_cols=keys, value_col="CountPkt",
-            lower=now - p.cur_window_sec,
+            lower=now - p.cur_window_sec, exact=True,
         )
         prev = window_averages(
             histograms, key_cols=keys, value_col="CountPkt",
-            upper=now - p.prev_window_sec,
+            upper=now - p.prev_window_sec, exact=True,
         )
         if persist:
             # each frame feeds both the /32 comparison and the /24

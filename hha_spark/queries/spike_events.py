@@ -54,9 +54,12 @@ def _fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass S1+S3+S4 frame over events.
 
     The data-derived `now` rides a broadcast 1-row cross join instead
-    of a driver collect, so the whole query is one scan + one shuffle
-    (fused_window_compare) — no separate max() pass over the fact
-    table, which at 100 TB is a full extra read.
+    of a driver collect. The plan still has TWO FileScans — the fact
+    scan plus a second, column-pruned scan computing max(ts_us) for
+    the bounds frame (asserted in tests/test_plans.py) — but the
+    bounds scan reads one column and is satisfied largely from parquet
+    footer statistics, so the heavy work is one scan + one shuffle
+    (fused_window_compare).
     """
     ev = _events_us(spark, sf_dir)
     bounds = ev.agg(F.max("ts_us").alias("now_us"))

@@ -23,7 +23,12 @@ def append_alerts(alerts: DataFrame, table_path: str, *, detected_at: int) -> No
     """Stamp and append a cycle's alerts."""
     (
         alerts.withColumn("detected_at", F.lit(detected_at).cast("long"))
-        .select([f.name for f in ALERTS_SCHEMA.fields])
+        # Cast every column to its declared type so the parquet footer
+        # always matches ALERTS_SCHEMA regardless of whether the caller
+        # built sum_val as int (tests) or long (detect_spikes).
+        .select(
+            [F.col(f.name).cast(f.dataType) for f in ALERTS_SCHEMA.fields]
+        )
         .write.mode("append")
         .parquet(table_path)
     )

@@ -107,6 +107,33 @@ def test_compact_alerts_bounds_table(spark, tmp_path):
     assert compact_alerts(spark, str(tmp_path / "nope"), now=NOW, keep_sec=1) == 0
 
 
+def test_alerts_roundtrip_through_detect_spikes(spark, tmp_path):
+    """Regression: detect_spikes writes sum_val as INT64; reading it
+    back under ALERTS_SCHEMA (and compacting) must not hit
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH. Unlike the hand-built frames
+    above, this goes through the real pipeline output."""
+    from hha_spark.sinks.alerts import compact_alerts
+
+    data_root = str(tmp_path / "hist")
+    alerts_path = str(tmp_path / "alerts")
+    rows = [(NOW - 10, 65, 11, 8000, IP)] * 2
+    write_partitioned(hist_rows(spark, rows), data_root)
+    rules = run_cycle(
+        spark, data_root=data_root, alerts_path=alerts_path,
+        params=DetectorParams(), zones=zones_from_ints(spark, [IP]), now=NOW,
+    )
+    assert len(rules) == 1
+    # materialize EVERY column (incl. sum_val) under the declared schema
+    from hha_spark.schemas import ALERTS_SCHEMA
+
+    back = spark.read.schema(ALERTS_SCHEMA).parquet(alerts_path)
+    vals = back.select("sum_val", "dst_ip", "scope").collect()
+    assert {(r.sum_val, r.dst_ip, r.scope) for r in vals} == {(2500, IP, "ip")}
+    # compaction reads + rewrites the real pipeline output
+    assert compact_alerts(spark, alerts_path, now=NOW, keep_sec=300) == 1
+    assert recent_alerts(spark, alerts_path, now=NOW, ttl_sec=300).count() == 1
+
+
 def test_full_cycle_with_cross_cycle_dedup(spark, tmp_path):
     data_root = str(tmp_path / "hist")
     alerts_path = str(tmp_path / "alerts")
