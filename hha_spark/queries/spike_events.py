@@ -133,6 +133,62 @@ def spike_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ip_alerts.unionByName(net_alerts)
 
 
+TTL_US = 1 * US_PER_DAY          # LimitDetectTimeSec analogue
+STALE_SHIFT_US = 2 * US_PER_DAY  # prior alerts older than the TTL
+
+
+def spike_events_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: watchlist gating + TTL dedup over the S1-S7 alert stream.
+
+    Mirrors the reference's output stage (hha.py:233-244): an alert is
+    emitted only if its entity is on the watchlist — EXACT base-address
+    membership, so a bucket alert passes only when the bucket's base
+    value itself is watchlisted (hha.py:237) — and was not already
+    raised within the TTL (GlobalRowList dict, hha.py:234-244; here a
+    broadcast anti-join, same shape as detect_spikes' prior_alerts).
+
+    Deterministic fixtures derived from the data itself so the DuckDB
+    oracle can reproduce them exactly:
+      zones        = distinct user_ids with user_id % 7 == 0
+      prior alerts = alert keys with entity_id % 3 == 0, stamped
+                     detected_at = now - 1ms   (even entity_id: recent,
+                                                suppressed)
+                                 = now - 2d    (odd: stale, survives)
+
+    Scale shape: zones and prior are tiny relative to the fact table,
+    so both gates are broadcast joins — no extra shuffle on the alert
+    stream beyond what S1-S7 already did.
+    """
+    alerts = spike_events_alerts(spark, sf_dir).persist()
+    ev = _events_us(spark, sf_dir)
+    bounds = ev.agg(F.max("ts_us").alias("now_us"))
+    zones = (
+        ev.where(F.expr("user_id % 7 = 0"))
+        .select(F.col("user_id").alias("entity_id"))
+        .distinct()
+    )
+    prior = (
+        alerts.where(F.expr("entity_id % 3 = 0"))
+        .join(F.broadcast(bounds))
+        .select(
+            "entity_id", "event_type", "scope",
+            F.when(F.expr("entity_id % 2 = 0"), F.col("now_us") - F.lit(1000))
+            .otherwise(F.col("now_us") - F.lit(STALE_SHIFT_US))
+            .alias("detected_at"),
+        )
+    )
+    recent = (
+        prior.join(F.broadcast(bounds))
+        .where(F.col("detected_at") > F.col("now_us") - F.lit(TTL_US))
+        .select("entity_id", "event_type", "scope")
+    )
+    return (
+        alerts.join(F.broadcast(zones), on="entity_id", how="left_semi")
+        .join(F.broadcast(recent), on=["entity_id", "event_type", "scope"], how="left_anti")
+        .select("entity_id", "event_type", "sum_val", "scope")
+    )
+
+
 def spike_events_net_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 isolated: avg-of-avg bucket rollup of the current window."""
     return rollup_averages(
@@ -147,6 +203,7 @@ QUERIES = {
     "spike_events_compare": spike_events_compare,
     "spike_events_alerts": spike_events_alerts,
     "spike_events_net_rollup": spike_events_net_rollup,
+    "spike_events_gated": spike_events_gated,
 }
 
 # ---------------------------------------------------------------------------
@@ -213,6 +270,38 @@ ORACLES = {
         SELECT bucket_id AS entity_id, event_type,
                prev_sum_val2 AS sum_val, 'bucket' AS scope
         FROM cmp_net WHERE sum_val / NULLIF(prev_sum_val2, 0) > {Q}
+    """,
+    "spike_events_gated": f"""
+        WITH bounds AS ({_NOW}), ev AS ({_EV}),
+             cur AS ({_CUR}), prev AS ({_PREV}),
+             cmp AS ({_CMP}),
+             {_NET},
+             alerts AS (
+               SELECT user_id AS entity_id, event_type,
+                      prev_sum_val2 AS sum_val, 'user' AS scope
+               FROM cmp WHERE sum_val / NULLIF(prev_sum_val2, 0) > {Q}
+               UNION ALL
+               SELECT bucket_id AS entity_id, event_type,
+                      prev_sum_val2 AS sum_val, 'bucket' AS scope
+               FROM cmp_net WHERE sum_val / NULLIF(prev_sum_val2, 0) > {Q}),
+             zones AS (
+               SELECT DISTINCT user_id AS entity_id FROM ev
+               WHERE user_id % 7 = 0),
+             prior AS (
+               SELECT entity_id, event_type, scope,
+                      CASE WHEN entity_id % 2 = 0 THEN now_us - 1000
+                           ELSE now_us - {STALE_SHIFT_US} END AS detected_at
+               FROM alerts, bounds WHERE entity_id % 3 = 0),
+             recent AS (
+               SELECT entity_id, event_type, scope FROM prior, bounds
+               WHERE detected_at > now_us - {TTL_US})
+        SELECT a.entity_id, a.event_type, a.sum_val, a.scope
+        FROM alerts a
+        WHERE EXISTS (SELECT 1 FROM zones z WHERE z.entity_id = a.entity_id)
+          AND NOT EXISTS (SELECT 1 FROM recent r
+                          WHERE r.entity_id = a.entity_id
+                            AND r.event_type = a.event_type
+                            AND r.scope = a.scope)
     """,
     "spike_events_net_rollup": f"""
         WITH bounds AS ({_NOW}), ev AS ({_EV}), cur AS ({_CUR})

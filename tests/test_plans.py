@@ -41,3 +41,12 @@ def test_fused_spike_plan_has_single_fact_aggregation(spark):
 def test_semi_join_stays_semi(spark):
     plan = plan_of(R.suppliers_in_rich_nations(spark, "/root/testdata/sf0.01"))
     assert "LeftSemi" in plan
+
+
+def test_gated_alerts_gates_are_broadcast(spark):
+    """S8 gating must not shuffle the alert stream: watchlist gate is a
+    broadcast LeftSemi, TTL dedup a broadcast LeftAnti."""
+    plan = plan_of(S.spike_events_gated(spark, "/root/testdata/sf0.01"))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
