@@ -43,6 +43,22 @@ def test_semi_join_stays_semi(spark):
     assert "LeftSemi" in plan
 
 
+def test_quartiles_have_no_global_window(spark):
+    """customer_balance_quartiles must not funnel the table through a
+    single-partition Window (a global ntile would). Every Window node
+    in the plan needs a partition spec: partitioned nodes print
+    `Window [funcs], [partCols], [orderCols]` (two `], [` separators),
+    unpartitioned only one."""
+    import hha_spark.queries.relational2 as R2
+
+    plan = plan_of(R2.customer_balance_quartiles(spark, "/root/testdata/sf0.01"))
+    assert "ntile" not in plan
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert windows, "expected a partitioned Window for the local rank"
+    for ln in windows:
+        assert ln.count("], [") >= 2, f"unpartitioned Window in plan: {ln}"
+
+
 def test_gated_alerts_gates_are_broadcast(spark):
     """S8 gating must not shuffle the alert stream: watchlist gate is a
     broadcast LeftSemi, TTL dedup a broadcast LeftAnti."""
