@@ -65,12 +65,15 @@ ORACLE_EXACT = """
 """
 
 
-def dedup_ngram_jaccard(spark, sf_dir):
-    docs = with_token_set(_docs(spark, sf_dir))
+def _ngram_jaccard_from(docs_tok: DataFrame) -> DataFrame:
     out = jaccard_pairs(
-        docs, docs, block_cols=["source"], threshold_num=7, threshold_den=10
+        docs_tok, docs_tok, block_cols=["source"], threshold_num=7, threshold_den=10
     )
     return _cast_longs(out, ["inter_size", "union_size"])
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return _ngram_jaccard_from(with_token_set(_docs(spark, sf_dir)))
 
 
 ORACLE_NGRAM = """
@@ -134,8 +137,7 @@ ORACLE_TRIGRAM = f"""
 """
 
 
-def dedup_minhash_lsh(spark, sf_dir):
-    docs = with_token_set(_docs(spark, sf_dir))
+def _minhash_lsh_from(docs: DataFrame) -> DataFrame:
     sigs = minhash_signatures(docs, num_hashes=8)
     cand = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     toks = docs.select("doc_id", "tokens")
@@ -161,6 +163,10 @@ def dedup_minhash_lsh(spark, sf_dir):
         .where(F.lit(10) * F.col("inter_size") >= F.lit(7) * F.col("union_size"))
     )
     return _cast_longs(verified, ["inter_size", "union_size"])
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    return _minhash_lsh_from(with_token_set(_docs(spark, sf_dir)))
 
 
 _SIG_COLS = ", ".join(
@@ -205,9 +211,16 @@ def dedup_minhash_recall(spark, sf_dir):
     pairs (Jaccard >= 0.7), how many does the MinHash+LSH pipeline
     recover? One row: (n_exact, n_found, recall). This is the
     'measure, don't guess' check that the probabilistic path is
-    actually usable before trusting it at scale."""
-    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+    actually usable before trusting it at scale.
+
+    The tokenized frame is built ONCE and persisted; both arms (exact
+    inverted-index and MinHash+LSH) read it, so the scan + per-doc
+    tokenization — the shared expensive prefix — is not recomputed.
+    The per-arm shuffles (postings join vs signatures/banding) remain
+    distinct work by construction."""
+    docs = with_token_set(_docs(spark, sf_dir)).persist()
+    exact = _ngram_jaccard_from(docs).select("doc_id_a", "doc_id_b")
+    lsh = _minhash_lsh_from(docs).select(
         "doc_id_a", "doc_id_b", F.lit(1).alias("found")
     )
     joined = exact.join(lsh, on=["doc_id_a", "doc_id_b"], how="left")
