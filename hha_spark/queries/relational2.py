@@ -93,15 +93,49 @@ ORACLE_MEDIAN = """
 
 # --- approximate aggregates (engine-specific sketches: NO oracle) ----------
 
+ACD_EPS = 0.15  # 3x the default 5% HLL++ rsd
+P90_EPS = 0.05
+
+
 def approx_stats(spark, sf_dir):
-    """approx_count_distinct (HLL++) + percentile_approx — results are
-    sketch-dependent and not portable across engines, so this query is
-    deliberately oracle-less (driver records rows-only)."""
+    """approx_count_distinct (HLL++) + approx_percentile, made
+    oracle-checkable: raw sketch values are engine-specific, so the
+    query emits the EXACT count plus booleans asserting the sketch is
+    within epsilon of the exact answer. The oracle computes the exact
+    count and TRUE literals — a drifting sketch flips a boolean and
+    fails the hash, which turns 'sketch works' into a gated claim
+    instead of a rows-only hole."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey").alias("_acd"),
+            F.expr("approx_percentile(l_extendedprice, 0.9)").alias("_ap90"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("_ep90"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_acd") - F.col("exact_parts"))
+                <= F.lit(ACD_EPS) * F.col("exact_parts")
+            ).alias("acd_within_eps"),
+            (
+                F.abs(F.col("_ap90") - F.col("_ep90"))
+                <= F.lit(P90_EPS) * F.abs(F.col("_ep90"))
+            ).alias("p90_within_eps"),
+        )
     )
+
+
+ORACLE_APPROX = """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS acd_within_eps,
+           TRUE AS p90_within_eps
+    FROM lineitem GROUP BY 1
+"""
 
 
 # --- correlated EXISTS (semi join with predicate) --------------------------
@@ -401,7 +435,9 @@ ORACLES = {
     "lineitem_status_pivot": ORACLE_PIVOT,
     "orders_cube": ORACLE_CUBE,
     "median_qty_per_flag": ORACLE_MEDIAN,
-    # approx_stats: intentionally no oracle (engine-specific sketches)
+    # approx sketches aren't portable; the oracle checks exact values +
+    # within-epsilon booleans instead (see approx_stats docstring)
+    "approx_stats": ORACLE_APPROX,
     "orders_with_big_lineitem": ORACLE_EXISTS,
     "customer_name_features": ORACLE_STRINGS,
     "nations_customers_only": ORACLE_EXCEPT,
