@@ -87,6 +87,88 @@ def exact_dedup_groups(
     )
 
 
+def _postings(
+    df: DataFrame,
+    suffix: str,
+    *,
+    block_cols: list[str],
+    id_col: str,
+    tokens_col: str,
+) -> DataFrame:
+    return df.select(
+        *block_cols,
+        F.col(id_col).alias(f"doc_id_{suffix}"),
+        F.size(F.col(tokens_col)).alias(f"n_{suffix}"),
+        F.explode(F.col(tokens_col)).alias("tok"),
+    )
+
+
+def prefix_candidate_pairs(
+    docs: DataFrame,
+    right: DataFrame | None = None,
+    *,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Candidate pairs via prefix filtering (AllPairs/PPJoin family,
+    Bayardo et al. WWW'07; Xiao et al. PPJoin) — the EXACT answer's
+    candidate superset, with hot tokens structurally excluded.
+
+    Every doc's token set is ordered by ascending document frequency
+    (ties by token text — any shared total order preserves the lemma);
+    only the first |x| - ceil(t*|x|) + 1 tokens (the RAREST ones) emit
+    postings. The lemma: two sets with Jaccard >= t must share at
+    least one token inside both prefixes, so joining prefix postings
+    loses no qualifying pair. A token present in most docs of a block
+    has maximal df, sorts last, and never enters a prefix unless a doc
+    is too small to exclude it — the quadratic hot-token candidate
+    blowup of a full inverted index cannot happen, without any
+    df-cap correction to the counts.
+
+    Self-similarity is the intended shape (`right` is accepted for API
+    symmetry but must be the same frame); the prefix postings are
+    computed ONCE and persisted, and both sides of the candidate join
+    read the cache.
+
+    Shuffle shape: one (block, tok) aggregation for df, one doc_id
+    window for the per-doc rank, one equi-join on (block, tok) over
+    prefix postings only. All linear in postings except the join,
+    whose output is bounded by genuinely-similar-looking pairs.
+    """
+    from pyspark.sql import Window
+
+    post = docs.select(
+        *block_cols,
+        F.col(id_col).alias("doc_id"),
+        F.size(F.col(tokens_col)).alias("n"),
+        F.explode(F.col(tokens_col)).alias("tok"),
+    )
+    df_tok = post.groupBy(*block_cols, "tok").agg(F.count(F.lit(1)).alias("df"))
+    # ceil(t*n) = (num*n + den - 1) DIV den, exact over ints
+    plen = F.col("n") - F.expr(
+        f"({threshold_num} * n + {threshold_den - 1}) DIV {threshold_den}"
+    ) + F.lit(1)
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pref = (
+        post.join(df_tok, on=[*block_cols, "tok"])
+        .withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= plen)
+        .select(*block_cols, "doc_id", "tok")
+        .persist()
+    )
+    a = pref.select(*block_cols, F.col("doc_id").alias("doc_id_a"), "tok")
+    b = pref.select(*block_cols, F.col("doc_id").alias("doc_id_b"), "tok")
+    return (
+        a.join(b, on=[*block_cols, "tok"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -96,6 +178,7 @@ def jaccard_pairs(
     tokens_col: str = "tokens",
     threshold_num: int = 7,
     threshold_den: int = 10,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Blocked pairwise Jaccard-similar pairs over token SETS.
 
@@ -104,32 +187,32 @@ def jaccard_pairs(
     test is pure integer arithmetic (den*|∩| >= num*|∪|) so engines
     agree at the boundary; `jaccard` itself is a single double
     division of exact ints (correctly rounded, hence identical).
-    """
-    # Inverted-index formulation: explode token sets once, equi-join
-    # postings on (block, token), count shared tokens per pair. Only
-    # (id, token) rows ever shuffle — never array payloads — and
-    # |∪| = |A| + |B| - |∩| comes from per-doc set sizes. This is the
-    # shape that survives 100 TB: the join key includes the token, so
-    # hot tokens parallelize across partitions instead of one
-    # executor re-intersecting giant arrays.
-    def _postings(df: DataFrame, suffix: str) -> DataFrame:
-        return df.select(
-            *block_cols,
-            F.col(id_col).alias(f"doc_id_{suffix}"),
-            F.size(F.col(tokens_col)).alias(f"n_{suffix}"),
-            F.explode(F.col(tokens_col)).alias("tok"),
-        )
 
-    a = _postings(left, "a")
-    b = _postings(right, "b")
-    inter = (
-        a.join(b, on=[*block_cols, "tok"])
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("inter_size"))
-    )
-    return (
-        inter.select(
+    Default path: prefix-filtered candidates (see
+    prefix_candidate_pairs — exact, hot-token-robust), then per-pair
+    verification with array_intersect over the candidate set only.
+    The prefix path is a SELF-similarity join over `left` (all in-repo
+    call sites pass the same frame twice); pass the frame persisted so
+    tokenization runs once across postings and verification.
+    prefix_filter=False keeps the full inverted-index kernel (every
+    posting joins; a block-ubiquitous token costs O(block²) intersect
+    rows) — retained for equivalence testing and for small blocked
+    inputs where the two extra linear shuffles outweigh the pruning.
+    """
+    if not prefix_filter:
+        a = _postings(
+            left, "a", block_cols=block_cols, id_col=id_col, tokens_col=tokens_col
+        )
+        b = _postings(
+            right, "b", block_cols=block_cols, id_col=id_col, tokens_col=tokens_col
+        )
+        inter = (
+            a.join(b, on=[*block_cols, "tok"])
+            .where(F.col("doc_id_a") < F.col("doc_id_b"))
+            .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("inter_size"))
+        )
+        verified = inter.select(
             "doc_id_a",
             "doc_id_b",
             F.col("inter_size").cast("int").alias("inter_size"),
@@ -137,7 +220,33 @@ def jaccard_pairs(
             .cast("int")
             .alias("union_size"),
         )
-        .where(
+    else:
+        cand = prefix_candidate_pairs(
+            left, block_cols=block_cols, id_col=id_col,
+            tokens_col=tokens_col, threshold_num=threshold_num,
+            threshold_den=threshold_den,
+        )
+        ta = left.select(
+            F.col(id_col).alias("doc_id_a"), F.col(tokens_col).alias("_ta")
+        )
+        tb = left.select(
+            F.col(id_col).alias("doc_id_b"), F.col(tokens_col).alias("_tb")
+        )
+        verified = (
+            cand.join(ta, on="doc_id_a")
+            .join(tb, on="doc_id_b")
+            .select(
+                "doc_id_a",
+                "doc_id_b",
+                F.size(F.array_intersect("_ta", "_tb")).alias("inter_size"),
+                (
+                    F.size("_ta") + F.size("_tb")
+                    - F.size(F.array_intersect("_ta", "_tb"))
+                ).alias("union_size"),
+            )
+        )
+    return (
+        verified.where(
             F.lit(threshold_den) * F.col("inter_size")
             >= F.lit(threshold_num) * F.col("union_size")
         )

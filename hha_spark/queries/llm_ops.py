@@ -73,7 +73,9 @@ def _ngram_jaccard_from(docs_tok: DataFrame) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    return _ngram_jaccard_from(with_token_set(_docs(spark, sf_dir)))
+    # persist: the prefix-filtered kernel reads the tokenized frame for
+    # postings AND for pair verification
+    return _ngram_jaccard_from(with_token_set(_docs(spark, sf_dir)).persist())
 
 
 ORACLE_NGRAM = """

@@ -9,6 +9,7 @@ from hha_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    prefix_candidate_pairs,
     simhash16,
     with_token_set,
 )
@@ -43,6 +44,50 @@ def test_jaccard_pairs_blocked(spark):
     assert (1, 5) not in pairs                        # blocked apart
     # fox/wolf: |∩|=3, |∪|=5 -> 0.6 < 0.7 threshold
     assert (1, 3) not in pairs
+
+
+def _hot_token_corpus(spark, n_docs: int):
+    """Pathological block: every doc shares one ubiquitous token but is
+    otherwise unique — the worst case for a full inverted index, which
+    emits O(n_docs^2) intersect rows through the hot posting list."""
+    rows = [(i, f"common u{i}a u{i}b u{i}c", "blk") for i in range(n_docs)]
+    return with_token_set(
+        spark.createDataFrame(rows, "doc_id long, text string, source string")
+    )
+
+
+def test_prefix_filter_bounds_hot_token_candidates(spark):
+    """The prefix filter must keep candidate growth flat as the block
+    grows 10x: 'common' has maximal df, sorts last in every doc's
+    frequency order, and never enters a prefix."""
+    for n in (20, 200):
+        docs = _hot_token_corpus(spark, n)
+        cand = prefix_candidate_pairs(
+            docs, docs, block_cols=["source"], threshold_num=7, threshold_den=10
+        ).count()
+        assert cand == 0, f"hot token leaked {cand} candidates at n={n}"
+        # and the final answer is (correctly) empty: J = 1/7 < 0.7
+        assert (
+            jaccard_pairs(
+                docs, docs, block_cols=["source"], threshold_num=7,
+                threshold_den=10,
+            ).count()
+            == 0
+        )
+
+
+def test_prefix_and_naive_kernels_agree(spark):
+    docs = with_token_set(docs_df(spark))
+    kw = dict(block_cols=["source"], threshold_num=7, threshold_den=10)
+    fast = {
+        (r.doc_id_a, r.doc_id_b, r.inter_size, r.union_size)
+        for r in jaccard_pairs(docs, docs, **kw).collect()
+    }
+    naive = {
+        (r.doc_id_a, r.doc_id_b, r.inter_size, r.union_size)
+        for r in jaccard_pairs(docs, docs, prefix_filter=False, **kw).collect()
+    }
+    assert fast == naive and fast
 
 
 def test_minhash_identical_docs_share_all_bands(spark):
