@@ -55,11 +55,19 @@ def compact_alerts(
 
     The TTL anti-join only ever reads recent rows, but the append-only
     table grows forever; periodic compaction bounds it. Writes to a
-    sibling tmp dir then swaps, so a concurrent reader never sees a
-    half-written table. Returns the retained row count.
+    sibling tmp dir then swaps via two Hadoop-FS renames.
+
+    Concurrency contract: the swap is NOT atomic — between the two
+    renames the table path briefly does not exist, and a concurrent
+    `recent_alerts` would see a missing table and run its cycle with
+    TTL dedup disabled (duplicate alerts for that cycle). Run
+    compaction from the same single-threaded scheduler as the
+    detection cycles (the reference's loop is likewise serial,
+    hha.py:315-327), between cycles. A crash between the renames
+    leaves the data intact at `<table>__old`; the next compaction (or
+    a manual rename) recovers it. Returns the retained row count.
     """
-    import os
-    import shutil
+    from hha_spark.sources import fs
 
     try:
         df = spark.read.schema(ALERTS_SCHEMA).parquet(table_path)
@@ -70,10 +78,10 @@ def compact_alerts(
     kept.write.mode("overwrite").parquet(tmp)
     n = spark.read.schema(ALERTS_SCHEMA).parquet(tmp).count()
     old = f"{table_path}__old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(table_path, old)
-    os.rename(tmp, table_path)
-    shutil.rmtree(old, ignore_errors=True)
+    fs.delete(spark, old)
+    fs.rename(spark, table_path, old)
+    fs.rename(spark, tmp, table_path)
+    fs.delete(spark, old)
     return n
 
 

@@ -1,0 +1,73 @@
+"""Filesystem operations through the JVM Hadoop FileSystem API.
+
+The reference probes and lists its hourly input files via the Hadoop
+FileSystem (hha.py:271-274,299), which works identically against
+local disk, HDFS, and object stores with a Hadoop connector. The
+driver-side ``os.path`` calls this module replaces were correct only
+on a single machine's local disk.
+
+Every helper takes the active SparkSession and resolves the
+FileSystem FROM THE PATH (``Path.getFileSystem``), so ``hdfs://``,
+``s3a://``, and bare local paths all route correctly; no extra Python
+dependencies are involved. If the JVM gateway is unavailable (no
+session — e.g. pure-driver unit code), a local-FS fallback keeps
+behavior identical on local paths.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def exists(spark: SparkSession | None, path: str) -> bool:
+    if spark is None:
+        return os.path.exists(path)
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def listdir(spark: SparkSession | None, path: str) -> list[str]:
+    """Child names (not full paths) of a directory; [] if missing."""
+    if spark is None:
+        return os.listdir(path) if os.path.isdir(path) else []
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def rename(spark: SparkSession | None, src: str, dst: str) -> bool:
+    """Hadoop-semantics rename: atomic on HDFS/local, no implicit
+    overwrite of a non-empty destination directory."""
+    if spark is None:
+        os.rename(src, dst)
+        return True
+    fs, s = _fs_and_path(spark, src)
+    _, d = _fs_and_path(spark, dst)
+    return bool(fs.rename(s, d))
+
+
+def delete(spark: SparkSession | None, path: str, *, recursive: bool = True) -> bool:
+    """Delete a file or directory tree; False when already absent."""
+    if spark is None:
+        if not os.path.exists(path):
+            return False
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
+        return True
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, recursive))

@@ -119,11 +119,13 @@ def read_hour_files(
     skipped (the reference existence-checks each, hha.py:299).
     Returns None when nothing exists (the reference returns False,
     hha.py:311 — and then crashes on its second call site; we don't)."""
-    import os
+    from hha_spark.sources import fs
 
-    # plain path check is enough locally; on HDFS, existence probing
-    # is unnecessary in the partitioned layout (read_window) anyway
-    paths = [f"{root}/{prefix}{h}" for h in hours if os.path.exists(f"{root}/{prefix}{h}")]
+    # existence probe through the Hadoop FileSystem — the reference's
+    # own mechanism (hha.py:271-274,299) — so HDFS/object-store roots
+    # behave like local disk; the partitioned layout (read_window)
+    # needs no probing at all
+    paths = [f"{root}/{prefix}{h}" for h in hours if fs.exists(spark, f"{root}/{prefix}{h}")]
     if not paths:
         return None
     return spark.read.schema(HISTOGRAM_SCHEMA).parquet(*paths)

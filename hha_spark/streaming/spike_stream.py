@@ -42,7 +42,6 @@ written partitioned, so eviction cost is O(1) per expired hour.
 
 from __future__ import annotations
 
-import shutil
 import time
 from collections.abc import Callable
 
@@ -63,25 +62,30 @@ from hha_spark.sources.histograms import (
 RETENTION_SEC = 2 * SECONDS_PER_HOUR
 
 
-def evict_expired_hours(samples_root: str, *, now: int, retention_sec: int) -> int:
+def evict_expired_hours(
+    samples_root: str, *, now: int, retention_sec: int, spark=None
+) -> int:
     """Drop whole expired hour partitions from the state table.
 
     Partition dirs look like <root>/date=YYYY-MM-DD/hour=H; any hour
     whose END is older than the retention horizon can't contribute to
-    either window, so the directory is unlinked. Returns #dropped.
+    either window, so the directory is unlinked. Listing and deletion
+    go through the Hadoop FileSystem when a session is supplied
+    (HDFS/object-store roots; the reference's own file mechanism,
+    hha.py:271-274) and fall back to the local FS otherwise.
+    Returns #dropped.
     """
-    import os
     from datetime import datetime, timezone
+
+    from hha_spark.sources import fs
 
     horizon = now - retention_sec
     dropped = 0
-    if not os.path.isdir(samples_root):
-        return 0
-    for date_dir in os.listdir(samples_root):
+    for date_dir in fs.listdir(spark, samples_root):
         if not date_dir.startswith("date="):
             continue
         date_str = date_dir.split("=", 1)[1]
-        for hour_dir in os.listdir(f"{samples_root}/{date_dir}"):
+        for hour_dir in fs.listdir(spark, f"{samples_root}/{date_dir}"):
             if not hour_dir.startswith("hour="):
                 continue
             hour = int(hour_dir.split("=", 1)[1])
@@ -91,7 +95,7 @@ def evict_expired_hours(samples_root: str, *, now: int, retention_sec: int) -> i
                 .timestamp()
             ) + hour * SECONDS_PER_HOUR
             if start + SECONDS_PER_HOUR < horizon:
-                shutil.rmtree(f"{samples_root}/{date_dir}/{hour_dir}")
+                fs.delete(spark, f"{samples_root}/{date_dir}/{hour_dir}")
                 dropped += 1
     return dropped
 
@@ -117,7 +121,9 @@ def make_batch_processor(
         #    re-appended rows shift averages, not alert existence, and
         #    checkpointing makes redelivery exceptional)
         write_partitioned(batch_df, samples_root)
-        evict_expired_hours(samples_root, now=now, retention_sec=retention_sec)
+        evict_expired_hours(
+            samples_root, now=now, retention_sec=retention_sec, spark=spark
+        )
 
         # 2. full S1-S8 over the bounded window (pruned scan)
         hist = read_window(spark, samples_root, lower=now - retention_sec)
