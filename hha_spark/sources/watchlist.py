@@ -53,3 +53,57 @@ def zones_from_text_file(spark: SparkSession, path: str) -> DataFrame:
 
 def zones_from_ints(spark: SparkSession, ips: set[int] | list[int]) -> DataFrame:
     return spark.createDataFrame([(int(ip),) for ip in sorted(set(ips))], ZONES_SCHEMA)
+
+
+def parse_consul_kv_payload(payload: bytes | str) -> set[int]:
+    """Parse a Consul `GET /v1/kv/<dir>?recurse=true` JSON response.
+
+    Mirrors the reference poller's handling (hha.py:57-66): each
+    entry's Value is base64 (python-consul pre-decodes; the raw HTTP
+    API does not), entries with null Value (directory keys) are
+    skipped, every value is utf-8-decoded, newline-split, and fed
+    through the same comment/format-tolerant line parser.
+    """
+    import base64
+    import json
+
+    entries = json.loads(payload)
+    blobs = []
+    for entry in entries or []:
+        value = entry.get("Value")
+        if value is None:
+            continue
+        blobs.append(base64.b64decode(value).decode("utf-8"))
+    return parse_zone_lines(blobs)
+
+
+def zones_from_consul_kv(
+    spark: SparkSession,
+    *,
+    host: str,
+    port: int = 8500,
+    key_dir: str,
+    timeout_sec: float = 5.0,
+    fetch=None,
+) -> DataFrame:
+    """Watchlist from a Consul-compatible HTTP KV store.
+
+    Speaks the plain Consul HTTP API (`/v1/kv/<dir>?recurse=true`)
+    via stdlib urllib — no client library dependency — with the same
+    recurse + parse semantics as the reference's poller thread
+    (hha.py:48-49,57-66). Unlike the reference there is no background
+    thread mutating a shared set: call this per detection cycle and
+    broadcast the result (sub-ms for watchlist-sized dimensions).
+
+    `fetch(url) -> bytes` is injectable for tests / alternate
+    transports.
+    """
+    if fetch is None:
+        from urllib.request import urlopen
+
+        def fetch(url: str) -> bytes:  # pragma: no cover - network
+            with urlopen(url, timeout=timeout_sec) as resp:
+                return resp.read()
+
+    url = f"http://{host}:{port}/v1/kv/{key_dir.strip('/')}?recurse=true"
+    return zones_from_ints(spark, parse_consul_kv_payload(fetch(url)))

@@ -75,6 +75,39 @@ def test_watchlist_parser_tolerance():
     assert zones == {167772161, 167772162}
 
 
+def test_consul_kv_watchlist_reader(spark):
+    """Mocked Consul KV-recurse payload: base64 values, a null-value
+    directory entry, comments and junk lines — same tolerance as the
+    reference poller (hha.py:57-66)."""
+    import base64
+    import json
+
+    from hha_spark.sources.watchlist import zones_from_consul_kv
+
+    def b64(s: str) -> str:
+        return base64.b64encode(s.encode()).decode()
+
+    payload = json.dumps(
+        [
+            {"Key": "zones/", "Value": None},
+            {"Key": "zones/a", "Value": b64("10.0.0.1\n# commented\n10.0.0.2")},
+            {"Key": "zones/b", "Value": b64("not-an-ip\n10.0.0.2\n")},
+        ]
+    ).encode()
+
+    seen_urls = []
+
+    def fake_fetch(url: str) -> bytes:
+        seen_urls.append(url)
+        return payload
+
+    zones = zones_from_consul_kv(
+        spark, host="consul.local", key_dir="zones", fetch=fake_fetch
+    )
+    assert {r.ip for r in zones.collect()} == {167772161, 167772162}
+    assert seen_urls == ["http://consul.local:8500/v1/kv/zones?recurse=true"]
+
+
 def test_alerts_sink_ttl_window(spark, tmp_path):
     path = str(tmp_path / "alerts")
     alerts = spark.createDataFrame(
