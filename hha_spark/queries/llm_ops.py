@@ -389,6 +389,126 @@ ORACLE_ANN_IVF = f"""
 """
 
 
+IVF_ITERS = 2
+IVF_NPROBE = 2
+
+
+def ann_topk_ivf_trained(spark, sf_dir):
+    """IVF top-k with a TRAINED k-means codebook (operators/ivf.py):
+    deterministic Lloyd iterations seeded from the sign-bit cells,
+    exact quantized arithmetic so the DuckDB oracle reproduces the
+    same codebook, and an nprobe=2 probe list per query. Supersedes
+    the sign-bit stand-in (`ann_topk_ivf`, kept as the untrained
+    baseline)."""
+    from hha_spark.operators.ivf import ivf_topk
+
+    return ivf_topk(
+        _emb(spark, sf_dir),
+        query_pred=(F.col("vec_id") % 16 == 0),
+        k=5, nprobe=IVF_NPROBE, iters=IVF_ITERS,
+    )
+
+
+def _kmeans_iter_sql(cells_prev: str, cent: str, d: str) -> str:
+    """One unrolled Lloyd round as oracle CTE fragments."""
+    return f"""
+    {cent} AS (
+      SELECT cell, idx,
+             (CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * {_Q}) AS BIGINT)) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) / {_Q} AS c
+      FROM el JOIN {cells_prev} USING (vec_id) GROUP BY cell, idx),
+    {d} AS (
+      SELECT vec_id, cell,
+             SUM(CAST(FLOOR((CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c)
+                            * {_Q}) AS BIGINT)) AS dq
+      FROM el JOIN {cent} USING (idx) GROUP BY vec_id, cell)
+"""
+
+
+_IVF_TRAINED_CTES = f"""
+    el AS ({_EMB_EL}),
+    cells0 AS (
+      SELECT vec_id,
+             (CASE WHEN embedding[1] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) AS cell
+      FROM embeddings),
+    {_kmeans_iter_sql("cells0", "cent1", "d1")},
+    cells1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rnk
+        FROM d1) WHERE rnk = 1),
+    {_kmeans_iter_sql("cells1", "cent2", "d2")},
+    cells2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rnk
+        FROM d2) WHERE rnk = 1),
+    probes AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rnk
+        FROM d2) WHERE rnk <= {IVF_NPROBE} AND vec_id % 16 = 0),
+    ivf_pairs AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+      FROM probes q JOIN cells2 c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+    ivf_dots AS (
+      SELECT p.qid, p.cid, {_DOT_SQL} AS dot
+      FROM ivf_pairs p
+      JOIN el a ON a.vec_id = p.qid
+      JOIN el b ON b.vec_id = p.cid AND b.idx = a.idx
+      GROUP BY p.qid, p.cid),
+    ivf_norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq FROM el GROUP BY vec_id),
+    ivf_sims AS (
+      SELECT qid, cid, dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+      FROM ivf_dots JOIN ivf_norms qn ON qn.vec_id = qid
+                    JOIN ivf_norms cn ON cn.vec_id = cid),
+    ivf_ranked AS (
+      SELECT qid, cid, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+      FROM ivf_sims)
+"""
+
+ORACLE_ANN_IVF_TRAINED = f"""
+    WITH {_IVF_TRAINED_CTES}
+    SELECT * FROM ivf_ranked WHERE rank <= 5
+"""
+
+
+def ann_ivf_recall(spark, sf_dir):
+    """Measured IVF quality: of the exact brute-force top-5 neighbor
+    pairs, how many does the trained-codebook nprobe=2 search recover?
+    One row (n_exact, n_found, recall) — the same 'measure, don't
+    guess' contract as dedup_minhash_recall, sharing one persisted
+    embeddings frame across both arms."""
+    from hha_spark.operators.ivf import ivf_topk
+
+    emb = _emb(spark, sf_dir).persist()
+    queries = emb.where(F.col("vec_id") % 16 == 0)
+    exact = cosine_topk(queries, emb, k=5).select("qid", "cid")
+    ivf = ivf_topk(
+        emb, query_pred=(F.col("vec_id") % 16 == 0),
+        k=5, nprobe=IVF_NPROBE, iters=IVF_ITERS,
+    ).select("qid", "cid", F.lit(1).alias("found"))
+    joined = exact.join(ivf, on=["qid", "cid"], how="left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("found").alias("n_found"),
+        (F.count("found") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+ORACLE_IVF_RECALL = f"""
+    WITH exact5 AS (SELECT qid, cid FROM ({ORACLE_ANN})),
+         ivf5 AS (SELECT qid, cid FROM ({ORACLE_ANN_IVF_TRAINED}))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(i.cid) AS BIGINT) AS n_found,
+           COUNT(i.cid) / COUNT(*) AS recall
+    FROM exact5 e LEFT JOIN ivf5 i ON e.qid = i.qid AND e.cid = i.cid
+"""
+
+
 COSINE_PAIR_THRESHOLD = 0.25
 PAIR_ID_WINDOW = 25
 
@@ -665,6 +785,8 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_ivf_trained": ann_topk_ivf_trained,
+    "ann_ivf_recall": ann_ivf_recall,
     "embedding_cosine_pairs": embedding_cosine_pairs,
     "doc_array_features": doc_array_features,
     "corpus_vocabulary": corpus_vocabulary,
@@ -686,6 +808,8 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "ann_topk_cosine": ORACLE_ANN,
     "ann_topk_ivf": ORACLE_ANN_IVF,
+    "ann_topk_ivf_trained": ORACLE_ANN_IVF_TRAINED,
+    "ann_ivf_recall": ORACLE_IVF_RECALL,
     "embedding_cosine_pairs": ORACLE_COSINE_PAIRS,
     "doc_array_features": ORACLE_ARRAY,
     "corpus_vocabulary": ORACLE_VOCAB,

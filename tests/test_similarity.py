@@ -50,3 +50,56 @@ def test_cosine_pairs_for_restricts_to_candidates(spark):
            cosine_pairs_for(pairs, df).collect()}
     assert set(out) == {(1, 4), (2, 3)}
     assert abs(out[(1, 4)] - 1.0) < 1e-9
+
+
+# --- trained IVF -----------------------------------------------------------
+
+CLUSTERED = [
+    # tight cluster around (+1, +1): sign cell 3
+    (1, [1.0, 1.0]), (2, [1.1, 0.9]), (3, [0.9, 1.1]),
+    # tight cluster around (-1, -1): sign cell 0
+    (4, [-1.0, -1.0]), (5, [-1.1, -0.9]), (6, [-0.9, -1.1]),
+    # straddler: sign-bit seed misfiles it vs its nearest mean
+    (7, [0.05, -0.02]),
+]
+
+
+def clustered_df(spark):
+    return spark.createDataFrame(CLUSTERED, "vec_id long, embedding array<float>")
+
+
+def test_ivf_training_is_deterministic_and_clusters(spark):
+    from hha_spark.operators.ivf import train_ivf
+
+    cells1, cent1 = train_ivf(clustered_df(spark), iters=2)
+    cells2, _ = train_ivf(clustered_df(spark), iters=2)
+    a1 = {r.vec_id: r.cell for r in cells1.collect()}
+    a2 = {r.vec_id: r.cell for r in cells2.collect()}
+    assert a1 == a2                       # same data -> same codebook
+    assert a1[1] == a1[2] == a1[3]        # each cluster lands together
+    assert a1[4] == a1[5] == a1[6]
+    assert a1[1] != a1[4]
+    # centroids exist only for non-empty cells and cover every dim
+    cents = cent1.collect()
+    assert {c.idx for c in cents} == {0, 1}
+
+
+def test_ivf_full_probe_matches_brute_force(spark):
+    """With nprobe = number of live cells, IVF must equal brute force
+    (the approximation comes only from probing fewer cells)."""
+    from hha_spark.operators.ivf import ivf_topk
+
+    df = clustered_df(spark)
+    exact = {
+        (r.qid, r.cid, r.rank)
+        for r in cosine_topk(
+            df.where(F.col("vec_id").isin(1, 4)), df, k=3
+        ).collect()
+    }
+    approx = {
+        (r.qid, r.cid, r.rank)
+        for r in ivf_topk(
+            df, query_pred=F.col("vec_id").isin(1, 4), k=3, nprobe=4, iters=2
+        ).collect()
+    }
+    assert approx == exact
