@@ -13,11 +13,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hha_spark.queries import llm_ops, relational, relational2, spike_events, temporal
+from hha_spark.queries import (
+    llm_ops,
+    relational,
+    relational2,
+    relational3,
+    spike_events,
+    temporal,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (spike_events, relational, relational2, llm_ops, temporal)
+_MODULES = (spike_events, relational, relational2, relational3, llm_ops, temporal)
 
 
 def all_queries() -> dict[str, QueryFn]:

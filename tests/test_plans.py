@@ -59,6 +59,22 @@ def test_quartiles_have_no_global_window(spark):
         assert ln.count("], [") >= 2, f"unpartitioned Window in plan: {ln}"
 
 
+def test_q3_q5_join_shapes(spark):
+    """Multi-way joins must stay broadcast (all dimension sides are
+    small) and Q3's top-10 must compile to TakeOrderedAndProject, not
+    a global sort."""
+    import hha_spark.queries.relational3 as R3
+
+    p3 = plan_of(R3.q3_shipping_priority(spark, "/root/testdata/sf0.01"))
+    assert "SortMergeJoin" not in p3
+    assert p3.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in p3
+
+    p5 = plan_of(R3.q5_local_supplier_volume(spark, "/root/testdata/sf0.01"))
+    assert "SortMergeJoin" not in p5
+    assert p5.count("BroadcastHashJoin") >= 5
+
+
 def test_gated_alerts_gates_are_broadcast(spark):
     """S8 gating must not shuffle the alert stream: watchlist gate is a
     broadcast LeftSemi, TTL dedup a broadcast LeftAnti."""

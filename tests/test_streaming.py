@@ -190,3 +190,63 @@ def test_state_table_eviction(spark, tmp_path):
     assert dropped == 1
     remaining = spark.read.parquet(root)
     assert remaining.count() == 1
+
+
+# --- watermarked tumbling windows (streaming/windowed.py) ------------------
+
+def test_watermarked_windowed_counts_drop_late_rows(env):
+    """Append-mode tumbling windows: a window is emitted exactly once
+    after the watermark passes its end, and rows arriving later than
+    the watermark are dropped — the bounded-lateness contract."""
+    from hha_spark.schemas import HISTOGRAM_SCHEMA
+    from hha_spark.streaming.windowed import windowed_counts
+
+    spark, paths, _ = env
+    t0 = (NOW // 60) * 60  # window-aligned
+    stream = (
+        spark.readStream.schema(HISTOGRAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(paths["in"])
+    )
+    agg = windowed_counts(stream, window_sec=60, watermark_sec=60)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_windows")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # batch 1: three rows in window W1 = [t0, t0+60)
+        write_input(
+            spark, paths["in"],
+            [(t0 + 10, 65, 11, 100, IP_A), (t0 + 20, 65, 11, 50, IP_A),
+             (t0 + 15, 66, 11, 70, IP_A)],
+        )
+        q.processAllAvailable()
+        # batch 2: advance event time; watermark becomes t0+240 > W1 end
+        write_input(spark, paths["in"], [(t0 + 300, 65, 11, 1, IP_A)])
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.num_protocol, r.n, r.total)
+            for r in spark.table("wm_windows").collect()
+        }
+        assert (t0, 65, 2, 150) in got and (t0, 66, 1, 70) in got
+        # the t0+300 window is not finalized yet -> not emitted
+        assert all(ws == t0 for ws, *_ in got)
+
+        # batch 3: a LATE row for W1 (event time far behind watermark),
+        # plus an advancing row so the next batch runs
+        write_input(spark, paths["in"], [(t0 + 5, 65, 11, 999, IP_A)])
+        q.processAllAvailable()
+        write_input(spark, paths["in"], [(t0 + 400, 65, 11, 1, IP_A)])
+        q.processAllAvailable()
+        after = {
+            (r.window_start, r.num_protocol, r.n, r.total)
+            for r in spark.table("wm_windows").collect()
+            if r.window_start == t0
+        }
+        # W1 was emitted once with the on-time rows only; the late 999
+        # never surfaces
+        assert after == {(t0, 65, 2, 150), (t0, 66, 1, 70)}
+    finally:
+        q.stop()
