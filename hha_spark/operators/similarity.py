@@ -156,6 +156,92 @@ def cosine_pairs_for(
     )
 
 
+HYPERPLANE_BITS = 16
+BITS_PER_BAND = 4
+MAX_HYPERPLANE_BUCKET = 64
+
+
+def hyperplane_planes(spark, *, bits: int = HYPERPLANE_BITS, dim: int = 64) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes: (j, i, s) with
+    s = ±1 from the md5 high bit of 'h{j}|{i}'. No RNG state — the
+    same matrix materializes in any engine, which is what lets the
+    DuckDB oracle reproduce the signatures bit-for-bit."""
+    high = "('8','9','a','b','c','d','e','f')"
+    return (
+        spark.range(bits).selectExpr("id AS j")
+        .crossJoin(spark.range(dim).selectExpr("id AS i"))
+        .selectExpr(
+            "j", "i",
+            f"CASE WHEN substr(md5(concat('h', j, '|', i)), 1, 1) IN {high} "
+            "THEN 1 ELSE -1 END AS s",
+        )
+    )
+
+
+def hyperplane_bands(
+    emb: DataFrame,
+    planes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_per_band: int = BITS_PER_BAND,
+) -> DataFrame:
+    """(vec_id, band, band_val): random-hyperplane (SRP) signature
+    bits, banded for LSH. Bit j is the sign of Σ_i s_ji·v_i, computed
+    over floor-quantized integers so partial-sum order can't flip a
+    boundary sign. The planes frame is bits×dim rows — always
+    broadcast; both aggregations key on the vector id."""
+    el = emb.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("idx", "v"))
+    bit_rows = (
+        el.join(F.broadcast(planes), el.idx == planes.i)
+        .groupBy(id_col, "j")
+        .agg(
+            F.expr(
+                f"SUM(CAST(FLOOR(CAST(v AS DOUBLE) * {_Q}) AS BIGINT) * s)"
+            ).alias("sb")
+        )
+        .select(
+            id_col, "j",
+            F.expr("CASE WHEN sb > 0 THEN 1 ELSE 0 END").alias("bit"),
+        )
+    )
+    pw = (
+        f"CAST(CASE CAST(j % {bits_per_band} AS INT) "
+        "WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS BIGINT)"
+    )
+    return (
+        bit_rows.groupBy(id_col, F.expr(f"j DIV {bits_per_band}").alias("band"))
+        .agg(F.expr(f"SUM(bit * {pw})").alias("band_val"))
+    )
+
+
+def hyperplane_candidate_pairs(
+    bands: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    max_bucket: int = MAX_HYPERPLANE_BUCKET,
+) -> DataFrame:
+    """LSH banding over SRP signatures: vectors sharing any
+    (band, band_val) bucket become candidates; degenerate buckets
+    above max_bucket are skipped (same rationale as dedup.MAX_LSH_BUCKET).
+    Returns distinct (vec_id_a < vec_id_b) pairs."""
+    ok = (
+        bands.groupBy("band", "band_val")
+        .count()
+        .where(F.col("count") <= F.lit(max_bucket))
+        .select("band", "band_val")
+    )
+    kept = bands.join(ok, on=["band", "band_val"])
+    a = kept.select(F.col(id_col).alias("vec_id_a"), "band", "band_val")
+    b = kept.select(F.col(id_col).alias("vec_id_b"), "band", "band_val")
+    return (
+        a.join(b, on=["band", "band_val"])
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,

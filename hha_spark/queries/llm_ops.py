@@ -509,6 +509,84 @@ ORACLE_IVF_RECALL = f"""
 """
 
 
+EMB_LSH_TAU = 0.45
+
+
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup via random-hyperplane (SRP) LSH — the
+    bucketed scale path for cosine dedup: vectors sharing any 4-bit
+    signature band become candidates (bucket-capped), and only
+    candidates pay the exact-cosine verification. The synthetic corpus
+    has no true near-dups (max pairwise cosine ≈ 0.51), so the
+    threshold targets the similarity band that exists; at higher
+    similarity regimes the same operator tightens by raising
+    bits_per_band. Collision probability per band is
+    (1 - θ/π)^bits — the standard SRP guarantee."""
+    from hha_spark.operators.similarity import (
+        cosine_pairs_for,
+        hyperplane_bands,
+        hyperplane_candidate_pairs,
+        hyperplane_planes,
+    )
+
+    emb = _emb(spark, sf_dir).persist()
+    bands = hyperplane_bands(emb, hyperplane_planes(spark))
+    cand = hyperplane_candidate_pairs(bands)
+    return (
+        cosine_pairs_for(cand, emb)
+        .where(F.col("cosine") >= F.lit(EMB_LSH_TAU))
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )
+
+
+_HIGH_NIBBLE = "('8','9','a','b','c','d','e','f')"
+
+ORACLE_EMB_LSH = f"""
+    WITH el AS (
+      SELECT vec_id, i - 1 AS idx, embedding[i] AS v
+      FROM embeddings, range(1, {EMB_DIM} + 1) t(i)),
+    planes AS (
+      SELECT j, i,
+             CASE WHEN substr(md5('h' || j || '|' || i), 1, 1)
+                  IN {_HIGH_NIBBLE} THEN 1 ELSE -1 END AS s
+      FROM range(0, 16) t1(j), range(0, {EMB_DIM}) t2(i)),
+    bits AS (
+      SELECT vec_id, j,
+             CASE WHEN SUM(CAST(FLOOR(CAST(v AS DOUBLE) * {_Q}) AS BIGINT) * s) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM el JOIN planes ON el.idx = planes.i
+      GROUP BY vec_id, j),
+    bands AS (
+      SELECT vec_id, j // 4 AS band,
+             SUM(bit * CAST(CASE CAST(j % 4 AS INT)
+                            WHEN 0 THEN 1 WHEN 1 THEN 2
+                            WHEN 2 THEN 4 ELSE 8 END AS BIGINT)) AS band_val
+      FROM bits GROUP BY vec_id, j // 4),
+    ok AS (
+      SELECT band, band_val FROM bands GROUP BY band, band_val
+      HAVING COUNT(*) <= 64),
+    kept AS (SELECT b.* FROM bands b JOIN ok USING (band, band_val)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id),
+    dots AS (
+      SELECT p.vec_id_a, p.vec_id_b, {_DOT_SQL} AS dot
+      FROM cand p
+      JOIN el a ON a.vec_id = p.vec_id_a
+      JOIN el b ON b.vec_id = p.vec_id_b AND b.idx = a.idx
+      GROUP BY p.vec_id_a, p.vec_id_b),
+    norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq FROM el GROUP BY vec_id)
+    SELECT vec_id_a, vec_id_b,
+           dot / (sqrt(an.norm_sq) * sqrt(bn.norm_sq)) AS cosine
+    FROM dots
+    JOIN norms an ON an.vec_id = vec_id_a
+    JOIN norms bn ON bn.vec_id = vec_id_b
+    WHERE dot / (sqrt(an.norm_sq) * sqrt(bn.norm_sq)) >= {EMB_LSH_TAU}
+"""
+
+
 COSINE_PAIR_THRESHOLD = 0.25
 PAIR_ID_WINDOW = 25
 
@@ -787,6 +865,7 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_trained": ann_topk_ivf_trained,
     "ann_ivf_recall": ann_ivf_recall,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "embedding_cosine_pairs": embedding_cosine_pairs,
     "doc_array_features": doc_array_features,
     "corpus_vocabulary": corpus_vocabulary,
@@ -810,6 +889,7 @@ ORACLES = {
     "ann_topk_ivf": ORACLE_ANN_IVF,
     "ann_topk_ivf_trained": ORACLE_ANN_IVF_TRAINED,
     "ann_ivf_recall": ORACLE_IVF_RECALL,
+    "dedup_embedding_lsh": ORACLE_EMB_LSH,
     "embedding_cosine_pairs": ORACLE_COSINE_PAIRS,
     "doc_array_features": ORACLE_ARRAY,
     "corpus_vocabulary": ORACLE_VOCAB,

@@ -103,3 +103,31 @@ def test_ivf_full_probe_matches_brute_force(spark):
         ).collect()
     }
     assert approx == exact
+
+
+def test_hyperplane_lsh_catches_identical_vectors(spark):
+    from hha_spark.operators.similarity import (
+        hyperplane_bands,
+        hyperplane_candidate_pairs,
+        hyperplane_planes,
+    )
+
+    vecs = [
+        (1, [0.5, -0.2, 0.8]),
+        (2, [0.5, -0.2, 0.8]),     # identical -> same signature
+        (3, [1.0, 0.2, -0.8]),     # scaled/flipped mix, likely elsewhere
+        (4, [-0.5, 0.2, -0.8]),    # antipodal to 1 -> all bits flipped
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    planes = hyperplane_planes(spark, bits=16, dim=3)
+    bands = hyperplane_bands(df, planes)
+    sig = {}
+    for r in bands.collect():
+        sig.setdefault(r.vec_id, {})[r.band] = r.band_val
+    assert sig[1] == sig[2]                       # identical vecs collide fully
+    assert sig[1] != sig[4]                       # antipodal vecs differ
+    cand = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in hyperplane_candidate_pairs(bands).collect()
+    }
+    assert (1, 2) in cand
