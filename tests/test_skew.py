@@ -26,3 +26,24 @@ def test_salted_equals_direct_on_skewed_data(spark):
     }
     assert salted == direct
     assert len(direct) > 1 and direct[1] is not None
+
+
+def test_salted_join_row_identical_to_plain_join(spark):
+    from hha_spark.operators.skew import salted_join
+
+    # one hot key (90% of rows) + a long tail
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(1000)], "k long, v long"
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (20, "cold"), (30, "cold"), (999, "tail")], "k long, tag string"
+    )
+    plain = big.join(small, on="k").groupBy("k", "tag").count()
+    salted = salted_join(big, small, on=["k"], salt_buckets=8).groupBy(
+        "k", "tag"
+    ).count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join parity incl. non-matching rows
+    pl = big.join(small, on="k", how="left").count()
+    sl = salted_join(big, small, on=["k"], salt_buckets=8, how="left").count()
+    assert pl == sl == 1000
