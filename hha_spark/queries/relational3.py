@@ -279,12 +279,68 @@ ORACLE_SURVIVORS = """
 """
 
 
+# --- native session windows ------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # same gap as events_sessionize
+
+
+def events_session_window(spark, sf_dir):
+    """Per-user sessions via Spark's NATIVE session_window operator,
+    oracle-checked against the classic lag/cumsum SQL sessionization —
+    pinning that the native operator's merge semantics (window end =
+    last event + gap) match the textbook definition exactly. Unlike
+    the window-function formulation this shape also runs under
+    Structured Streaming with a watermark.
+
+    Timestamps stay exact: nanos -> integer micros -> timestamp_micros
+    -> unix_micros round-trips without any double conversion.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("t"), "user_id"
+    )
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("t", f"{SESSION_GAP_US} microseconds"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    l AS (
+      SELECT user_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                    OR ts_us - LAG(ts_us) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+    s AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l)
+    SELECT user_id,
+           CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+           CAST(MAX(ts_us) + {SESSION_GAP_US} AS BIGINT) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "stratified_sample_docs": stratified_sample_docs,
     "corpus_select_training": corpus_select_training,
     "dedup_survivors": dedup_survivors,
+    "events_session_window": events_session_window,
 }
 
 ORACLES = {
@@ -293,4 +349,5 @@ ORACLES = {
     "stratified_sample_docs": ORACLE_STRATIFIED,
     "corpus_select_training": ORACLE_CORPUS_SELECT,
     "dedup_survivors": ORACLE_SURVIVORS,
+    "events_session_window": ORACLE_SESSION_WINDOW,
 }

@@ -110,6 +110,48 @@ def _require(module: str, feature: str) -> None:
         ) from exc
 
 
+def _require_kafka(spark: SparkSession) -> None:
+    """Kafka needs the spark-sql-kafka runtime jar on the session
+    classpath; probe the JVM-side provider instead of a Python import."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception as exc:  # noqa: BLE001 - jar absent
+        raise NotImplementedError(
+            "Kafka support requires the spark-sql-kafka-0-10 jar, which is "
+            "not available in this environment"
+        ) from exc
+
+
+def read_kafka_stream(
+    spark: SparkSession, *, bootstrap: str, topic: str, starting: str = "latest"
+) -> DataFrame:
+    """Streaming Kafka source (key/value binary columns) — jar-gated."""
+    _require_kafka(spark)
+    return (  # pragma: no cover - jar-dependent
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting)
+        .load()
+    )
+
+
+def write_kafka_stream(
+    df: DataFrame, *, bootstrap: str, topic: str, checkpoint: str
+):
+    """Streaming Kafka sink (expects key/value columns) — jar-gated."""
+    _require_kafka(df.sparkSession)
+    return (  # pragma: no cover - jar-dependent
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
     """Delta Lake table read — stub until delta-spark jars are present."""
     _require("delta", "Delta Lake support")

@@ -84,3 +84,12 @@ def test_upsert_parquet_merges_by_key(spark, tmp_path):
     assert upsert_parquet(spark, delta, path, key_cols=["k"], schema=schema) == 4
     got = {(r.k, r.v) for r in spark.read.schema(schema).parquet(path).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+
+def test_kafka_stub_raises_cleanly(spark):
+    import pytest as _pytest
+
+    from hha_spark.sources.io import read_kafka_stream
+
+    with _pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        read_kafka_stream(spark, bootstrap="b:9092", topic="t")
