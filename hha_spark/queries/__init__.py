@@ -18,13 +18,22 @@ from hha_spark.queries import (
     relational,
     relational2,
     relational3,
+    relational4,
     spike_events,
     temporal,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (spike_events, relational, relational2, relational3, llm_ops, temporal)
+_MODULES = (
+    spike_events,
+    relational,
+    relational2,
+    relational3,
+    relational4,
+    llm_ops,
+    temporal,
+)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -75,6 +75,33 @@ def test_q3_q5_join_shapes(spark):
     assert p5.count("BroadcastHashJoin") >= 5
 
 
+def test_subquery_family_join_shapes(spark):
+    """The decorrelated TPC-H subquery family must keep its intended
+    physical shapes: EXISTS -> broadcast LeftSemi, NOT EXISTS ->
+    broadcast LeftAnti, scalar subquery -> broadcast 1-row join,
+    HAVING-semi-join top-k -> TakeOrderedAndProject. No sort-merge
+    join anywhere at this scale (every non-fact side is broadcastable)."""
+    import hha_spark.queries.relational4 as R4
+
+    sf = "/root/testdata/sf0.01"
+    p4 = plan_of(R4.q4_priority_returns(spark, sf))
+    assert "LeftSemi" in p4 and "SortMergeJoin" not in p4
+
+    p7 = plan_of(R4.q7_volume_shipping(spark, sf))
+    assert p7.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p7
+
+    p17 = plan_of(R4.q17_small_quantity_revenue(spark, sf))
+    assert "LeftSemi" in p17 and "SortMergeJoin" not in p17
+
+    p18 = plan_of(R4.q18_large_volume_customers(spark, sf))
+    assert "TakeOrderedAndProject" in p18
+    assert "SortMergeJoin" not in p18
+
+    p22 = plan_of(R4.q22_inactive_rich_customers(spark, sf))
+    assert "LeftAnti" in p22 and "SortMergeJoin" not in p22
+
+
 def test_gated_alerts_gates_are_broadcast(spark):
     """S8 gating must not shuffle the alert stream: watchlist gate is a
     broadcast LeftSemi, TTL dedup a broadcast LeftAnti."""
