@@ -1,0 +1,163 @@
+"""Connected components over a pair frame — dedup cluster canonicalization.
+
+Near-dup detection (MinHash-LSH, SimHash, embedding-LSH — see
+operators/dedup.py, operators/similarity.py) emits PAIRS, but a dedup
+pipeline keeps one document per transitive CLUSTER: if A~B and B~C,
+all three are one group even when A and C never collide. This
+operator closes the pair relation into components and labels every
+member with the component's minimum id — the canonical survivor key.
+
+Algorithm: iterated min-label propagation with path compression
+(pointer jumping), the textbook distributed-CC shape (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — the
+large-star/small-star family; this is its simple two-step variant):
+
+  label(v) := v
+  repeat:
+    label(v) := min(label(v), min over neighbors u of label(u))
+    label(v) := label(label(v))          # path compression
+  until no label changed
+
+Each round is two shuffles keyed on node ids: one neighbor-min
+aggregation over the (static) symmetric edge frame and one
+label-to-label join; path compression makes convergence logarithmic
+in component diameter rather than linear. The fixpoint check is a
+driver-side scalar (count of changed labels) — one tiny action per
+round, never a collect of data rows.
+
+Lineage MUST be truncated every round: each round's plan references
+the previous labels frame three times, so without truncation the
+logical plan grows 3^rounds and Catalyst planning time — not
+execution — dominates (measured: 1.8 s -> 126 s/round by round 4 on
+a 256-node graph with persist() alone). `localCheckpoint(eager=True)`
+materializes the round's labels and cuts the plan back to a leaf.
+On a multi-executor cluster prefer reliable `checkpoint()` (set
+`spark.sparkContext.setCheckpointDir`) — localCheckpoint pins blocks
+to executors and does not survive executor loss.
+
+Scale shape at 100 TB: the edge frame shuffles on (u) and the label
+frame on (node) every round; both are linear in |E| and |V|. Rounds
+are O(log d) for diameter d — near-dup graphs are dominated by dense
+small clusters (d tiny), so 3-5 rounds in practice. Peak state is the
+symmetric edge frame plus two label snapshots.
+
+Determinism: min() over ids — no randomness, no tie-break ambiguity;
+the result is the unique min-reachable-id labelling, which is what
+the DuckDB recursive-CTE oracle computes independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+DEFAULT_MAX_ROUNDS = 50
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_rounds: int = DEFAULT_MAX_ROUNDS,
+) -> DataFrame:
+    """(node, label) for every node incident to an edge; label is the
+    minimum node id reachable from the node (its component's id).
+
+    Raises RuntimeError if the fixpoint is not reached in
+    `max_rounds` — with path compression that means a component of
+    diameter ~2^max_rounds, i.e. corrupt input, not real data.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_rounds):
+            nbr_min = (
+                sym.join(
+                    labels.select(
+                        F.col("node").alias("v"), F.col("label").alias("vlabel")
+                    ),
+                    on="v",
+                )
+                .groupBy("u")
+                .agg(F.min("vlabel").alias("nmin"))
+            )
+            stepped = labels.join(
+                nbr_min, labels["node"] == nbr_min["u"], "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            # path compression: follow the label one hop (label(label))
+            compressed = (
+                stepped.join(
+                    labels.select(
+                        F.col("node").alias("label"),
+                        F.col("label").alias("parent"),
+                    ),
+                    on="label",
+                    how="left",
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("parent"), F.col("label"))
+                    ).alias("label"),
+                )
+                # truncate lineage — see module docstring; persist()
+                # alone leaves an exponentially-growing logical plan
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                compressed.join(
+                    labels.select("node", F.col("label").alias("old")), on="node"
+                )
+                .where(F.col("label") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = compressed
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    finally:
+        sym.unpersist()
+
+
+def cluster_members(
+    edges: DataFrame,
+    *,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    id_out: str = "doc_id",
+    cluster_out: str = "cluster_id",
+    size_out: str = "cluster_size",
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every clustered doc.
+
+    cluster_size rides a second aggregation + broadcastable join on
+    the label (cluster count ≪ node count), not a window — a window
+    over cluster_id would re-sort the node frame for a value the
+    aggregate already knows.
+    """
+    labels = connected_components(edges, src=src, dst=dst)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias(size_out))
+    return labels.join(F.broadcast(sizes), on="label").select(
+        F.col("node").alias(id_out),
+        F.col("label").alias(cluster_out),
+        F.col(size_out).cast("long").alias(size_out),
+    )

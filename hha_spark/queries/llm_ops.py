@@ -246,6 +246,40 @@ ORACLE_RECALL = f"""
 """
 
 
+def dedup_clusters(spark, sf_dir):
+    """Transitive closure of the verified MinHash-LSH near-dup pairs:
+    (doc_id, cluster_id, cluster_size) with cluster_id = min doc_id
+    reachable through the pair graph. Pairs are symptoms; CLUSTERS are
+    what a dedup pipeline acts on (keep min-id, drop the rest) — A~B
+    and B~C must collapse to one group even when A and C never collide
+    in any LSH band. Iterated min-label propagation with path
+    compression (operators/cluster.py); the oracle recomputes the same
+    labelling via a recursive-CTE reachability closure."""
+    from hha_spark.operators.cluster import cluster_members
+
+    pairs = _minhash_lsh_from(with_token_set(_docs(spark, sf_dir))).select(
+        "doc_id_a", "doc_id_b"
+    )
+    return cluster_members(pairs)
+
+
+ORACLE_CLUSTERS = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_id_a, doc_id_b FROM ({ORACLE_MINHASH})),
+    e AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+          UNION SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e2.u, reach.r FROM e e2 JOIN reach ON e2.v = reach.node),
+    labels AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM labels GROUP BY cluster_id)
+    SELECT node AS doc_id, cluster_id, cluster_size
+    FROM labels JOIN sizes USING (cluster_id)
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     docs = with_token_set(_docs(spark, sf_dir))
     hashes = simhash16(docs)
@@ -860,6 +894,7 @@ QUERIES = {
     "dedup_trigram_jaccard": dedup_trigram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_recall": dedup_minhash_recall,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf": ann_topk_ivf,
@@ -884,6 +919,7 @@ ORACLES = {
     "dedup_trigram_jaccard": ORACLE_TRIGRAM,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_minhash_recall": ORACLE_RECALL,
+    "dedup_clusters": ORACLE_CLUSTERS,
     "dedup_simhash": ORACLE_SIMHASH,
     "ann_topk_cosine": ORACLE_ANN,
     "ann_topk_ivf": ORACLE_ANN_IVF,
