@@ -121,3 +121,68 @@ def range_join_pairs(
         )
         .select(*by, "a_id", "b_id", "a_ts", "b_ts")
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Downsample to fixed time buckets, densify gaps, forward-fill.
+
+    The time-series resample every monitoring/feature pipeline needs:
+
+      1. bucket: bucket_idx = ts DIV bucket_us — pure integer
+         arithmetic, timezone-free (calendar rendering is the
+         caller's concern);
+      2. last-in-bucket: row_number over (key, bucket) ordered by
+         (ts DESC, tie DESC) — a deterministic pick, not an
+         engine-defined arg_max tie-break;
+      3. densify: per-key integer sequence(min_bucket, max_bucket)
+         exploded into the full grid — grid size is bounded by
+         keys x retention, never by raw event count;
+      4. forward-fill: last(value, ignoreNulls) over an unbounded-
+         preceding frame per key.
+
+    Output: (key, bucket_idx, value_filled, is_observed).
+
+    Scale shape: one (key, bucket) shuffle for the pick, one (key)
+    shuffle shared by the span aggregation and the fill window; the
+    grid-to-observation join arrives co-partitioned on the same key.
+    No global window, no Python. Skewed keys are bounded by
+    retention (a key emits at most span/bucket_us grid rows).
+    """
+    bucket = (F.col(ts_col) - F.col(ts_col) % F.lit(bucket_us)) / F.lit(bucket_us)
+    w_pick = Window.partitionBy(key, "bucket_idx").orderBy(
+        F.desc(ts_col), F.desc(tie_col)
+    )
+    obs = (
+        df.withColumn("bucket_idx", bucket.cast("long"))
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .select(key, "bucket_idx", value_col)
+    )
+    span = obs.groupBy(key).agg(
+        F.min("bucket_idx").alias("_lo"), F.max("bucket_idx").alias("_hi")
+    )
+    grid = span.select(
+        key, F.explode(F.sequence("_lo", "_hi")).alias("bucket_idx")
+    )
+    w_fill = (
+        Window.partitionBy(key)
+        .orderBy("bucket_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, on=[key, "bucket_idx"], how="left")
+        .select(
+            key,
+            "bucket_idx",
+            F.last(value_col, ignorenulls=True).over(w_fill).alias("value_filled"),
+            F.col(value_col).isNotNull().alias("is_observed"),
+        )
+    )

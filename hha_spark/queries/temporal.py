@@ -94,12 +94,70 @@ ORACLE_RANGE = f"""
 """
 
 
+DAY_US = 86_400_000_000
+
+
+def events_resample_daily(spark, sf_dir):
+    """Daily purchase-value series per user, gap-filled: downsample to
+    the last purchase of each day (deterministic tie-break), densify
+    the user's day span into a complete grid, forward-fill quiet days.
+    Day arithmetic is integer days-since-epoch (timezone-free in both
+    engines); the calendar string is rendered only at the edge."""
+    from hha_spark.operators.temporal import resample_ffill
+
+    ev = _events_us(spark, sf_dir).where(F.col("event_type") == "purchase")
+    out = resample_ffill(
+        ev, key="user_id", ts_col="ts_us", value_col="value",
+        tie_col="event_id", bucket_us=DAY_US,
+    )
+    return out.select(
+        "user_id",
+        "bucket_idx",
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("bucket_idx").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "value_filled",
+        "is_observed",
+    )
+
+
+ORACLE_RESAMPLE = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+      FROM events WHERE event_type = 'purchase'),
+    b AS (
+      SELECT user_id, ts_us // 86400000000 AS bucket_idx, value,
+             row_number() OVER (PARTITION BY user_id, ts_us // 86400000000
+                                ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM ev),
+    obs AS (SELECT user_id, bucket_idx, value FROM b WHERE rn = 1),
+    span AS (SELECT user_id, MIN(bucket_idx) AS lo, MAX(bucket_idx) AS hi
+             FROM obs GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bucket_idx
+             FROM span),
+    j AS (SELECT g.user_id, g.bucket_idx, o.value,
+                 o.value IS NOT NULL AS is_observed
+          FROM grid g LEFT JOIN obs o USING (user_id, bucket_idx))
+    SELECT user_id, CAST(bucket_idx AS BIGINT) AS bucket_idx,
+           strftime(DATE '1970-01-01' + CAST(bucket_idx AS INT), '%Y-%m-%d')
+               AS day,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           is_observed
+    FROM j
+"""
+
+
 QUERIES = {
     "events_asof_last_purchase": events_asof_last_purchase,
     "events_pairs_within_30min": events_pairs_within_30min,
+    "events_resample_daily": events_resample_daily,
 }
 
 ORACLES = {
     "events_asof_last_purchase": ORACLE_ASOF,
     "events_pairs_within_30min": ORACLE_RANGE,
+    "events_resample_daily": ORACLE_RESAMPLE,
 }
