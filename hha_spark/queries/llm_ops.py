@@ -768,6 +768,164 @@ ORACLE_TOKEN_COUNT = f"""
 """
 
 
+CONTAM_N = 4  # shingle width: real pipelines use 8-13-gram windows;
+# 4 matches this synthetic corpus's collision scale (19 hits at
+# sf0.01 vs 1 for 5-grams, half the corpus for 3-grams)
+
+
+def benchmark_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: which training documents share an
+    n-gram with the held-out benchmark slice (doc_id % 50 == 0 stands
+    in for the eval set)? The decontamination pass every pretraining
+    pipeline runs before training.
+
+    Scale shape: the benchmark gram set is small by construction
+    (eval sets are thousands of docs, not billions), so it BROADCASTS
+    to the training postings — the 100-TB training side never
+    shuffles; each partition filters its grams against the broadcast
+    hash locally and only hits reach the per-doc count aggregation.
+    """
+    docs = with_shingle_set(_docs(spark, sf_dir), n=CONTAM_N, out_col="grams")
+    bench_grams = (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = docs.where(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    # grams are distinct per doc and in the benchmark set, so the join
+    # multiplicity is exactly one per (doc, shared gram)
+    return (
+        train.join(F.broadcast(bench_grams), on="gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+_GRAM_PARTS = " || ' ' || ".join(f"toks[i + {k}]" for k in range(CONTAM_N))
+_GRAMS_N = f"""
+      CASE WHEN len(toks) >= {CONTAM_N} THEN
+        list_distinct(list_transform(generate_series(1, len(toks) - {CONTAM_N - 1}),
+          i -> {_GRAM_PARTS}))
+      ELSE [] END
+"""
+
+ORACLE_CONTAMINATION = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, {_GRAMS_N} AS grams FROM t),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
+              WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, unnest(grams) AS gram FROM sh
+              WHERE doc_id % 50 <> 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM train JOIN bench USING (gram)
+    GROUP BY doc_id
+"""
+
+
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics per document: duplicate-token
+    fraction and the fraction of the text covered by the most frequent
+    token / bigram. High values flag boilerplate and degenerate docs
+    before they reach training.
+
+    Two explode->count aggregations (token, bigram), each keyed on
+    (doc_id, term) — map-side combinable, no per-doc quadratic array
+    scans — then a per-doc max and one join back to the doc stats.
+    Fractions are single IEEE divisions of exact integers, identical
+    across engines.
+    """
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    base = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+    top_tok = (
+        t.select("doc_id", F.explode("toks").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_token_cnt"))
+    )
+    bigrams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    top_bg = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_cnt"))
+    )
+    return (
+        base.join(top_tok, on="doc_id")
+        .join(top_bg, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "top_token_cnt",
+            F.coalesce("top_bigram_cnt", F.lit(0)).cast("long").alias("top_bigram_cnt"),
+            (F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens")).alias(
+                "dup_token_frac"
+            ),
+            (F.col("top_token_cnt") / F.col("n_tokens")).alias("top_token_frac"),
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.coalesce("top_bigram_cnt", F.lit(0))
+                / (F.col("n_tokens") - F.lit(1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+ORACLE_REPETITION = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+             FROM t),
+    tcnt AS (SELECT doc_id, MAX(c) AS top_token_cnt
+             FROM (SELECT doc_id, tk, COUNT(*) AS c
+                   FROM (SELECT doc_id, unnest(toks) AS tk FROM t)
+                   GROUP BY doc_id, tk)
+             GROUP BY doc_id),
+    bcnt AS (SELECT doc_id, MAX(c) AS top_bigram_cnt
+             FROM (SELECT doc_id, g, COUNT(*) AS c
+                   FROM (SELECT doc_id,
+                                unnest(CASE WHEN len(toks) >= 2 THEN
+                                  list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                                ELSE [] END) AS g
+                         FROM t)
+                   GROUP BY doc_id, g)
+             GROUP BY doc_id)
+    SELECT base.doc_id, n_tokens, n_distinct,
+           CAST(top_token_cnt AS BIGINT) AS top_token_cnt,
+           CAST(COALESCE(top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+           1.0 - n_distinct / n_tokens AS dup_token_frac,
+           top_token_cnt / n_tokens AS top_token_frac,
+           CASE WHEN n_tokens >= 2
+                THEN COALESCE(top_bigram_cnt, 0) / (n_tokens - 1)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM base
+    JOIN tcnt ON base.doc_id = tcnt.doc_id
+    LEFT JOIN bcnt ON base.doc_id = bcnt.doc_id
+"""
+
+
 def doc_array_features(spark, sf_dir):
     """Array-function family coverage: sort/slice/contains/positions
     over the token arrays (array outputs are flattened to strings so
@@ -910,6 +1068,8 @@ QUERIES = {
     "text_quality": text_quality,
     "doc_fingerprint": doc_fingerprint,
     "text_token_count": text_token_count,
+    "benchmark_contamination": benchmark_contamination,
+    "text_repetition": text_repetition,
     "multimodal_blob_stats": multimodal_blob_stats,
 }
 
@@ -935,5 +1095,7 @@ ORACLES = {
     "text_quality": ORACLE_QUALITY,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "text_token_count": ORACLE_TOKEN_COUNT,
+    "benchmark_contamination": ORACLE_CONTAMINATION,
+    "text_repetition": ORACLE_REPETITION,
     "multimodal_blob_stats": ORACLE_BLOB,
 }
