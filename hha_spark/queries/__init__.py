@@ -19,6 +19,7 @@ from hha_spark.queries import (
     relational2,
     relational3,
     relational4,
+    relational5,
     spike_events,
     temporal,
 )
@@ -31,6 +32,7 @@ _MODULES = (
     relational2,
     relational3,
     relational4,
+    relational5,
     llm_ops,
     temporal,
 )
