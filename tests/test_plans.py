@@ -109,3 +109,25 @@ def test_gated_alerts_gates_are_broadcast(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    """The training side must never shuffle: the (small) benchmark
+    gram set broadcasts into the training postings."""
+    import hha_spark.queries.llm_ops as L
+
+    plan = plan_of(L.benchmark_contamination(spark, "/root/testdata/sf0.01"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_resample_windows_are_key_partitioned(spark):
+    """Both resample windows (last-in-bucket pick, forward fill) must
+    be partitioned — a global Window would serialize the series."""
+    import hha_spark.queries.temporal as T
+
+    plan = plan_of(T.events_resample_daily(spark, "/root/testdata/sf0.01"))
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert windows, "expected partitioned Windows in the resample plan"
+    for ln in windows:
+        assert ln.count("], [") >= 2, f"unpartitioned Window in plan: {ln}"
