@@ -203,3 +203,29 @@ def test_full_cycle_with_cross_cycle_dedup(spark, tmp_path):
     )
     assert len(rules3) == 1
     assert rules3[0]["sum_val"] == 8000  # baseline in the sum_val slot
+
+
+def test_binary_file_ingest_feeds_blob_stats(spark, tmp_path):
+    """binaryFile source -> opaque blob column -> Arrow-batched stats:
+    the multimodal ingest front door, end to end."""
+    import hashlib
+
+    from hha_spark.operators.multimodal import blob_stats
+    from hha_spark.sources.io import read_binary_files
+
+    payloads = {7: b"\x89PNG-fake-bytes", 42: b"RIFF-fake-audio-payload"}
+    media = tmp_path / "media"
+    media.mkdir()
+    for doc_id, blob in payloads.items():
+        (media / f"{doc_id}.bin").write_bytes(blob)
+    (media / "ignore.txt").write_bytes(b"not matched by the glob")
+
+    df = read_binary_files(spark, str(media), glob="*.bin")
+    rows = {r.doc_id: r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    assert rows[7].n_bytes == len(payloads[7])
+
+    stats = {r.doc_id: r for r in blob_stats(df).collect()}
+    for doc_id, blob in payloads.items():
+        assert stats[doc_id].n_bytes == len(blob)
+        assert stats[doc_id].blob_md5 == hashlib.md5(blob).hexdigest()
