@@ -196,11 +196,133 @@ ORACLE_CORR = f"""
 """
 
 
+# --- analytic-window suite --------------------------------------------------
+
+_WIN = "PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey"
+_RANGE_WIN = (
+    "PARTITION BY c_nationkey ORDER BY c_acctbal "
+    "RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING"
+)
+
+
+def customer_window_suite(spark, sf_dir):
+    """The analytic-window functions not yet pinned elsewhere:
+    percent_rank / cume_dist (tie-stable — they depend on key counts,
+    not row order), nth_value over a fully-deterministic ordering, and
+    a value-RANGE frame (peers within +-100.0 balance). The range-
+    frame aggregate is COUNT (exact integer) and an exact decimal SUM
+    — never a raw float sum whose within-frame order could differ.
+    All windows are nation-partitioned; no global window."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.expr(f"percent_rank() OVER ({_WIN})").alias("bal_pct_rank"),
+        F.expr(f"cume_dist() OVER ({_WIN})").alias("bal_cume_dist"),
+        F.expr(f"nth_value(c_name, 2) OVER ({_WIN} "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+               ).alias("second_poorest_name"),
+        F.expr(f"CAST(COUNT(*) OVER ({_RANGE_WIN}) AS BIGINT)").alias(
+            "n_balance_peers"
+        ),
+        F.expr(
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) "
+            f"OVER ({_RANGE_WIN}) AS DOUBLE)"
+        ).alias("peer_balance_sum"),
+    )
+
+
+ORACLE_WINDOW_SUITE = f"""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           percent_rank() OVER ({_WIN}) AS bal_pct_rank,
+           cume_dist() OVER ({_WIN}) AS bal_cume_dist,
+           nth_value(c_name, 2) OVER ({_WIN}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_poorest_name,
+           CAST(COUNT(*) OVER ({_RANGE_WIN}) AS BIGINT) AS n_balance_peers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER ({_RANGE_WIN})
+                AS DOUBLE) AS peer_balance_sum
+    FROM customer
+"""
+
+
+# --- explicit cross join ----------------------------------------------------
+
+
+def region_pair_matrix(spark, sf_dir):
+    """All ordered region pairs — the one legitimate cross join: both
+    sides are tiny dimensions (|R|^2 rows), so the cartesian product
+    is a deliberate, bounded matrix build, not an accident. Any fact
+    table on either side would make this shape wrong."""
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    a = r.select(F.col("r_regionkey").alias("key_a"), F.col("r_name").alias("name_a"))
+    b = r.select(F.col("r_regionkey").alias("key_b"), F.col("r_name").alias("name_b"))
+    return a.crossJoin(b).select(
+        "key_a", "key_b", F.concat_ws("->", "name_a", "name_b").alias("route")
+    )
+
+
+ORACLE_CROSS = """
+    SELECT a.r_regionkey AS key_a, b.r_regionkey AS key_b,
+           a.r_name || '->' || b.r_name AS route
+    FROM region a CROSS JOIN region b
+"""
+
+
+# --- fuzzy matching (entity resolution) ------------------------------------
+
+FUZZY_MAX_DIST = 3
+
+
+def part_name_fuzzy_pairs(spark, sf_dir):
+    """Near-identical part names within a brand: blocked self-join +
+    Levenshtein threshold — the entity-resolution primitive. The
+    brand block bounds each join cell (all-pairs only within a brand,
+    never across the catalog); at 100 TB the block key would be a
+    coarser signature (sorted tokens, phonetic key) chosen so blocks
+    stay small. Distance runs JVM-side on already-joined pairs."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, on="brand")
+        .where(F.col("part_a") < F.col("part_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .where(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .where(F.col("name_a") != F.col("name_b"))  # exact dups are dedup's job
+        .select("brand", "part_a", "part_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+ORACLE_FUZZY = f"""
+    SELECT a.p_brand AS brand, a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+      AND a.p_name <> b.p_name
+"""
+
+
 QUERIES = {
     "daily_activity_fulljoin": daily_activity_fulljoin,
     "orders_grouping_sets": orders_grouping_sets,
     "lineitem_measures_unpivot": lineitem_measures_unpivot,
     "lineitem_price_qty_corr": lineitem_price_qty_corr,
+    "customer_window_suite": customer_window_suite,
+    "region_pair_matrix": region_pair_matrix,
+    "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
 }
 
 ORACLES = {
@@ -208,4 +330,7 @@ ORACLES = {
     "orders_grouping_sets": ORACLE_GROUPING_SETS,
     "lineitem_measures_unpivot": ORACLE_UNPIVOT,
     "lineitem_price_qty_corr": ORACLE_CORR,
+    "customer_window_suite": ORACLE_WINDOW_SUITE,
+    "region_pair_matrix": ORACLE_CROSS,
+    "part_name_fuzzy_pairs": ORACLE_FUZZY,
 }
