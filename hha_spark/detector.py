@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from hha_spark.config import DetectorParams
 from hha_spark.operators.spike import detect_spikes
@@ -38,8 +39,17 @@ def run_cycle(
     params: DetectorParams | None = None,
     zones: DataFrame | None = None,
     now: int | None = None,
+    metrics_out: dict | None = None,
 ) -> list[dict]:
-    """Execute one detection cycle; returns the emitted rules."""
+    """Execute one detection cycle; returns the emitted rules.
+
+    Pass `metrics_out={}` to collect cycle observability for free:
+    `Observation` nodes piggyback on the plan the cycle already
+    executes (no extra scan, no extra job — the executor-side
+    accumulators fill during the rule materialization), recording
+    input volume, the observed time span, and alert counts per scope.
+    This is the Spark-native replacement for the reference's stage
+    timers + print statements (hha.py stage timing)."""
     p = params or DetectorParams()
     now = int(time.time()) if now is None else now
 
@@ -57,10 +67,29 @@ def run_cycle(
     lower = hour_start - (p.history_hours - 1) * 3600 - 1
     hist = read_window(spark, data_root, lower=lower, upper=now + 1)
 
+    obs_in = obs_alerts = None
+    if metrics_out is not None:
+        obs_in = Observation("cycle_input")
+        hist = hist.observe(
+            obs_in,
+            F.count(F.lit(1)).alias("n_hist_rows"),
+            F.min("timestamp").alias("min_ts"),
+            F.max("timestamp").alias("max_ts"),
+        )
+
     prior = recent_alerts(spark, alerts_path, now=now, ttl_sec=p.limit_detect_time_sec)
     alerts = detect_spikes(
         hist, params=p, now=now, zones=zones, prior_alerts=prior
     )
+    if obs_alerts is None and metrics_out is not None:
+        obs_alerts = Observation("cycle_alerts")
+    if obs_alerts is not None:
+        alerts = alerts.observe(
+            obs_alerts,
+            F.count(F.lit(1)).alias("n_alerts"),
+            F.sum((F.col("scope") == "ip").cast("long")).alias("n_ip_alerts"),
+            F.sum((F.col("scope") == "net").cast("long")).alias("n_net_alerts"),
+        )
     alerts = alerts.persist()
     try:
         # materialize BEFORE appending: the TTL anti-join reads the
@@ -70,6 +99,9 @@ def run_cycle(
         # suppress every alert just raised
         rules = collect_rules(alerts)
         append_alerts(alerts, alerts_path, detected_at=now)
+        if metrics_out is not None:
+            metrics_out.update(obs_in.get)
+            metrics_out.update(obs_alerts.get)
         return rules
     finally:
         alerts.unpersist()

@@ -205,6 +205,27 @@ def test_full_cycle_with_cross_cycle_dedup(spark, tmp_path):
     assert rules3[0]["sum_val"] == 8000  # baseline in the sum_val slot
 
 
+def test_cycle_observation_metrics(spark, tmp_path):
+    """metrics_out piggybacks Observation nodes on the cycle's own
+    plan: input volume, time span, per-scope alert counts."""
+    data_root = str(tmp_path / "hist")
+    alerts_path = str(tmp_path / "alerts")
+    rows = [(NOW - 10, 65, 11, 8000, IP), (NOW - 10, 65, 11, 8000, IP)]
+    write_partitioned(hist_rows(spark, rows), data_root)
+    metrics: dict = {}
+    rules = run_cycle(
+        spark, data_root=data_root, alerts_path=alerts_path,
+        params=DetectorParams(), zones=zones_from_ints(spark, [IP]),
+        now=NOW, metrics_out=metrics,
+    )
+    assert len(rules) == 1
+    assert metrics["n_hist_rows"] == 2
+    assert metrics["min_ts"] == metrics["max_ts"] == NOW - 10
+    assert metrics["n_alerts"] == 1
+    assert metrics["n_ip_alerts"] == 1
+    assert metrics["n_net_alerts"] == 0
+
+
 def test_binary_file_ingest_feeds_blob_stats(spark, tmp_path):
     """binaryFile source -> opaque blob column -> Arrow-batched stats:
     the multimodal ingest front door, end to end."""
