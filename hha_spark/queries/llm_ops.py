@@ -926,6 +926,60 @@ ORACLE_REPETITION = """
 """
 
 
+def embedding_hof_features(spark, sf_dir):
+    """Higher-order-function family over the embedding arrays —
+    zip_with / aggregate (fold) / filter / exists / transform+slice —
+    all JVM-side lambda expressions inside whole-stage codegen, the
+    idiomatic alternative to exploding 64 rows per vector for
+    per-element math.
+
+    Determinism: every folded sum is over floor-quantized BIGINTs
+    (the similarity.py picounit contract) — both engines fold exact
+    integers, so accumulation order can't leak rounding. The oracle
+    writes zip_with(e, e, a*b) as v*v (DuckDB's list_zip yields
+    structs, not pairwise arithmetic) — identical values by
+    definition."""
+    q = "1000000000000"
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            f"aggregate(zip_with(embedding, embedding, (a, b) -> "
+            f"CAST(FLOOR(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) * {q}) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("self_dot_q"),
+        F.expr(
+            f"aggregate(transform(embedding, v -> "
+            f"CAST(FLOOR(ABS(CAST(v AS DOUBLE)) * {q}) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("l1_q"),
+        F.expr("CAST(size(filter(embedding, v -> v > 0)) AS BIGINT)").alias(
+            "n_pos"
+        ),
+        F.expr("exists(embedding, v -> ABS(v) > 0.3)").alias("has_big"),
+        F.expr(
+            "concat_ws(',', transform(slice(embedding, 1, 3), "
+            "v -> CAST(CAST(FLOOR(CAST(v AS DOUBLE) * 100) AS BIGINT) AS STRING)))"
+        ).alias("head3_centi"),
+    )
+
+
+ORACLE_HOF = f"""
+    SELECT vec_id,
+           list_aggregate(list_transform(embedding, v ->
+             CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                        * {_Q}) AS BIGINT)), 'sum') AS self_dot_q,
+           list_aggregate(list_transform(embedding, v ->
+             CAST(FLOOR(ABS(CAST(v AS DOUBLE)) * {_Q}) AS BIGINT)), 'sum')
+               AS l1_q,
+           CAST(len(list_filter(embedding, v -> v > 0)) AS BIGINT) AS n_pos,
+           len(list_filter(embedding, v -> ABS(v) > 0.3)) > 0 AS has_big,
+           array_to_string(list_transform(embedding[1:3], v ->
+             CAST(CAST(FLOOR(CAST(v AS DOUBLE) * 100) AS BIGINT) AS VARCHAR)),
+             ',') AS head3_centi
+    FROM embeddings
+"""
+
+
 def doc_array_features(spark, sf_dir):
     """Array-function family coverage: sort/slice/contains/positions
     over the token arrays (array outputs are flattened to strings so
@@ -1061,6 +1115,7 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "embedding_cosine_pairs": embedding_cosine_pairs,
     "doc_array_features": doc_array_features,
+    "embedding_hof_features": embedding_hof_features,
     "corpus_vocabulary": corpus_vocabulary,
     "doc_top_terms": doc_top_terms,
     "text_stats_docs": text_stats_docs,
@@ -1088,6 +1143,7 @@ ORACLES = {
     "dedup_embedding_lsh": ORACLE_EMB_LSH,
     "embedding_cosine_pairs": ORACLE_COSINE_PAIRS,
     "doc_array_features": ORACLE_ARRAY,
+    "embedding_hof_features": ORACLE_HOF,
     "corpus_vocabulary": ORACLE_VOCAB,
     "doc_top_terms": ORACLE_TOP_TERMS,
     "text_stats_docs": ORACLE_TEXT_STATS,
