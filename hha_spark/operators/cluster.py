@@ -69,9 +69,19 @@ def connected_components(
     `max_rounds` — with path compression that means a component of
     diameter ~2^max_rounds, i.e. corrupt input, not real data.
     """
+    # single-pass symmetrization: a union of two projections would
+    # evaluate the (possibly expensive) edge pipeline twice; exploding
+    # both orientations from one row reads it once
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
