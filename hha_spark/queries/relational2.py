@@ -271,68 +271,18 @@ ORACLE_GAPS = """
 
 # --- ntile -----------------------------------------------------------------
 
-QUARTILE_PARTS = 32  # range partitions for the distributed rank
-
-
 def customer_balance_quartiles(spark, sf_dir):
-    """NTILE(4) over all customers WITHOUT a single-partition window.
+    """NTILE(4) over all customers WITHOUT a single-partition window —
+    via operators/rank.py::distributed_ntile (range-repartitioned
+    global rank + exact NTILE arithmetic; see that module for the
+    scale argument). Hash-identical to the NTILE oracle because the
+    ordering (c_acctbal DESC, c_custkey) is a total order."""
+    from hha_spark.operators.rank import distributed_ntile
 
-    A bare `Window.orderBy(...)` funnels the whole table through one
-    task — correct at sf0.1, a scale-killer at 100 TB. Instead this
-    computes a distributed global rank and applies NTILE's exact
-    split arithmetic:
-
-      1. range-repartition on the ordering key (distributed sort —
-         partition i holds ranks strictly before partition i+1)
-      2. row_number within each partition (parallel windows, keyed by
-         spark_partition_id)
-      3. per-partition counts -> prefix-sum offsets (P rows, a tiny
-         inequality self-join — no driver collect, no global window)
-      4. global rank = local rank + offset; NTILE(k) assigns the
-         first n%k tiles ceil(n/k) rows and the rest floor(n/k):
-         rank <= rem*(q+1)  ->  (rank-1) DIV (q+1) + 1
-         else               ->  rem + (rank-1-rem*(q+1)) DIV q + 1
-
-    Two shuffles (range partition + pid window) and two broadcast
-    joins of metadata-sized frames; nothing single-threaded grows
-    with the table. Hash-identical to the NTILE oracle because the
-    ordering (c_acctbal DESC, c_custkey) is a total order.
-    """
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    ranged = cust.repartitionByRange(
-        QUARTILE_PARTS, F.desc("c_acctbal"), F.asc("c_custkey")
-    ).withColumn("pid", F.spark_partition_id())
-    w = Window.partitionBy("pid").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    local = ranged.withColumn("lr", F.row_number().over(w).cast("long"))
-
-    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    a, b = counts.alias("a"), counts.alias("b")
-    offsets = (
-        a.join(F.broadcast(b), F.col("b.pid") < F.col("a.pid"), "left")
-        .groupBy(F.col("a.pid").alias("pid"), F.col("a.cnt").alias("cnt"))
-        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("off"))
-    )
-    total = offsets.agg(F.sum("cnt").alias("n"))
-
-    ranked = (
-        local.join(F.broadcast(offsets.select("pid", "off")), on="pid")
-        .join(F.broadcast(total))
-        .withColumn("r", F.col("lr") + F.col("off"))
-    )
-    # exact integer arithmetic end-to-end (DIV, no doubles): the else
-    # branch's DIV (n DIV 4) is only reachable when n >= 4 because for
-    # n < 4 the head covers all n rows, and CASE evaluates lazily
-    quartile = F.expr(
-        "CASE WHEN r <= (n % 4) * (n DIV 4 + 1)"
-        "     THEN (r - 1) DIV (n DIV 4 + 1) + 1"
-        "     ELSE n % 4 + (r - 1 - (n % 4) * (n DIV 4 + 1)) DIV (n DIV 4) + 1 "
-        "END"
-    )
-    return ranked.select(
-        "c_custkey",
-        "c_acctbal",
-        quartile.cast("long").alias("quartile"),
-    )
+    return distributed_ntile(
+        cust, [F.desc("c_acctbal"), F.asc("c_custkey")], 4, out="quartile"
+    ).select("c_custkey", "c_acctbal", "quartile")
 
 
 ORACLE_NTILE = """

@@ -356,6 +356,53 @@ ORACLE_FUZZY = f"""
 """
 
 
+# --- equi-depth histogram ---------------------------------------------------
+
+
+def lineitem_price_deciles(spark, sf_dir):
+    """Equi-depth (decile) histogram of extended price — the
+    complement of the fixed-width `events_value_histogram`: bucket
+    EDGES adapt so each holds n/10 rows. Built on the distributed
+    NTILE operator (operators/rank.py — range-partitioned global rank,
+    no single-partition window), then one 10-key aggregation for the
+    per-bucket count/lo/hi/mass. The ordering carries (orderkey,
+    linenumber) as the unique tiebreak that makes the tile assignment
+    a total order, hash-identical to SQL NTILE."""
+    from hha_spark.operators.rank import distributed_ntile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    tiled = distributed_ntile(
+        li,
+        [F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        10,
+        out="decile",
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        dec_sum("l_extendedprice", out="bucket_mass"),
+    )
+
+
+ORACLE_DECILES = """
+    WITH tiled AS (
+      SELECT l_extendedprice,
+             NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) AS decile
+      FROM lineitem)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS bucket_mass
+    FROM tiled GROUP BY decile
+"""
+
+
 QUERIES = {
     "daily_activity_fulljoin": daily_activity_fulljoin,
     "orders_grouping_sets": orders_grouping_sets,
@@ -364,6 +411,7 @@ QUERIES = {
     "customer_window_suite": customer_window_suite,
     "region_pair_matrix": region_pair_matrix,
     "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
+    "lineitem_price_deciles": lineitem_price_deciles,
 }
 
 ORACLES = {
@@ -374,4 +422,5 @@ ORACLES = {
     "customer_window_suite": ORACLE_WINDOW_SUITE,
     "region_pair_matrix": ORACLE_CROSS,
     "part_name_fuzzy_pairs": ORACLE_FUZZY,
+    "lineitem_price_deciles": ORACLE_DECILES,
 }
