@@ -403,6 +403,54 @@ ORACLE_DECILES = """
 """
 
 
+# --- data-quality expectations ---------------------------------------------
+
+
+def dq_orders_report(spark, sf_dir):
+    """Expectation gate over orders (operators/dq.py): every row-local
+    rule is a conditional sum in ONE scan; the referential rule
+    (custkey resolves in customer) is a broadcast anti-join count.
+    The one-row report is what a pipeline gate thresholds on."""
+    from hha_spark.operators.dq import dq_report
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return dq_report(
+        orders,
+        [
+            ("key_not_null", F.col("o_orderkey").isNotNull()),
+            ("price_positive", F.col("o_totalprice") > 0),
+            ("status_known", F.col("o_orderstatus").isin("O", "F", "P")),
+            (
+                "date_in_range",
+                (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp_ntz")),
+            ),
+        ],
+        ref_checks=[("orphan_custkey", "o_custkey", cust, "c_custkey")],
+    )
+
+
+ORACLE_DQ = """
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+          AS viol_key_not_null,
+      CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END)
+          AS BIGINT) AS viol_price_positive,
+      CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+               THEN 0 ELSE 1 END) AS BIGINT) AS viol_status_known,
+      CAST(SUM(CASE WHEN COALESCE(o_orderdate >= TIMESTAMP '1992-01-01'
+                         AND o_orderdate < TIMESTAMP '2000-01-01', FALSE)
+               THEN 0 ELSE 1 END) AS BIGINT) AS viol_date_in_range,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey))
+          AS viol_orphan_custkey
+    FROM orders
+"""
+
+
 QUERIES = {
     "daily_activity_fulljoin": daily_activity_fulljoin,
     "orders_grouping_sets": orders_grouping_sets,
@@ -412,6 +460,7 @@ QUERIES = {
     "region_pair_matrix": region_pair_matrix,
     "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
     "lineitem_price_deciles": lineitem_price_deciles,
+    "dq_orders_report": dq_orders_report,
 }
 
 ORACLES = {
@@ -423,4 +472,5 @@ ORACLES = {
     "region_pair_matrix": ORACLE_CROSS,
     "part_name_fuzzy_pairs": ORACLE_FUZZY,
     "lineitem_price_deciles": ORACLE_DECILES,
+    "dq_orders_report": ORACLE_DQ,
 }
