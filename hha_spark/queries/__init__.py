@@ -20,6 +20,7 @@ from hha_spark.queries import (
     relational3,
     relational4,
     relational5,
+    relational6,
     spike_events,
     temporal,
 )
@@ -33,6 +34,7 @@ _MODULES = (
     relational3,
     relational4,
     relational5,
+    relational6,
     llm_ops,
     temporal,
 )

@@ -1,0 +1,437 @@
+"""Sixth coverage batch: the rest of the TPC-H analogue suite.
+
+relational4.py covered the correlated-subquery family (Q4/Q7/Q12/Q14/
+Q17/Q18/Q21/Q22); this batch completes every TPC-H query shape the
+test schema can express — Q6, Q8, Q9, Q10, Q13, Q15, Q19. Together
+with Q1/Q3/Q5 in earlier batches that is 18 of 22; the remaining four
+(Q2/Q11/Q16/Q20) are partsupp-dependent and the dataset has no
+partsupp table. Q9's ps_supplycost is replaced by a retail-price cost
+proxy (10% of p_retailprice per unit), keeping the query's *plan
+shape* — a multi-way star join feeding a two-key aggregation — intact.
+
+Scale notes mirror the suite's conventions: dimensions broadcast, the
+fact table shuffles at most once per aggregation, scalar subqueries
+ride 1-row broadcast frames, and top-k goes through orderBy+limit
+(TakeOrderedAndProject), never a global sort.
+
+Determinism (see functions/exact.py): all money math in DECIMAL; the
+Q9 profit is emitted as exact integer cents (no doubles anywhere);
+market-share and revenue ratios do a single final double division
+guarded by NULLIF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hha_spark.functions.exact import dec_sum_mul
+from hha_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+# --- Q6 analogue: forecasting revenue change --------------------------------
+
+Q6_LO, Q6_HI = "1996-01-01", "1997-01-01"
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """Revenue delta from discounted small-quantity lines in one year:
+    a pure scan-filter-aggregate — the plan should be a single
+    FileScan with every predicate pushed down, one partial+final
+    aggregation, zero joins and zero shuffles beyond the 1-row
+    exchange. The discount band and quantity cap are pushed filters.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts(Q6_LO))
+        & (F.col("l_shipdate") < _ts(Q6_HI))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *"
+            " CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)"
+        ).alias("revenue")
+    )
+
+
+ORACLE_Q6 = f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_LO}'
+      AND l_shipdate < TIMESTAMP '{Q6_HI}'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
+
+# --- Q8 analogue: national market share --------------------------------------
+
+Q8_NATION, Q8_REGION, Q8_TYPE = "NATION_12", "ASIA", "ECONOMY"
+Q8_LO, Q8_HI = "1996-01-01", "1998-01-01"
+
+
+def q8_market_share(spark, sf_dir):
+    """One nation's share of a region's market for one part type, by
+    order year. Every dimension chain (part-type filter; customer ->
+    nation -> region; supplier -> nation) is broadcast; lineitem
+    shuffles once for the year aggregation. The share is a CASE-summed
+    numerator over the total, both exact decimals, divided once as
+    doubles.
+    """
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    nation = _t(spark, sf_dir, "nation")
+    cust_nat = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"), "left_semi"
+    ).select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= _ts(Q8_LO)) & (F.col("o_orderdate") < _ts(Q8_HI))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == Q8_TYPE).select("p_partkey")
+    supp_nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    vol = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))"
+    agg = joined.groupBy("o_year").agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN {vol}"
+            f" ELSE CAST(0 AS DECIMAL(26,6)) END) AS DOUBLE)"
+        ).alias("nation_volume"),
+        F.expr(f"CAST(SUM({vol}) AS DOUBLE)").alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        (F.col("nation_volume") / F.nullif(F.col("total_volume"), F.lit(0.0))).alias(
+            "mkt_share"
+        ),
+    )
+
+
+ORACLE_Q8 = f"""
+    SELECT o_year, nation_volume, total_volume,
+           nation_volume / NULLIF(total_volume, 0.0) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(SUM(CASE WHEN n2.n_name = '{Q8_NATION}'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                CAST(1 - l_discount AS DECIMAL(8,4))
+                           ELSE CAST(0 AS DECIMAL(26,6)) END) AS DOUBLE)
+                 AS nation_volume,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)
+                 AS total_volume
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n1.n_regionkey
+      WHERE r_name = '{Q8_REGION}'
+        AND p_type = '{Q8_TYPE}'
+        AND o_orderdate >= TIMESTAMP '{Q8_LO}'
+        AND o_orderdate < TIMESTAMP '{Q8_HI}'
+      GROUP BY o_year)
+"""
+
+
+# --- Q9 analogue: product-type profit ----------------------------------------
+
+Q9_WORD = "widget"
+
+
+def q9_product_profit(spark, sf_dir):
+    """Profit by supplier nation and order year for one product family.
+
+    TPC-H Q9 prices cost from partsupp.ps_supplycost; this schema has
+    no partsupp, so unit cost is a fixed 10% of p_retailprice — the
+    join DAG (part ⋈ lineitem ⋈ supplier ⋈ nation ⋈ orders) and the
+    two-key aggregation are the same shape Catalyst must plan for the
+    real Q9. Profit is exact integer CENTS (decimal end-to-end, then
+    one floor) so no float ever enters the aggregation.
+    """
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").contains(Q9_WORD)
+    ).select("p_partkey", "p_retailprice")
+    supp_nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    amount = (
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))"
+        " - CAST(0.10 AS DECIMAL(3,2)) * CAST(p_retailprice AS DECIMAL(8,2))"
+        " * CAST(l_quantity AS DECIMAL(4,1))"
+    )
+    return joined.groupBy("nation", "o_year").agg(
+        F.expr(f"CAST(FLOOR(SUM({amount}) * 100) AS BIGINT)").alias("profit_cents")
+    )
+
+
+ORACLE_Q9 = f"""
+    SELECT nation, o_year,
+           CAST(FLOOR(SUM(amount) * 100) AS BIGINT) AS profit_cents
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(1 - l_discount AS DECIMAL(8,4))
+             - CAST(0.10 AS DECIMAL(3,2)) * CAST(p_retailprice AS DECIMAL(8,2))
+               * CAST(l_quantity AS DECIMAL(4,1)) AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%{Q9_WORD}%')
+    GROUP BY nation, o_year
+"""
+
+
+# --- Q10 analogue: returned-item reporting -----------------------------------
+
+Q10_LO, Q10_HI = "1996-01-01", "1996-04-01"
+
+
+def q10_returned_items(spark, sf_dir):
+    """Top 20 customers by revenue lost to returns in one quarter.
+    The order-window filter prunes the orders scan; returned lineitems
+    join those orders on the shuffle, then customer and nation
+    broadcast in for labeling. orderBy+limit compiles to
+    TakeOrderedAndProject — only 20 rows ever leave the executors.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts(Q10_LO)) & (F.col("o_orderdate") < _ts(Q10_HI))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dec_sum_mul("l_extendedprice", "1 - l_discount", out="revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '{Q10_LO}'
+      AND o_orderdate < TIMESTAMP '{Q10_HI}'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+# --- Q13 analogue: customer order-count distribution -------------------------
+
+Q13_EXCLUDE = "4-NOT SPECIFIED"
+
+
+def q13_order_distribution(spark, sf_dir):
+    """Histogram of customers by order count (a filtered left outer
+    join preserving order-less customers, then two aggregations). The
+    first groupBy shuffles on c_custkey; the second input is at most
+    |distinct counts| rows, so its shuffle is trivial. COUNT(col)
+    null-skipping is what keeps zero-order customers in the c_count=0
+    bucket.
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != Q13_EXCLUDE
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_Q13 = f"""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '{Q13_EXCLUDE}'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- Q15 analogue: top supplier ----------------------------------------------
+
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q15_top_supplier(spark, sf_dir):
+    """Supplier(s) with the maximum quarterly revenue — Q15's view +
+    scalar-MAX subquery. The per-supplier revenue aggregate stays in
+    DECIMAL so the equality against the (broadcast, 1-row) max is
+    exact integer comparison, never float ==; the double conversion
+    happens only in the projected output.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts(Q15_LO)) & (F.col("l_shipdate") < _ts(Q15_HI))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy("l_suppkey").agg(
+        F.expr(
+            "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *"
+            " CAST(1 - l_discount AS DECIMAL(8,4)))"
+        ).alias("rev_dec")
+    )
+    best = rev.agg(F.max("rev_dec").alias("max_dec"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(best))
+        .where(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q15 = f"""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 CAST(1 - l_discount AS DECIMAL(8,4))) AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q15_LO}'
+        AND l_shipdate < TIMESTAMP '{Q15_HI}'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+    FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+# --- Q19 analogue: discounted revenue (disjunctive predicate) ----------------
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """Revenue from two brand/size/quantity bands OR-ed together —
+    Q19's stress test for disjunctive join predicates. The part side
+    is filtered to the union of both brand bands BEFORE the join (the
+    common-conjunct pushdown Catalyst should find), broadcast, and the
+    residual OR evaluates post-join inside codegen. One aggregation,
+    no shuffle of lineitem beyond the 1-row exchange.
+    """
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+        | (F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 40)
+    ).select("p_partkey", "p_brand")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 40)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    joined = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).where(
+        (F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 25)
+        | (F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 40)
+    )
+    return joined.agg(dec_sum_mul("l_extendedprice", "1 - l_discount", out="revenue"))
+
+
+ORACLE_Q19 = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+           AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+QUERIES = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+}
+
+ORACLES = {
+    "q6_forecast_revenue": ORACLE_Q6,
+    "q8_market_share": ORACLE_Q8,
+    "q9_product_profit": ORACLE_Q9,
+    "q10_returned_items": ORACLE_Q10,
+    "q13_order_distribution": ORACLE_Q13,
+    "q15_top_supplier": ORACLE_Q15,
+    "q19_disjunctive_revenue": ORACLE_Q19,
+}
