@@ -148,6 +148,110 @@ def connected_components(
         sym.unpersist()
 
 
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_rounds: int = DEFAULT_MAX_ROUNDS,
+) -> DataFrame:
+    """(node, label) via alternating large-star / small-star rounds —
+    the full Kiveris et al. SoCC'14 algorithm (the module's default
+    `connected_components` is its simpler label-propagation cousin).
+
+    Why a second implementation: min-label propagation moves LABELS
+    over a static edge set, so its per-round cost is |E| forever and
+    its round count is O(log d) only thanks to single-hop path
+    compression. Large-star/small-star rewrites the EDGE SET itself
+    toward disjoint stars, provably converging in O(log n) rounds with
+    geometrically shrinking intermediate state — the safer choice when
+    a component spans a large fraction of the graph (a pathological
+    boilerplate-duplication cluster at 100 TB), because every round
+    strictly flattens the structure it will shuffle next round.
+
+      large-star(u): connect every neighbor v > u to m = min(N(u) ∪ {u})
+      small-star(u): connect every neighbor v < u (and u) to that m
+
+    Both steps are one groupBy(min) plus one join on the grouping key
+    — the same co-partitioned shuffle, which AQE chains without an
+    extra exchange. Edges stay canonical (small, large) pairs and are
+    de-duplicated every round, so state never exceeds the current edge
+    set. Fixpoint = the canonical edge set stops changing (count
+    equality + one limit(1) subtract probe — two tiny actions, no
+    collect). Lineage is localCheckpoint-truncated per round exactly
+    like `connected_components` (see module docstring).
+
+    Determinism: min() over ids only; at fixpoint the graph is a
+    disjoint union of stars centered at each component's minimum id,
+    so the labelling is the same unique min-reachable-id map the
+    recursive-CTE oracle computes.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        canon.select(F.col("a").alias("node"))
+        .union(canon.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = canon.count()
+    for _ in range(max_rounds):
+        # large-star: group the symmetric adjacency by u; every
+        # strictly-larger neighbor re-attaches to the local minimum
+        sym = canon.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("nm"))
+            .select("u", F.least(F.col("nm"), F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, on="u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: per node, its smaller neighbors (column a of the
+        # canonical frame) all re-attach to their minimum, and the
+        # node itself attaches to that minimum too
+        smins = large.groupBy("b").agg(F.min("a").alias("m"))
+        small = (
+            large.join(smins, on="b")
+            .select(F.col("m").alias("a"), F.col("a").alias("b"))  # (v, m) for v in S(u)
+            .union(smins.select(F.col("m").alias("a"), F.col("b")))  # (u, m)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_count = small.count()
+        if new_count == n_edges and small.subtract(canon).limit(1).count() == 0:
+            canon = small
+            break
+        canon, n_edges = small, new_count
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    # at the star fixpoint every non-center node's only smaller
+    # neighbor is its component's center; centers label themselves
+    parents = canon.groupBy("b").agg(F.min("a").alias("label")).select(
+        F.col("b").alias("node"), "label"
+    )
+    return nodes.join(parents, on="node", how="left").select(
+        "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
+    )
+
+
 def cluster_members(
     edges: DataFrame,
     *,
@@ -156,15 +260,24 @@ def cluster_members(
     id_out: str = "doc_id",
     cluster_out: str = "cluster_id",
     size_out: str = "cluster_size",
+    algorithm: str = "propagate",
 ) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) for every clustered doc.
+
+    algorithm: "propagate" (min-label propagation — cheapest when
+    clusters are small and dense, the common near-dup shape) or
+    "star" (large-star/small-star — edge-rewriting, the safe choice
+    for giant components; see connected_components_star).
 
     cluster_size rides a second aggregation + broadcastable join on
     the label (cluster count ≪ node count), not a window — a window
     over cluster_id would re-sort the node frame for a value the
     aggregate already knows.
     """
-    labels = connected_components(edges, src=src, dst=dst)
+    cc = {"propagate": connected_components, "star": connected_components_star}[
+        algorithm
+    ]
+    labels = cc(edges, src=src, dst=dst)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias(size_out))
     return labels.join(F.broadcast(sizes), on="label").select(
         F.col("node").alias(id_out),

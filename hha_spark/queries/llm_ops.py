@@ -280,6 +280,24 @@ ORACLE_CLUSTERS = f"""
 """
 
 
+def dedup_clusters_star(spark, sf_dir):
+    """Same transitive-closure labelling as dedup_clusters, computed
+    by the alternating large-star/small-star algorithm (Kiveris et
+    al., SoCC'14) instead of min-label propagation — the edge-
+    rewriting variant that converges in O(log n) rounds even when one
+    component spans most of the graph (pathological boilerplate
+    duplication at corpus scale). Both implementations must produce
+    the identical min-reachable-id labelling, so this entry shares
+    dedup_clusters' recursive-CTE oracle: the driver gate is then
+    also a cross-implementation equivalence proof."""
+    from hha_spark.operators.cluster import cluster_members
+
+    pairs = _minhash_lsh_from(with_token_set(_docs(spark, sf_dir))).select(
+        "doc_id_a", "doc_id_b"
+    )
+    return cluster_members(pairs, algorithm="star")
+
+
 def dedup_simhash(spark, sf_dir):
     docs = with_token_set(_docs(spark, sf_dir))
     hashes = simhash16(docs)
@@ -1107,6 +1125,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
     "dedup_simhash": dedup_simhash,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf": ann_topk_ivf,
@@ -1135,6 +1154,7 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_minhash_recall": ORACLE_RECALL,
     "dedup_clusters": ORACLE_CLUSTERS,
+    "dedup_clusters_star": ORACLE_CLUSTERS,
     "dedup_simhash": ORACLE_SIMHASH,
     "ann_topk_cosine": ORACLE_ANN,
     "ann_topk_ivf": ORACLE_ANN_IVF,

@@ -4,7 +4,11 @@ from __future__ import annotations
 
 import pytest
 
-from hha_spark.operators.cluster import cluster_members, connected_components
+from hha_spark.operators.cluster import (
+    cluster_members,
+    connected_components,
+    connected_components_star,
+)
 
 
 def _labels(df) -> dict[int, int]:
@@ -49,6 +53,29 @@ def test_non_convergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_rounds=1)
+
+
+def test_star_chain_cycle_and_pair(spark):
+    """Large-star/small-star produces the same min-id labelling on
+    chains, cycles, reversed edges, and disjoint pairs."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 5), (5, 6), (6, 7), (10, 11)],
+        "doc_id_a long, doc_id_b long",
+    )
+    assert _labels(connected_components_star(edges)) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 10: 10, 11: 10,
+    }
+
+
+def test_star_long_chain_converges(spark):
+    """Edge rewriting flattens a 64-node chain in O(log n) rounds."""
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_id_a long, doc_id_b long"
+    )
+    out = _labels(connected_components_star(edges, max_rounds=14))
+    assert set(out.values()) == {0}
+    assert len(out) == n + 1
 
 
 def test_cluster_members_sizes(spark):
@@ -106,3 +133,14 @@ def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
 def test_cc_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
     assert _labels(connected_components(df)) == _union_find_labels(edges)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_star_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    assert _labels(connected_components_star(df)) == _union_find_labels(edges)
