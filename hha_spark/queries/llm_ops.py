@@ -1118,6 +1118,89 @@ ORACLE_BLOB = """
 """
 
 
+def doc_token_count_map(spark, sf_dir):
+    """MapType surface over the corpus: per-document token-count MAPS
+    built with map_from_entries, thinned with map_filter (count >= 3),
+    rescaled with transform_values (count^2) — then EXPLODED back to
+    rows, because sorted rows hash deterministically across engines
+    while raw map column ordering does not. n_distinct rides the
+    pre-filter map's cardinality. The map ops run inside the JVM per
+    row (no shuffle beyond the one token-count aggregation); the
+    oracle recomputes the same answer relationally, never touching a
+    map — proving the map pipeline against first principles.
+    """
+    counts = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    maps = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("token", "cnt"))).alias("tok_map")
+    )
+    shaped = maps.select(
+        "doc_id",
+        F.size("tok_map").cast("long").alias("n_distinct"),
+        F.transform_values(
+            F.map_filter("tok_map", lambda _, v: v >= 3), lambda _, v: v * v
+        ).alias("sq_map"),
+    )
+    return shaped.select(
+        "doc_id", "n_distinct", F.explode("sq_map").alias("token", "count_sq")
+    )
+
+
+ORACLE_TOKEN_MAP = """
+    WITH counts AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    per AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM counts GROUP BY doc_id, token),
+    nd AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM per GROUP BY doc_id)
+    SELECT per.doc_id, n_distinct, token, cnt * cnt AS count_sq
+    FROM per JOIN nd ON per.doc_id = nd.doc_id
+    WHERE cnt >= 3
+"""
+
+
+def text_normalize(spark, sf_dir):
+    """Dedup-grade text canonicalization: lowercase, strip everything
+    outside [a-z0-9 ], collapse runs of spaces, trim — then emit the
+    md5 of the canonical form (the key exact dedup would group on)
+    plus its length. All JVM built-in string expressions, a narrow
+    map over the scan; regex classes are kept to forms RE2 and Java
+    regex evaluate identically.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            "  +",
+            " ",
+        )
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(norm).cast("long").alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+ORACLE_NORMALIZE = """
+    SELECT doc_id,
+           CAST(length(norm) AS BIGINT) AS norm_len,
+           md5(norm) AS norm_md5
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               '  +', ' ', 'g')) AS norm
+      FROM documents)
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1126,6 +1209,8 @@ QUERIES = {
     "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
+    "doc_token_count_map": doc_token_count_map,
+    "text_normalize": text_normalize,
     "dedup_simhash": dedup_simhash,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf": ann_topk_ivf,
@@ -1155,6 +1240,8 @@ ORACLES = {
     "dedup_minhash_recall": ORACLE_RECALL,
     "dedup_clusters": ORACLE_CLUSTERS,
     "dedup_clusters_star": ORACLE_CLUSTERS,
+    "doc_token_count_map": ORACLE_TOKEN_MAP,
+    "text_normalize": ORACLE_NORMALIZE,
     "dedup_simhash": ORACLE_SIMHASH,
     "ann_topk_cosine": ORACLE_ANN,
     "ann_topk_ivf": ORACLE_ANN_IVF,

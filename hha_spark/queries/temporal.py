@@ -150,14 +150,126 @@ ORACLE_RESAMPLE = """
 """
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered three-stage funnel (view -> click -> purchase): how
+    many users reached each stage with STRICTLY increasing timestamps
+    — a click only counts after the user's first view, a purchase
+    only after that click.
+
+    Sequential dependency = three chained min-aggregations, each
+    shuffling on user_id; the per-stage user frames are tiny relative
+    to events (one row per user), so each joins back broadcast.
+    Co-partitioned on the same key throughout, so AQE chains the
+    stages without re-exchanging events. The final three 1-row counts
+    cross-join for a single output row — no collect.
+    """
+    ev = _events_us(spark, sf_dir).select("user_id", "ts_us", "event_type")
+    t1 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_us").alias("t1")
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(t1), on="user_id")
+        .where(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), on="user_id")
+        .where(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).alias("reached_view"))
+        .join(t2.agg(F.count(F.lit(1)).alias("reached_click")))
+        .join(t3.agg(F.count(F.lit(1)).alias("reached_purchase")))
+    )
+
+
+ORACLE_FUNNEL = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+    t1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM ev e
+           JOIN t1 USING (user_id)
+           WHERE event_type = 'click' AND ts_us > t1 GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM ev e
+           JOIN t2 USING (user_id)
+           WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS reached_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS reached_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS reached_purchase
+"""
+
+
+def scd2_user_event_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build from an event log: per
+    user, one row per event_type CHANGE, with [valid_from, valid_to)
+    microsecond bounds (valid_to NULL on the open current row) and a
+    version counter — the standard CDC-to-dimension compaction.
+
+    Two window passes over the same (user_id; ts, id) sort order —
+    lag() to detect changes, then lead() over the surviving change
+    rows — so the engine sorts each user's slice once and reuses it;
+    nothing here is a global window. Ties break on event_id, making
+    the labelling deterministic in both engines.
+    """
+    ev = _events_us(spark, sf_dir).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(wc).alias("valid_to_us"),
+        F.row_number().over(wc).cast("long").alias("version"),
+    )
+
+
+ORACLE_SCD2 = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts_us, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS prev_type
+      FROM ev),
+    changes AS (
+      SELECT user_id, ts_us, event_id, event_type FROM flagged
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type, ts_us AS valid_from_us,
+           lead(ts_us) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS valid_to_us,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS BIGINT)
+               AS version
+    FROM changes
+"""
+
+
 QUERIES = {
     "events_asof_last_purchase": events_asof_last_purchase,
     "events_pairs_within_30min": events_pairs_within_30min,
     "events_resample_daily": events_resample_daily,
+    "events_funnel": events_funnel,
+    "scd2_user_event_history": scd2_user_event_history,
 }
 
 ORACLES = {
     "events_asof_last_purchase": ORACLE_ASOF,
     "events_pairs_within_30min": ORACLE_RANGE,
     "events_resample_daily": ORACLE_RESAMPLE,
+    "events_funnel": ORACLE_FUNNEL,
+    "scd2_user_event_history": ORACLE_SCD2,
 }

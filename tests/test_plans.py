@@ -131,3 +131,23 @@ def test_resample_windows_are_key_partitioned(spark):
     assert windows, "expected partitioned Windows in the resample plan"
     for ln in windows:
         assert ln.count("], [") >= 2, f"unpartitioned Window in plan: {ln}"
+
+
+def test_relational6_shapes(spark):
+    """The TPC-H completion batch keeps its promised plans: Q6 is a
+    pure scan-aggregate (no joins at all), Q19's part side broadcasts
+    with the disjunctive residual post-join, and Q15's max-revenue
+    probe rides a broadcast, never a sort-merge join."""
+    import hha_spark.queries.relational6 as R6
+
+    sf = "/root/testdata/sf0.01"
+    q6 = plan_of(R6.q6_forecast_revenue(spark, sf))
+    assert "Join" not in q6
+    assert "PushedFilters" in q6 and "l_discount" in q6
+
+    q19 = plan_of(R6.q19_disjunctive_revenue(spark, sf))
+    assert "BroadcastHashJoin" in q19
+    assert "SortMergeJoin" not in q19
+
+    q15 = plan_of(R6.q15_top_supplier(spark, sf))
+    assert "SortMergeJoin" not in q15
