@@ -803,7 +803,13 @@ def benchmark_contamination(spark, sf_dir):
     shuffles; each partition filters its grams against the broadcast
     hash locally and only hits reach the per-doc count aggregation.
     """
-    docs = with_shingle_set(_docs(spark, sf_dir), n=CONTAM_N, out_col="grams")
+    # shingling is the shared expensive prefix of both branches —
+    # build it once and persist (same reuse shape as
+    # dedup_minhash_recall), instead of re-tokenizing the corpus for
+    # each side of the join
+    docs = with_shingle_set(
+        _docs(spark, sf_dir), n=CONTAM_N, out_col="grams"
+    ).persist()
     bench_grams = (
         docs.where(F.col("doc_id") % 50 == 0)
         .select(F.explode("grams").alias("gram"))

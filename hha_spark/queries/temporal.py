@@ -258,12 +258,95 @@ ORACLE_SCD2 = """
 """
 
 
+HLL_EPS = 0.15  # ~9x the 1.6% rsd of the default lgConfigK=12 sketch
+
+DAY_DIV = 86_400_000_000  # microseconds per day
+
+
+def hll_daily_users_merge(spark, sf_dir):
+    """Re-aggregatable distinct counts: one Datasketches HLL sketch of
+    user_ids PER DAY, union-merged into a total estimate — the
+    pattern that makes distinct-count dashboards feasible at 100 TB
+    (persist small per-partition sketches; merging is cheap and
+    exact-on-registers, unlike re-scanning raw data; COUNT(DISTINCT)
+    cannot merge). Sketch bytes are engine-specific, so the gated
+    output is the exact count plus a within-epsilon boolean on the
+    merged estimate, same contract as approx_stats.
+    """
+    ev = _events_us(spark, sf_dir).select(
+        (F.col("ts_us") / DAY_DIV).cast("long").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    return merged.join(exact).select(
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            <= F.lit(HLL_EPS) * F.col("exact_users")
+        ).alias("union_within_eps"),
+    )
+
+
+ORACLE_HLL = """
+    WITH ev AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events)
+    SELECT (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) FROM ev) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS union_within_eps
+    FROM ev
+"""
+
+
+def events_hourly_to_daily(spark, sf_dir):
+    """Partial-reaggregation proof: per-(day, hour) sums/counts first,
+    then merged to daily totals — and the oracle aggregates the raw
+    rows directly, so the gate certifies that the two-level rollup is
+    LOSSLESS. This is the contract behind every incremental pipeline
+    (hourly materializations merged into daily marts) and it holds
+    here only because the partials are exact decimals; float partials
+    would drift under re-ordering.
+    """
+    ev = _events_us(spark, sf_dir).select(
+        (F.col("ts_us") / DAY_DIV).cast("long").alias("day"),
+        (F.col("ts_us") % DAY_DIV / 3_600_000_000).cast("long").alias("hour"),
+        "value",
+    )
+    hourly = ev.groupBy("day", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("SUM(CAST(value AS DECIMAL(18,6)))").alias("s_dec"),
+    )
+    return (
+        hourly.groupBy("day")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.expr("CAST(SUM(s_dec) AS DOUBLE)").alias("sum_value"),
+        )
+        .select("day", F.col("n_events").cast("long").alias("n_events"), "sum_value")
+    )
+
+
+ORACLE_HOURLY_DAILY = """
+    SELECT epoch_us(ts) // 86400000000 AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY day
+"""
+
+
 QUERIES = {
     "events_asof_last_purchase": events_asof_last_purchase,
     "events_pairs_within_30min": events_pairs_within_30min,
     "events_resample_daily": events_resample_daily,
     "events_funnel": events_funnel,
     "scd2_user_event_history": scd2_user_event_history,
+    "hll_daily_users_merge": hll_daily_users_merge,
+    "events_hourly_to_daily": events_hourly_to_daily,
 }
 
 ORACLES = {
@@ -272,4 +355,6 @@ ORACLES = {
     "events_resample_daily": ORACLE_RESAMPLE,
     "events_funnel": ORACLE_FUNNEL,
     "scd2_user_event_history": ORACLE_SCD2,
+    "hll_daily_users_merge": ORACLE_HLL,
+    "events_hourly_to_daily": ORACLE_HOURLY_DAILY,
 }
