@@ -250,3 +250,64 @@ def test_watermarked_windowed_counts_drop_late_rows(env):
         assert after == {(t0, 65, 2, 150), (t0, 66, 1, 70)}
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream attribution join: purchases pair with the clicks
+    they follow within the delay bound, emitted exactly once after
+    both watermarks close the interval — and the identical builder on
+    batch frames returns the same set."""
+    from hha_spark.streaming.joins import attribution_join
+
+    t0 = 1_700_000_000
+    click_schema = "user_id long, click_id long, click_ts long"
+    buy_schema = "user_id long, purchase_id long, purchase_ts long, value double"
+    clicks = [
+        (1, 101, t0 + 10),     # -> purchase 201
+        (1, 102, t0 + 500),    # -> purchase 202 (201 is before it)
+        (2, 103, t0 + 20),     # its purchase misses the 3600 s bound
+    ]
+    buys = [
+        (1, 201, t0 + 100, 5.0),   # matches click 101 only
+        (1, 202, t0 + 600, 7.0),   # matches clicks 101 AND 102
+        (2, 203, t0 + 4000, 9.0),  # 3980 s after click 103 -> dropped
+    ]
+    # far-future rows push both watermarks past every interval above
+    flush_click = [(8, 999, t0 + 100_000)]
+    flush_buy = [(9, 998, t0 + 100_000, 0.0)]
+
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    spark.createDataFrame(clicks + flush_click, click_schema).coalesce(1) \
+        .write.mode("append").parquet(cdir)
+    spark.createDataFrame(buys + flush_buy, buy_schema).coalesce(1) \
+        .write.mode("append").parquet(bdir)
+
+    cs = spark.readStream.schema(click_schema).parquet(cdir)
+    bs = spark.readStream.schema(buy_schema).parquet(bdir)
+    q = (
+        attribution_join(cs, bs)
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.click_id, r.purchase_id, r.delay_sec)
+            for r in spark.table("ssj").collect()
+        }
+    finally:
+        q.stop()
+    expect = {(1, 101, 201, 90), (1, 101, 202, 590), (1, 102, 202, 100)}
+    assert got == expect
+
+    batch = attribution_join(
+        spark.createDataFrame(clicks + flush_click, click_schema),
+        spark.createDataFrame(buys + flush_buy, buy_schema),
+    )
+    got_batch = {
+        (r.user_id, r.click_id, r.purchase_id, r.delay_sec)
+        for r in batch.collect()
+    }
+    assert got_batch == expect
