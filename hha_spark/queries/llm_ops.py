@@ -1124,6 +1124,49 @@ ORACLE_BLOB = """
 """
 
 
+def dedup_graph_triangles(spark, sf_dir):
+    """Triangle count of the near-dup pair graph — the standard
+    cluster-cohesion diagnostic (triangle-dense neighborhoods are true
+    duplicate cliques; triangle-free stars are often false positives
+    from one hub doc). One wedge join on the shared middle vertex plus
+    one closing-edge semi-join, both equi-joins on the persisted pair
+    frame; canonical id-ordering (a<b<c) counts each triangle exactly
+    once. Id-orientation is the simple variant — at extreme skew the
+    production upgrade is degree-orientation, which bounds wedge
+    fan-out by graph arboricity; here the upstream MAX_LSH_BUCKET cap
+    already bounds any vertex's degree.
+    """
+    pairs = (
+        _minhash_lsh_from(with_token_set(_docs(spark, sf_dir)))
+        .select("doc_id_a", "doc_id_b")
+        .persist()
+    )
+    wedges = pairs.select(
+        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+    ).join(
+        pairs.select(F.col("doc_id_a").alias("b"), F.col("doc_id_b").alias("c")),
+        on="b",
+    )
+    closed = wedges.join(
+        pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("c")),
+        on=["a", "c"],
+        how="left_semi",
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_edges")).join(
+        closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+ORACLE_TRIANGLES = f"""
+    WITH p AS (SELECT doc_id_a, doc_id_b FROM ({ORACLE_MINHASH}))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM p e1
+    JOIN p e2 ON e1.doc_id_b = e2.doc_id_a
+    JOIN p e3 ON e3.doc_id_a = e1.doc_id_a AND e3.doc_id_b = e2.doc_id_b
+"""
+
+
 def doc_token_count_map(spark, sf_dir):
     """MapType surface over the corpus: per-document token-count MAPS
     built with map_from_entries, thinned with map_filter (count >= 3),
@@ -1215,6 +1258,7 @@ QUERIES = {
     "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
+    "dedup_graph_triangles": dedup_graph_triangles,
     "doc_token_count_map": doc_token_count_map,
     "text_normalize": text_normalize,
     "dedup_simhash": dedup_simhash,
@@ -1246,6 +1290,7 @@ ORACLES = {
     "dedup_minhash_recall": ORACLE_RECALL,
     "dedup_clusters": ORACLE_CLUSTERS,
     "dedup_clusters_star": ORACLE_CLUSTERS,
+    "dedup_graph_triangles": ORACLE_TRIANGLES,
     "doc_token_count_map": ORACLE_TOKEN_MAP,
     "text_normalize": ORACLE_NORMALIZE,
     "dedup_simhash": ORACLE_SIMHASH,

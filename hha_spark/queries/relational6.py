@@ -416,6 +416,55 @@ ORACLE_Q19 = """
 """
 
 
+# --- market-basket co-occurrence ---------------------------------------------
+
+BASKET_CAP = 8  # orders above this many distinct parts are skipped
+COPURCHASE_MIN = 3
+
+
+def copurchase_part_pairs(spark, sf_dir):
+    """Part pairs bought together in >= 3 orders — the market-basket
+    self-join. The quadratic danger is basket size: a degenerate
+    order with 10k parts emits 50M pairs, so baskets above BASKET_CAP
+    distinct parts are dropped BEFORE pairing (the standard cap in
+    co-occurrence mining; at 100 TB the cap is what turns a worst-case
+    quadratic blowup into |orders| x cap²). Pairing itself is one
+    self-join co-partitioned on l_orderkey — the distinct-parts frame
+    shuffles once and joins itself in place; pairs then aggregate on
+    the (a, b) key.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_parts"))
+    small = li.join(
+        F.broadcast(sizes.where(F.col("n_parts") <= BASKET_CAP)),
+        on="l_orderkey",
+        how="left_semi",
+    )
+    a = small.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = small.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, on="l_orderkey").where(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= COPURCHASE_MIN)
+    )
+
+
+ORACLE_COPURCHASE = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    small AS (
+      SELECT l_orderkey FROM li GROUP BY l_orderkey
+      HAVING COUNT(*) <= {BASKET_CAP})
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM li a
+    JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    JOIN small s ON a.l_orderkey = s.l_orderkey
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= {COPURCHASE_MIN}
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q8_market_share": q8_market_share,
@@ -424,6 +473,7 @@ QUERIES = {
     "q13_order_distribution": q13_order_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "copurchase_part_pairs": copurchase_part_pairs,
 }
 
 ORACLES = {
@@ -434,4 +484,5 @@ ORACLES = {
     "q13_order_distribution": ORACLE_Q13,
     "q15_top_supplier": ORACLE_Q15,
     "q19_disjunctive_revenue": ORACLE_Q19,
+    "copurchase_part_pairs": ORACLE_COPURCHASE,
 }

@@ -339,6 +339,86 @@ ORACLE_HOURLY_DAILY = """
 """
 
 
+def events_sliding_7day(spark, sf_dir):
+    """Per-user trailing-7-day purchase total for every active day — a
+    time-RANGE window frame (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+    over integer day), the rolling-metric shape every activity
+    dashboard needs. Frames are keyed per user, so no global window;
+    one shuffle on user_id, and the frame aggregate is an exact
+    decimal SUM cast once at the edge (float frame-sums would drift
+    with evaluation order).
+    """
+    from pyspark.sql import Window
+
+    ev = _events_us(spark, sf_dir).where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", (F.col("ts_us") / DAY_DIV).cast("long").alias("day")
+    ).agg(F.expr("SUM(CAST(value AS DECIMAL(18,6)))").alias("day_dec"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.expr("CAST(day_dec AS DOUBLE)").alias("day_value"),
+        F.sum("day_dec").over(w).cast("double").alias("trailing_7d"),
+    )
+
+
+ORACLE_SLIDING = """
+    WITH daily AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS day_dec
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, day)
+    SELECT user_id, day,
+           CAST(day_dec AS DOUBLE) AS day_value,
+           CAST(SUM(day_dec) OVER (
+             PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS trailing_7d
+    FROM daily
+"""
+
+WEEK_DIV = 7 * DAY_DIV
+
+
+def user_retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle: users grouped by first-seen week
+    (cohort), counted distinct per weeks-since-cohort offset. Two
+    aggregations — first-seen per user (shuffle on user_id), then the
+    cohort matrix (shuffle on the tiny (cohort, offset) key) with the
+    per-user cohort broadcast back onto the event stream. The classic
+    growth-analytics query, all JVM expressions.
+    """
+    ev = _events_us(spark, sf_dir).select(
+        "user_id", (F.col("ts_us") / WEEK_DIV).cast("long").alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(F.broadcast(first), on="user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_RETENTION = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+    first AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+    SELECT cohort_week, week - cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+    FROM ev JOIN first USING (user_id)
+    GROUP BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
     "events_asof_last_purchase": events_asof_last_purchase,
     "events_pairs_within_30min": events_pairs_within_30min,
@@ -347,6 +427,8 @@ QUERIES = {
     "scd2_user_event_history": scd2_user_event_history,
     "hll_daily_users_merge": hll_daily_users_merge,
     "events_hourly_to_daily": events_hourly_to_daily,
+    "events_sliding_7day": events_sliding_7day,
+    "user_retention_cohorts": user_retention_cohorts,
 }
 
 ORACLES = {
@@ -357,4 +439,6 @@ ORACLES = {
     "scd2_user_event_history": ORACLE_SCD2,
     "hll_daily_users_merge": ORACLE_HLL,
     "events_hourly_to_daily": ORACLE_HOURLY_DAILY,
+    "events_sliding_7day": ORACLE_SLIDING,
+    "user_retention_cohorts": ORACLE_RETENTION,
 }
