@@ -435,11 +435,14 @@ def copurchase_part_pairs(spark, sf_dir):
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_parts"))
+    # persisted: the capped frame feeds both sides of the self-join,
+    # and without persist each side would recompute the distinct +
+    # size-filter pipeline from the raw scan
     small = li.join(
         F.broadcast(sizes.where(F.col("n_parts") <= BASKET_CAP)),
         on="l_orderkey",
         how="left_semi",
-    )
+    ).persist()
     a = small.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = small.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = a.join(b, on="l_orderkey").where(F.col("part_a") < F.col("part_b"))
