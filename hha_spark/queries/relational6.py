@@ -468,6 +468,110 @@ ORACLE_COPURCHASE = f"""
 """
 
 
+# --- ratio-to-report ---------------------------------------------------------
+
+
+def nation_revenue_share(spark, sf_dir):
+    """Each nation's share of global order revenue — the
+    percent-of-total report. The naive formulation is
+    `SUM(x) OVER ()`, which funnels every row through ONE partition;
+    here the total rides a broadcast 1-row frame joined back onto the
+    25-row per-nation aggregate, so nothing is ever single-partition.
+    Numerator and denominator stay exact decimals; one double
+    division, NULLIF-guarded, at the edge.
+    """
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    per_nation = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("rev_dec"))
+    )
+    total = per_nation.agg(F.sum("rev_dec").alias("tot_dec"))
+    return per_nation.join(F.broadcast(total)).select(
+        "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.lit(100.0)
+            * F.col("rev_dec").cast("double")
+            / F.nullif(F.col("tot_dec").cast("double"), F.lit(0.0))
+        ).alias("share_pct"),
+    )
+
+
+ORACLE_REVSHARE = """
+    WITH per AS (
+      SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name),
+    tot AS (SELECT SUM(rev_dec) AS tot_dec FROM per)
+    SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+           100.0 * CAST(rev_dec AS DOUBLE) /
+             NULLIF(CAST(tot_dec AS DOUBLE), 0.0) AS share_pct
+    FROM per, tot
+"""
+
+
+# --- null semantics ----------------------------------------------------------
+
+
+def null_semantics_suite(spark, sf_dir):
+    """Pins the engine's null algebra against the oracle's: NULL forms
+    its own GROUP BY group, COUNT(col) skips nulls while COUNT(*)
+    doesn't, and the null-safe equality join (<=> here, IS NOT
+    DISTINCT FROM there) matches the NULL group that a plain `=` join
+    silently drops — n_matched == n_rows for every group only under
+    null-safe semantics.
+    """
+    base = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey % 3 END"
+        ).alias("nk"),
+        "o_totalprice",
+    )
+    agg = base.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("nk").cast("long").alias("n_nonnull_keys"),
+    )
+    dim = base.select(F.col("nk").alias("dk")).distinct()
+    matched = (
+        base.join(F.broadcast(dim), F.col("nk").eqNullSafe(F.col("dk")))
+        .groupBy("dk")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return agg.join(
+        matched, F.col("nk").eqNullSafe(F.col("dk"))
+    ).select("nk", "n_rows", "n_nonnull_keys", "n_matched")
+
+
+ORACLE_NULLS = """
+    WITH base AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE o_orderkey % 3 END AS nk
+      FROM orders),
+    agg AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(nk) AS BIGINT) AS n_nonnull_keys
+      FROM base GROUP BY nk),
+    dim AS (SELECT DISTINCT nk AS dk FROM base),
+    m AS (
+      SELECT dk, CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM base JOIN dim ON base.nk IS NOT DISTINCT FROM dim.dk
+      GROUP BY dk)
+    SELECT nk, n_rows, n_nonnull_keys, n_matched
+    FROM agg JOIN m ON agg.nk IS NOT DISTINCT FROM m.dk
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q8_market_share": q8_market_share,
@@ -477,6 +581,8 @@ QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "copurchase_part_pairs": copurchase_part_pairs,
+    "nation_revenue_share": nation_revenue_share,
+    "null_semantics_suite": null_semantics_suite,
 }
 
 ORACLES = {
@@ -488,4 +594,6 @@ ORACLES = {
     "q15_top_supplier": ORACLE_Q15,
     "q19_disjunctive_revenue": ORACLE_Q19,
     "copurchase_part_pairs": ORACLE_COPURCHASE,
+    "nation_revenue_share": ORACLE_REVSHARE,
+    "null_semantics_suite": ORACLE_NULLS,
 }

@@ -151,3 +151,13 @@ def test_relational6_shapes(spark):
 
     q15 = plan_of(R6.q15_top_supplier(spark, sf))
     assert "SortMergeJoin" not in q15
+
+
+def test_topk_window_uses_group_limit(spark):
+    """rank<=k over a window must compile to WindowGroupLimit on BOTH
+    sides of the exchange (partial top-k before the shuffle) — the
+    optimization that keeps per-group top-k from sorting whole groups
+    at scale. Regression guard: a query restructure that breaks the
+    rank-filter pattern silently loses it."""
+    plan = plan_of(R.top3_customers_per_nation(spark, "/root/testdata/sf0.01"))
+    assert plan.count("WindowGroupLimit") == 2
