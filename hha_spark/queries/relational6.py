@@ -572,6 +572,48 @@ ORACLE_NULLS = """
 """
 
 
+# --- deterministic argmax / mode ---------------------------------------------
+
+
+def top_status_per_flag(spark, sf_dir):
+    """Per returnflag, the most frequent linestatus (the MODE) with a
+    deterministic tiebreak — engines disagree on bare mode()/max_by()
+    ties, so the portable scalable form is count-aggregate then
+    rank=1 with (count DESC, value ASC) ordering. The count aggregate
+    shrinks the data to |groups x statuses| rows BEFORE the window,
+    so the window sorts a frame of a few dozen rows, never the fact
+    table; WindowGroupLimit prunes it further.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("l_linestatus")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("l_returnflag", F.col("l_linestatus").alias("mode_status"), "n")
+    )
+
+
+ORACLE_TOP_STATUS = """
+    SELECT l_returnflag, l_linestatus AS mode_status,
+           CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_linestatus)
+                 AS rk
+      FROM lineitem GROUP BY l_returnflag, l_linestatus)
+    WHERE rk = 1
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q8_market_share": q8_market_share,
@@ -583,6 +625,7 @@ QUERIES = {
     "copurchase_part_pairs": copurchase_part_pairs,
     "nation_revenue_share": nation_revenue_share,
     "null_semantics_suite": null_semantics_suite,
+    "top_status_per_flag": top_status_per_flag,
 }
 
 ORACLES = {
@@ -596,4 +639,5 @@ ORACLES = {
     "copurchase_part_pairs": ORACLE_COPURCHASE,
     "nation_revenue_share": ORACLE_REVSHARE,
     "null_semantics_suite": ORACLE_NULLS,
+    "top_status_per_flag": ORACLE_TOP_STATUS,
 }
