@@ -419,6 +419,93 @@ ORACLE_RETENTION = """
 """
 
 
+def weekly_revenue_growth(spark, sf_dir):
+    """Week-over-week purchase revenue with lag() percent change — the
+    default BI trend query. One aggregation shuffles events down to
+    |weeks| rows; the lag window then orders that tiny frame (a global
+    window over WEEKS is fine — the frame is already aggregate-sized,
+    never the fact table; contrast customer_balance_quartiles where
+    the global window was the bug). Revenue is exact decimal; the
+    growth ratio is one double division, NULLIF-guarded.
+    """
+    from pyspark.sql import Window
+
+    ev = _events_us(spark, sf_dir).where(F.col("event_type") == "purchase")
+    weekly = ev.groupBy(
+        (F.col("ts_us") / WEEK_DIV).cast("long").alias("week")
+    ).agg(F.expr("SUM(CAST(value AS DECIMAL(18,6)))").alias("rev_dec"))
+    w = Window.orderBy("week")
+    return weekly.select(
+        "week",
+        F.expr("CAST(rev_dec AS DOUBLE)").alias("revenue"),
+        (
+            F.lit(100.0)
+            * (F.col("rev_dec") - F.lag("rev_dec").over(w)).cast("double")
+            / F.nullif(F.lag("rev_dec").over(w).cast("double"), F.lit(0.0))
+        ).alias("growth_pct"),
+    )
+
+
+ORACLE_WOW = """
+    WITH weekly AS (
+      SELECT epoch_us(ts) // 604800000000 AS week,
+             SUM(CAST(value AS DECIMAL(18,6))) AS rev_dec
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY week)
+    SELECT week, CAST(rev_dec AS DOUBLE) AS revenue,
+           100.0 * CAST(rev_dec - lag(rev_dec) OVER (ORDER BY week) AS DOUBLE)
+             / NULLIF(CAST(lag(rev_dec) OVER (ORDER BY week) AS DOUBLE), 0.0)
+               AS growth_pct
+    FROM weekly
+"""
+
+
+def user_activity_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands idiom: distinct active days, then `day -
+    row_number()` is constant within a consecutive run, so grouping on
+    that anchor splits islands without any self-join. Two shuffles on
+    user_id-rooted keys (distinct, then island aggregation); windows
+    are per-user, never global.
+    """
+    from pyspark.sql import Window
+
+    days = (
+        _events_us(spark, sf_dir)
+        .select("user_id", (F.col("ts_us") / DAY_DIV).cast("long").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "anchor", F.col("day") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+ORACLE_STREAKS = """
+    WITH days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    islands AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                 AS anchor
+      FROM days),
+    streaks AS (
+      SELECT user_id, anchor, COUNT(*) AS len
+      FROM islands GROUP BY user_id, anchor)
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+"""
+
+
 QUERIES = {
     "events_asof_last_purchase": events_asof_last_purchase,
     "events_pairs_within_30min": events_pairs_within_30min,
@@ -429,6 +516,8 @@ QUERIES = {
     "events_hourly_to_daily": events_hourly_to_daily,
     "events_sliding_7day": events_sliding_7day,
     "user_retention_cohorts": user_retention_cohorts,
+    "weekly_revenue_growth": weekly_revenue_growth,
+    "user_activity_streaks": user_activity_streaks,
 }
 
 ORACLES = {
@@ -441,4 +530,6 @@ ORACLES = {
     "events_hourly_to_daily": ORACLE_HOURLY_DAILY,
     "events_sliding_7day": ORACLE_SLIDING,
     "user_retention_cohorts": ORACLE_RETENTION,
+    "weekly_revenue_growth": ORACLE_WOW,
+    "user_activity_streaks": ORACLE_STREAKS,
 }
