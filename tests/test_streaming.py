@@ -311,3 +311,57 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got_batch == expect
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """Native session_window in a LIVE stream: rows gapped <= the
+    session gap merge into one session, a longer gap opens a new one,
+    and sessions emit (append mode) only after the watermark passes
+    their close — the stateful merge topology batch tests can't cover."""
+    t0 = 1_700_000_000
+    schema = "user_id long, ts long"
+    rows = [
+        (1, t0), (1, t0 + 50), (1, t0 + 90),   # one session [t0, t0+150)
+        (1, t0 + 400),                          # gap > 60 s -> new session
+        (2, t0 + 10),
+        (7, t0 + 100_000),                      # watermark flush row
+    ]
+    d = str(tmp_path / "sess_in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(schema).parquet(d)
+        .withColumn("t", F.timestamp_seconds(F.col("ts")))
+        .withWatermark("t", "60 seconds")
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("t", "60 seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("start_s"),
+            F.col("session_window.end").cast("long").alias("end_s"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_windows")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.start_s, r.end_s, r.n)
+            for r in spark.table("sess_windows").collect()
+        }
+    finally:
+        q.stop()
+    assert (1, t0, t0 + 150, 3) in got          # merged triple
+    assert (1, t0 + 400, t0 + 460, 1) in got    # reopened session
+    assert (2, t0 + 10, t0 + 70, 1) in got
+    # the flush row's own session is unclosed -> not emitted
+    assert all(u != 7 for u, *_ in got)
