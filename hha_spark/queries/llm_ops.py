@@ -1167,6 +1167,130 @@ ORACLE_TRIANGLES = f"""
 """
 
 
+CHUNK_SIZE = 40  # tokens per training chunk
+CHUNK_STRIDE = 30  # overlap = CHUNK_SIZE - CHUNK_STRIDE
+
+
+def doc_chunking(spark, sf_dir):
+    """Fixed-size token-window chunking with stride — how documents
+    become training sequences. Pure JVM array work: one split per
+    doc, a sequence() of chunk starts, posexplode, slice + md5 per
+    chunk; no shuffle at all until a downstream consumer groups the
+    chunks (this query adds none — it's a narrow map over the scan,
+    which is exactly what you want when chunking 100 TB: linear,
+    partition-local, no state).
+
+    Chunk grid: starts at 0, stride CHUNK_STRIDE, plus a tail chunk
+    whenever tokens remain past the last full window; single-window
+    docs emit exactly one chunk.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = F.size("toks")
+    # last start index: largest stride multiple <= n - CHUNK_SIZE (or 0)
+    last = F.greatest(
+        F.lit(0),
+        ((n - F.lit(CHUNK_SIZE)) / F.lit(CHUNK_STRIDE)).cast("int")
+        * F.lit(CHUNK_STRIDE),
+    )
+    chunks = docs.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), last, F.lit(CHUNK_STRIDE))).alias(
+            "chunk_idx", "start"
+        ),
+    )
+    chunk_toks = F.slice("toks", F.col("start") + 1, CHUNK_SIZE)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size(chunk_toks).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk_toks, " ")).alias("chunk_md5"),
+    )
+
+
+ORACLE_CHUNKING = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             GREATEST(0, CAST(TRUNC(CAST(len(toks) - {CHUNK_SIZE} AS DOUBLE)
+                              / {CHUNK_STRIDE}) AS INT) * {CHUNK_STRIDE})
+                 AS last_start
+      FROM t),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, last_start, {CHUNK_STRIDE})) AS start
+      FROM g)
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(len(list_slice(toks, start + 1, start + {CHUNK_SIZE}))
+                AS BIGINT) AS n_tokens,
+           md5(list_aggregate(list_slice(toks, start + 1, start + {CHUNK_SIZE}),
+                              'string_agg', ' ')) AS chunk_md5
+    FROM c
+"""
+
+
+PACK_CAPACITY = 512  # tokens per packed training sequence
+
+
+def doc_packing_bins(spark, sf_dir):
+    """Sequence packing: assign whole documents to fixed-capacity
+    training bins by cumulative token count (running-sum DIV
+    capacity) — the deterministic, shuffle-friendly approximation of
+    greedy first-fit packing (a truly optimal packer is sequential;
+    this one is one window over a deterministic order and is what
+    scale pipelines actually run). Bins are per SOURCE so the window
+    partitions by a real key rather than running global; output is
+    per-bin occupancy — the packing-efficiency report.
+    """
+    from pyspark.sql import Window
+
+    toks = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = toks.withColumn(
+        "bin_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_CAPACITY).cast(
+            "long"
+        ),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+ORACLE_PACKING = f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    binned AS (
+      SELECT source, n_tokens,
+             (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_tokens)
+               // {PACK_CAPACITY} AS bin_id
+      FROM toks)
+    SELECT source, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM binned GROUP BY source, bin_id
+"""
+
+
 def doc_token_count_map(spark, sf_dir):
     """MapType surface over the corpus: per-document token-count MAPS
     built with map_from_entries, thinned with map_filter (count >= 3),
@@ -1261,6 +1385,8 @@ QUERIES = {
     "dedup_graph_triangles": dedup_graph_triangles,
     "doc_token_count_map": doc_token_count_map,
     "text_normalize": text_normalize,
+    "doc_chunking": doc_chunking,
+    "doc_packing_bins": doc_packing_bins,
     "dedup_simhash": dedup_simhash,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf": ann_topk_ivf,
@@ -1293,6 +1419,8 @@ ORACLES = {
     "dedup_graph_triangles": ORACLE_TRIANGLES,
     "doc_token_count_map": ORACLE_TOKEN_MAP,
     "text_normalize": ORACLE_NORMALIZE,
+    "doc_chunking": ORACLE_CHUNKING,
+    "doc_packing_bins": ORACLE_PACKING,
     "dedup_simhash": ORACLE_SIMHASH,
     "ann_topk_cosine": ORACLE_ANN,
     "ann_topk_ivf": ORACLE_ANN_IVF,
