@@ -161,3 +161,15 @@ def test_topk_window_uses_group_limit(spark):
     rank-filter pattern silently loses it."""
     plan = plan_of(R.top3_customers_per_nation(spark, "/root/testdata/sf0.01"))
     assert plan.count("WindowGroupLimit") == 2
+
+
+def test_chunking_is_shuffle_free(spark):
+    """doc_chunking must stay a narrow map over the scan — chunking
+    100 TB is linear and partition-local or it's wrong. No Exchange,
+    no Join in the plan (the single AQE root note aside)."""
+    import hha_spark.queries.llm_ops as L
+
+    plan = plan_of(L.doc_chunking(spark, "/root/testdata/sf0.01"))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" in plan  # the posexplode
