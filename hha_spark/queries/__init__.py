@@ -21,6 +21,7 @@ from hha_spark.queries import (
     relational4,
     relational5,
     relational6,
+    relational7,
     spike_events,
     temporal,
 )
@@ -35,6 +36,7 @@ _MODULES = (
     relational4,
     relational5,
     relational6,
+    relational7,
     llm_ops,
     temporal,
 )
