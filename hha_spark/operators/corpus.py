@@ -1,0 +1,226 @@
+"""Corpus-level training-data operators: exact duplicated-span
+analysis, cross-source n-gram leakage, PII scrubbing, and source
+mixture balancing.
+
+These extend the per-document text ops (operators/text.py) to
+corpus-scale questions a 100 TB pre-training pipeline asks:
+
+  * which exact k-token spans repeat across documents (the
+    "Deduplicating Training Data Makes Language Models Better"
+    exact-substring signal, computed at gram granularity);
+  * how much n-gram mass two sources share (leakage / overlap audit,
+    the corpus-internal analogue of benchmark contamination in
+    queries/llm_ops.py);
+  * regex PII redaction (emails / IPv4 / long digit runs) as a
+    JVM-side narrow map;
+  * per-source sampling weights that fit a token budget (mixture
+    balancing).
+
+Scale notes (the design constraint for every op here):
+  * Gram frames are keyed by md5(gram), not the gram text, so the
+    shuffle carries a fixed-width key; at 100 TB the gram payload
+    column is dropped before any wide stage (only doc_id/source ride
+    along).
+  * Document-frequency aggregation is map-side combinable
+    (count-distinct rewritten as two-level agg by Catalyst); the
+    join back to per-doc grams is an equi-join on the hash key —
+    no broadcast of corpus-sized state anywhere.
+  * Source-overlap pairs are generated from per-gram source sets
+    with an explicit document-frequency cap (`max_sources`):
+    grams present in more than `max_sources` sources are
+    boilerplate and are EXCLUDED (and reported), so the pair
+    fan-out per gram is bounded — the same bounding idea as
+    MAX_LSH_BUCKET in operators/dedup.py.
+  * PII scrubbing is a pure narrow map of regexp_replace chains —
+    no shuffle, stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Redaction patterns — valid and identical under Java regex (Spark)
+# and RE2 (DuckDB oracle): no backreferences, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_DIGITS_RE = r"\d{6,}"
+
+
+def kgram_frame(
+    df: DataFrame, *, k: int, text_col: str = "text", extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *extra_cols, gram_key, gram) — one row per k-token
+    window.
+
+    Narrow map: tokenize, slide a k-window via sequence+transform
+    (same shape as the training-sequence chunker in
+    queries/relational7), explode. gram_key = md5 of the joined gram
+    keeps every downstream shuffle fixed-width; the gram text column
+    is only selected where a human-readable sample is wanted.
+    """
+    # CASE guard: sequence(1, n) with n < 1 would generate a
+    # DESCENDING sequence in Spark, so short docs get an empty array
+    grams = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}),"
+        f" i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))"
+        f" ELSE array() END"
+    )
+    return (
+        df.select("doc_id", *extra_cols, F.explode(grams).alias("gram"))
+        .select(
+            "doc_id", *extra_cols, F.md5("gram").alias("gram_key"), "gram"
+        )
+    )
+
+
+def duplicated_span_stats(docs: DataFrame, *, k: int = 5) -> DataFrame:
+    """Per-document exact duplicated-span profile.
+
+    A gram is *duplicated* when it appears in >= 2 distinct
+    documents. Returns per doc: total gram windows, windows whose
+    gram is corpus-duplicated, and distinct duplicated grams.
+
+    Plan: one narrow gram explode -> df aggregation on gram_key
+    (partial+final, map-side combinable) -> equi-join back on
+    gram_key -> per-doc aggregate. Two shuffles total (gram_key,
+    doc_id), both on bounded-width keys.
+    """
+    grams = kgram_frame(docs, k=k).select("doc_id", "gram_key")
+    df_per_gram = grams.groupBy("gram_key").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    dup_keys = df_per_gram.where(F.col("n_docs") >= 2).select("gram_key")
+    flagged = grams.join(dup_keys.withColumn("is_dup", F.lit(1)), "gram_key", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.count_distinct(
+            F.when(F.col("is_dup") == 1, F.col("gram_key"))
+        ).alias("n_dup_grams"),
+    )
+
+
+def source_overlap(
+    docs: DataFrame, *, k: int = 5, max_sources: int = 10
+) -> DataFrame:
+    """Pairwise source n-gram overlap (leakage audit).
+
+    For each unordered source pair (a < b): the number of distinct
+    grams both emit, each side's distinct gram count, and Jaccard as
+    one exact-integer division. Grams present in more than
+    `max_sources` sources are boilerplate: excluded from pairing
+    (bounding per-gram pair fan-out at max_sources^2) — the cap that
+    keeps this linear when "sources" means thousands of web domains.
+    """
+    grams = (
+        kgram_frame(docs, k=k, extra_cols=("source",))
+        .select("source", "gram_key")
+        .distinct()
+    )
+    per_gram = grams.groupBy("gram_key").agg(
+        F.collect_set("source").alias("sources")
+    )
+    bounded = per_gram.where(F.size("sources") <= max_sources)
+    pairs = bounded.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sources, a ->"
+                " transform(filter(sources, b -> b > a), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("shared_grams")
+    )
+    totals = grams.groupBy("source").agg(F.count(F.lit(1)).alias("total_grams"))
+    return (
+        shared.join(
+            F.broadcast(totals.withColumnRenamed("source", "source_a")
+                        .withColumnRenamed("total_grams", "grams_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.withColumnRenamed("source", "source_b")
+                        .withColumnRenamed("total_grams", "grams_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            (
+                F.col("shared_grams")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("shared_grams"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def pii_scrub(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, IPv4 literals, and >=6-digit runs.
+
+    Order matters and is fixed: emails first (their local parts may
+    contain digit runs), then IPv4 (dotted quads would otherwise be
+    partially eaten by the digit rule), then bare digit runs over the
+    already-redacted text. Pure narrow map — regexp_replace chains
+    stay in whole-stage codegen; nothing shuffles.
+    """
+    text = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0))
+    n_ip = F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0))
+    step1 = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    step2 = F.regexp_replace(step1, PII_IPV4_RE, "<IP>")
+    n_digits = F.size(F.regexp_extract_all(step2, F.lit(PII_DIGITS_RE), 0))
+    scrubbed = F.regexp_replace(step2, PII_DIGITS_RE, "<NUM>")
+    return df.select(
+        F.col(id_col),
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ipv4"),
+        n_digits.alias("n_digit_runs"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+def mixture_weights(docs: DataFrame, *, budget_frac_pct: int = 50) -> DataFrame:
+    """Per-source sampling weights hitting a corpus token budget.
+
+    Budget = budget_frac_pct% of total tokens, split evenly across
+    sources (the uniform-mixture target). A source smaller than its
+    share keeps everything (weight 1.0); larger sources downsample.
+    All quantities except the final weight are exact integers;
+    weight is one division of two integers (deterministic double).
+
+    One groupBy(source) + a broadcast 1-row total — no other
+    shuffles; sources are assumed to number in the thousands at
+    most, so the per-source frame itself broadcasts.
+    """
+    toks = F.size(F.split(F.col("text"), " "))
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    # one integer division, exactly mirrored by DuckDB's `//`
+    with_target = per_source.join(F.broadcast(totals)).withColumn(
+        "target_tokens",
+        F.expr(f"(total_tokens * {budget_frac_pct}) div (100 * n_sources)"),
+    )
+    return with_target.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "target_tokens",
+        F.least(F.col("n_tokens"), F.col("target_tokens")).alias("sampled_tokens"),
+        F.least(
+            F.lit(1.0), F.col("target_tokens") / F.col("n_tokens")
+        ).alias("weight"),
+    )

@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from hha_spark.queries import (
+    corpus,
     llm_ops,
     relational,
     relational2,
@@ -39,6 +40,7 @@ _MODULES = (
     relational7,
     llm_ops,
     temporal,
+    corpus,
 )
 
 

@@ -1,0 +1,181 @@
+"""Driver-gate queries for corpus-level training-data operators
+(operators/corpus.py): exact duplicated spans, cross-source n-gram
+leakage, PII scrubbing, mixture balancing.
+
+Determinism contract: every join/group key is an md5 hex string or an
+integer; ratios are single divisions of exact integers (IEEE double,
+identical across engines); no floats accumulate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hha_spark.operators.corpus import (
+    PII_DIGITS_RE,
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    duplicated_span_stats,
+    mixture_weights,
+    pii_scrub,
+    source_overlap,
+)
+from hha_spark.sources.tables import load_table
+
+K = 5
+MAX_SOURCES = 10
+BUDGET_PCT = 50
+
+# DuckDB-side k-gram extraction (1-based inclusive list slicing; the
+# LATERAL unnest enumerates window starts). Mirrors
+# operators/corpus.py::kgram_frame exactly, including the md5 key.
+_ORACLE_GRAMS = f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (
+      SELECT doc_id, source,
+             md5(array_to_string(toks[i:i+{K - 1}], ' ')) AS gram_key
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - {K - 1})) AS i
+      ) s
+    )
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def corpus_dup_spans(spark, sf_dir):
+    """Exact duplicated k-gram spans per document (Lee et al.-style
+    exact-substring dedup signal at gram granularity)."""
+    return duplicated_span_stats(_docs(spark, sf_dir), k=K)
+
+
+ORACLE_DUP_SPANS = f"""
+    {_ORACLE_GRAMS},
+    dfreq AS (
+      SELECT gram_key, count(DISTINCT doc_id) AS n_docs
+      FROM g GROUP BY gram_key
+    ),
+    flagged AS (
+      SELECT g.doc_id, g.gram_key,
+             CASE WHEN d.n_docs >= 2 THEN 1 END AS is_dup
+      FROM g JOIN dfreq d USING (gram_key)
+    )
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(coalesce(sum(is_dup), 0) AS BIGINT) AS n_dup_windows,
+           count(DISTINCT CASE WHEN is_dup = 1 THEN gram_key END)
+             AS n_dup_grams
+    FROM flagged GROUP BY doc_id
+"""
+
+
+def corpus_source_overlap(spark, sf_dir):
+    """Pairwise source gram-overlap matrix with a boilerplate
+    document-frequency cap."""
+    return source_overlap(_docs(spark, sf_dir), k=K, max_sources=MAX_SOURCES)
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+    {_ORACLE_GRAMS},
+    sg AS (SELECT DISTINCT source, gram_key FROM g),
+    pg AS (SELECT gram_key, count(*) AS ns FROM sg GROUP BY gram_key),
+    keep AS (SELECT gram_key FROM pg WHERE ns <= {MAX_SOURCES}),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared_grams
+      FROM sg a
+      JOIN keep USING (gram_key)
+      JOIN sg b USING (gram_key)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, count(*) AS total_grams FROM sg GROUP BY source)
+    SELECT source_a, source_b, shared_grams,
+           ta.total_grams AS grams_a, tb.total_grams AS grams_b,
+           shared_grams / (ta.total_grams + tb.total_grams - shared_grams)
+             AS jaccard
+    FROM pairs
+    JOIN tot ta ON ta.source = pairs.source_a
+    JOIN tot tb ON tb.source = pairs.source_b
+"""
+
+
+def corpus_pii_scrub(spark, sf_dir):
+    """Regex PII redaction: per-doc match counts + scrubbed text.
+
+    The fixture corpus contains no PII (counts are 0 and the text
+    passes through), which the oracle verifies end-to-end; the
+    redaction semantics themselves are pinned on crafted strings in
+    tests/test_corpus.py.
+    """
+    out = pii_scrub(_docs(spark, sf_dir))
+    for c in ("n_emails", "n_ipv4", "n_digit_runs"):
+        out = out.withColumn(c, F.col(c).cast("long"))
+    return out
+
+
+ORACLE_PII_SCRUB = f"""
+    SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS n_ipv4,
+       len(regexp_extract_all(
+             regexp_replace(regexp_replace(text,
+               '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_IPV4_RE}', '<IP>', 'g'),
+             '{PII_DIGITS_RE}')) AS n_digit_runs,
+       regexp_replace(
+         regexp_replace(regexp_replace(text,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}', '<IP>', 'g'),
+         '{PII_DIGITS_RE}', '<NUM>', 'g') AS scrubbed_text
+    FROM documents
+"""
+
+
+def corpus_mixture_weights(spark, sf_dir):
+    """Per-source sampling weights for a 50%-of-corpus token budget
+    split uniformly across sources."""
+    return mixture_weights(_docs(spark, sf_dir), budget_frac_pct=BUDGET_PCT)
+
+
+ORACLE_MIXTURE_WEIGHTS = f"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             count(*) AS n_sources
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST((total_tokens * {BUDGET_PCT}) // (100 * n_sources) AS BIGINT)
+             AS target_tokens,
+           CAST(least(n_tokens,
+                (total_tokens * {BUDGET_PCT}) // (100 * n_sources)) AS BIGINT)
+             AS sampled_tokens,
+           least(1.0,
+                CAST((total_tokens * {BUDGET_PCT}) // (100 * n_sources)
+                     AS BIGINT) / n_tokens) AS weight
+    FROM per, tot
+"""
+
+
+QUERIES = {
+    "corpus_dup_spans": corpus_dup_spans,
+    "corpus_source_overlap": corpus_source_overlap,
+    "corpus_pii_scrub": corpus_pii_scrub,
+    "corpus_mixture_weights": corpus_mixture_weights,
+}
+
+ORACLES = {
+    "corpus_dup_spans": ORACLE_DUP_SPANS,
+    "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
+    "corpus_pii_scrub": ORACLE_PII_SCRUB,
+    "corpus_mixture_weights": ORACLE_MIXTURE_WEIGHTS,
+}

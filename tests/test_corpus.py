@@ -1,0 +1,129 @@
+"""Corpus operators: PII redaction semantics on crafted strings,
+duplicated-span accounting, boilerplate capping, and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hha_spark.operators.corpus import (
+    duplicated_span_stats,
+    kgram_frame,
+    mixture_weights,
+    pii_scrub,
+    source_overlap,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_pii_scrub_redacts_all_three_classes(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "s", "mail me at alice.smith+x@example.co.uk today"),
+            (2, "s", "server 10.0.255.3 answered then 192.168.1.1 dropped"),
+            (3, "s", "card 1234567890123456 pin 9999 ok"),
+            (4, "s", "bob@corp.io from 127.0.0.1 ref 20240813120000"),
+            (5, "s", "nothing sensitive here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["scrubbed_text"] == "mail me at <EMAIL> today"
+    assert out[1]["n_emails"] == 1
+    assert out[2]["scrubbed_text"] == "server <IP> answered then <IP> dropped"
+    assert out[2]["n_ipv4"] == 2
+    # 4-digit pin survives; 16-digit PAN is redacted
+    assert out[3]["scrubbed_text"] == "card <NUM> pin 9999 ok"
+    assert out[3]["n_digit_runs"] == 1
+    # email local part consumed BEFORE digit-run pass; IP before digits
+    assert out[4]["scrubbed_text"] == "<EMAIL> from <IP> ref <NUM>"
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_digit_runs"]) == (1, 1, 1)
+    assert out[5]["scrubbed_text"] == "nothing sensitive here"
+
+
+def test_kgram_frame_short_doc_yields_no_windows(spark):
+    df = _docs(spark, [(1, "s", "a b c"), (2, "s", "a b c d e f")])
+    grams = kgram_frame(df, k=5).collect()
+    # doc 1 has 3 tokens < k -> zero windows (NOT a descending-sequence
+    # artifact); doc 2 has 6 tokens -> 2 windows
+    by_doc = {}
+    for r in grams:
+        by_doc.setdefault(r["doc_id"], []).append(r["gram"])
+    assert 1 not in by_doc
+    assert sorted(by_doc[2]) == ["a b c d e", "b c d e f"]
+
+
+def test_duplicated_span_stats_counts_cross_doc_windows(spark):
+    # docs 1 and 2 share the exact 5-gram "q w e r t"; doc 3 is unique;
+    # doc 1 repeats the shared gram twice (two windows, one gram)
+    df = _docs(
+        spark,
+        [
+            (1, "s", "q w e r t q w e r t"),
+            (2, "s", "x q w e r t y"),
+            (3, "s", "k l m n o p"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in duplicated_span_stats(df, k=5).collect()}
+    assert out[1]["n_grams"] == 6
+    # windows at positions 1 and 6 are "q w e r t"
+    assert out[1]["n_dup_windows"] == 2
+    assert out[1]["n_dup_grams"] == 1
+    assert out[2]["n_dup_windows"] == 1
+    assert out[3]["n_dup_windows"] == 0
+    assert out[3]["n_dup_grams"] == 0
+
+
+def test_source_overlap_cap_excludes_boilerplate(spark):
+    # gram "a b c d e" appears in ALL three sources; "p q r s t" in two.
+    # With max_sources=2 the ubiquitous gram is dropped from pairing, so
+    # (s1,s3) and (s2,s3) share nothing and don't appear at all.
+    df = _docs(
+        spark,
+        [
+            (1, "s1", "a b c d e p q r s t"),
+            (2, "s2", "a b c d e p q r s t"),
+            (3, "s3", "z a b c d e y"),
+        ],
+    )
+    rows = source_overlap(df, k=5, max_sources=2).collect()
+    pairs = {(r["source_a"], r["source_b"]): r for r in rows}
+    assert set(pairs) == {("s1", "s2")}
+    r = pairs[("s1", "s2")]
+    # s1/s2 share all 6 of their grams minus the capped one -> 5 shared
+    assert r["shared_grams"] == 5
+    assert r["grams_a"] == 6 and r["grams_b"] == 6
+    assert r["jaccard"] == 5 / 7
+
+
+def test_mixture_weights_budget_split(spark):
+    # two sources, 10 vs 30 tokens; 50% budget = 20, split 10 per source:
+    # small source keeps everything (weight 1.0), big one downsamples
+    df = _docs(
+        spark,
+        [
+            (1, "small", " ".join(["a"] * 10)),
+            (2, "big", " ".join(["b"] * 30)),
+        ],
+    )
+    out = {r["source"]: r for r in mixture_weights(df, budget_frac_pct=50).collect()}
+    assert out["small"]["target_tokens"] == 10
+    assert out["small"]["sampled_tokens"] == 10
+    assert out["small"]["weight"] == 1.0
+    assert out["big"]["sampled_tokens"] == 10
+    assert out["big"]["weight"] == 10 / 30
+
+
+def test_pii_scrub_plan_is_narrow(spark):
+    """The scrub is a pure map: no Exchange anywhere in the plan."""
+    df = _docs(spark, [(1, "s", "x")])
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_kgram_explode_plan_has_no_shuffle(spark):
+    df = _docs(spark, [(1, "s", "a b c d e f")])
+    plan = kgram_frame(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
