@@ -173,3 +173,44 @@ def test_chunking_is_shuffle_free(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Generate" in plan  # the posexplode
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """When the probe side is too big to broadcast, Spark's runtime
+    bloom-filter injection (on by default since 3.4) builds a bloom
+    filter from the selective build side and pushes might_contain()
+    into the fact scan — the semi-join-reduction mechanism that makes
+    a 100 TB shuffle join skip most fact rows. Pin that it actually
+    fires on our data layout once the size thresholds reflect
+    cluster-scale inputs (the local fixture is far below the 10 GB
+    default application-side threshold, so the test lowers it; a real
+    deployment hits it naturally)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        od = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = plan_of(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
