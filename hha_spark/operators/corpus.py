@@ -59,16 +59,25 @@ def kgram_frame(
     keeps every downstream shuffle fixed-width; the gram text column
     is only selected where a human-readable sample is wanted.
     """
+    # `toks` is a named column on purpose: referencing split() inside
+    # the transform lambda would re-split the text once PER WINDOW
+    # (common-subexpression elimination does not reach inside
+    # higher-order-function lambdas), turning a linear map quadratic.
+    # As a non-cheap alias referenced three times it also survives
+    # CollapseProject, so the split really runs once per row.
     # CASE guard: sequence(1, n) with n < 1 would generate a
-    # DESCENDING sequence in Spark, so short docs get an empty array
+    # DESCENDING sequence in Spark, so short docs get an empty array.
+    with_toks = df.select(
+        "doc_id", *extra_cols, F.split(F.col(text_col), " ").alias("toks")
+    )
     grams = F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
-        f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}),"
-        f" i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))"
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"transform(sequence(1, size(toks) - {k - 1}),"
+        f" i -> array_join(slice(toks, i, {k}), ' '))"
         f" ELSE array() END"
     )
     return (
-        df.select("doc_id", *extra_cols, F.explode(grams).alias("gram"))
+        with_toks.select("doc_id", *extra_cols, F.explode(grams).alias("gram"))
         .select(
             "doc_id", *extra_cols, F.md5("gram").alias("gram_key"), "gram"
         )
@@ -82,23 +91,31 @@ def duplicated_span_stats(docs: DataFrame, *, k: int = 5) -> DataFrame:
     documents. Returns per doc: total gram windows, windows whose
     gram is corpus-duplicated, and distinct duplicated grams.
 
-    Plan: one narrow gram explode -> df aggregation on gram_key
-    (partial+final, map-side combinable) -> equi-join back on
-    gram_key -> per-doc aggregate. Two shuffles total (gram_key,
-    doc_id), both on bounded-width keys.
+    Plan: narrow gram explode -> (doc, gram) window-count aggregate
+    (dedups within-doc repeats BEFORE anything wide, so the join
+    carries one row per doc-gram) -> document-frequency aggregate as
+    a plain map-side-combinable count (each input row is already one
+    distinct doc) -> equi-join back -> per-doc rollup. No
+    count_distinct anywhere, so no Expand node doubles the gram
+    frame; every aggregate is partial+final.
     """
     grams = kgram_frame(docs, k=k).select("doc_id", "gram_key")
-    df_per_gram = grams.groupBy("gram_key").agg(
-        F.count_distinct("doc_id").alias("n_docs")
+    doc_gram = grams.groupBy("doc_id", "gram_key").agg(
+        F.count(F.lit(1)).alias("w")
     )
-    dup_keys = df_per_gram.where(F.col("n_docs") >= 2).select("gram_key")
-    flagged = grams.join(dup_keys.withColumn("is_dup", F.lit(1)), "gram_key", "left")
+    dup_keys = (
+        doc_gram.groupBy("gram_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("gram_key", F.lit(1).alias("is_dup"))
+    )
+    flagged = doc_gram.join(dup_keys, "gram_key", "left")
     return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("n_dup_windows"),
-        F.count_distinct(
-            F.when(F.col("is_dup") == 1, F.col("gram_key"))
-        ).alias("n_dup_grams"),
+        F.sum("w").cast("long").alias("n_grams"),
+        F.coalesce(F.sum(F.col("w") * F.col("is_dup")), F.lit(0))
+        .cast("long")
+        .alias("n_dup_windows"),
+        F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("n_dup_grams"),
     )
 
 

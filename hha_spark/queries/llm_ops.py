@@ -1183,8 +1183,12 @@ def doc_chunking(spark, sf_dir):
     Chunk grid: starts at 0, stride CHUNK_STRIDE, plus a tail chunk
     whenever tokens remain past the last full window; single-window
     docs emit exactly one chunk.
+
+    fanout=False: this query's contract (and plan test) is
+    shuffle-freedom — at scale its parallelism comes from input
+    splits, so it skips the small-file fan-out repartition.
     """
-    docs = _docs(spark, sf_dir).select(
+    docs = load_table(spark, sf_dir, "documents", fanout=False).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     n = F.size("toks")

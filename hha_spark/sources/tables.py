@@ -33,12 +33,34 @@ TABLE_NAMES = (
 NS_PER_US = 1_000
 US_PER_DAY = 86_400 * 1_000_000
 
+# Fact tables that arrive as ONE single-row-group parquet file in the
+# fixture layout. Spark cannot split inside a row group, so without
+# intervention every scan — and the whole narrow pipeline above it
+# (tokenize/explode/hash/partial-agg) — runs in ONE task regardless of
+# cluster size. A round-robin repartition to the session's parallelism
+# fixes that for the price of one tiny shuffle (the files are <11 MB).
+# This is strictly a small-file artifact: a production 100 TB table has
+# thousands of splits and the fan-out becomes a no-op cost that a
+# caller can disable with fanout=False. Catalyst still pushes filters
+# and column pruning through the Repartition node, so scan pushdown is
+# unaffected (pinned by test_plans.test_q1_pushes_filter_and_prunes_columns).
+# Dimension tables stay as-is: they broadcast, and an extra exchange
+# under a BroadcastExchange is pure overhead.
+FANOUT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, fanout: bool | None = None
+) -> DataFrame:
     if name == "events":
         # TIMESTAMP(NANOS) -> BIGINT ns; runtime conf, safe to set per-read
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if fanout is None:
+        fanout = name in FANOUT_TABLES
+    if fanout:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
