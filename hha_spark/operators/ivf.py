@@ -9,7 +9,7 @@ size. At 100 TB the final assignment is a partition/bucket key for
 the stored index.
 
 Training is deterministic Lloyd's k-means, built entirely from the
-exact quantized kernel (operators/similarity.py contract):
+exact quantized arithmetic of operators/similarity.py:
 
   * init: sign-bit cells of the first two components (the round-1
     stand-in quantizer — now only the seed);
@@ -23,9 +23,23 @@ exact quantized kernel (operators/similarity.py contract):
 No randomness anywhere: same data -> same codebook in Spark and in
 the DuckDB oracle, which unrolls the same iterations as CTEs.
 
-Shuffle shape per iteration: one (cell, idx) aggregation (map-side
-combinable) + one broadcast join of the k·dim centroid table against
-the element frame + one per-vector window. All linear in N·dim.
+Physical strategy (the part that matters at 100 TB): centroids are
+k·dim values — driver-collected each round exactly like MLlib's
+KMeans, then re-embedded as literal arrays. Distance + argmin are
+then a NARROW map over the vector column (`zip_with` element
+subtraction folded by `aggregate`, `array_sort` over per-cell
+(dq, cell) structs for the probe order) — no element explode, no
+(vec_id, cell) shuffle, no row_number window. The only shuffle per
+Lloyd round is the k·dim-group centroid aggregation, which is
+map-side combinable. For codebooks too large to inline as a literal
+(k·dim in the millions), the same expressions apply against a
+broadcast-joined centroid array instead; the quantized math is
+unchanged.
+
+Exactness contract: bigint sums are order-independent, double ops are
+IEEE-identical across engines, and Python round-trips collected
+doubles losslessly, so the literal-array path produces bit-identical
+cells/distances to the exploded-join formulation the oracle uses.
 """
 
 from __future__ import annotations
@@ -36,68 +50,75 @@ from pyspark.sql import functions as F
 Q = 1_000_000_000_000  # picounit quantization, shared with similarity.py
 
 _MEAN_NUM = (
-    f"CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * {Q}) AS BIGINT)) AS DOUBLE)"
-)
-_DIST_Q = (
-    f"SUM(CAST(FLOOR((CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c) * {Q}) "
-    "AS BIGINT))"
+    f"CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * {Q}) AS BIGINT)) AS BIGINT)"
 )
 
 
-def elements(emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, idx, v) element frame — 0-based idx, narrow map."""
-    return emb.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("idx", "v"))
-
-
-def signbit_cells(emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def signbit_cell_col(vec_col: str = "embedding"):
     """Deterministic 4-cell seed quantizer: sign bits of components 0,1."""
-    return emb.select(
-        F.col(id_col),
-        (
-            (F.col(vec_col)[0] >= 0).cast("int") * 2
-            + (F.col(vec_col)[1] >= 0).cast("int")
-        ).alias("cell"),
-    )
+    return (F.col(vec_col)[0] >= 0).cast("int") * 2 + (
+        F.col(vec_col)[1] >= 0
+    ).cast("int")
 
 
-def centroids_of(el: DataFrame, cells: DataFrame) -> DataFrame:
-    """(cell, idx, c): exact per-component means of each cell's members."""
-    return (
-        el.join(cells, on="vec_id")
+def _collect_centroids(
+    emb: DataFrame, cell_col, *, vec_col: str = "embedding"
+) -> dict[int, list[float]]:
+    """{cell: [c_0..c_{dim-1}]} — exact quantized per-component means.
+
+    One narrow posexplode + one map-side-combinable (cell, idx)
+    aggregation; the result is k·dim values, collected driver-side
+    the way MLlib's KMeans collects its codebook every round.
+    """
+    rows = (
+        emb.select(cell_col.alias("cell"), F.posexplode(F.col(vec_col)).alias("idx", "v"))
         .groupBy("cell", "idx")
-        .agg(
-            F.expr(_MEAN_NUM).alias("_sq"),
-            F.count(F.lit(1)).alias("_n"),
-        )
+        .agg(F.expr(_MEAN_NUM).alias("_sq"), F.count(F.lit(1)).alias("_n"))
         .select(
             "cell",
             "idx",
-            ((F.col("_sq") / F.col("_n").cast("double")) / F.lit(float(Q))).alias("c"),
+            ((F.col("_sq").cast("double") / F.col("_n").cast("double")) / F.lit(float(Q))).alias("c"),
         )
+        .collect()
     )
+    cents: dict[int, dict[int, float]] = {}
+    for r in rows:
+        cents.setdefault(r["cell"], {})[r["idx"]] = r["c"]
+    return {
+        cell: [comps[i] for i in sorted(comps)] for cell, comps in cents.items()
+    }
 
 
-def cell_distances(el: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, cell, dq): quantized squared distance to every centroid.
+def _dq_col(cvec: list[float], *, vec_col: str = "embedding"):
+    """Quantized squared distance to one centroid: a pure narrow map.
 
-    The centroid table is k·dim rows — always broadcast; the element
-    frame never shuffles here (distances aggregate on vec_id, the
-    frame's natural key)."""
-    return (
-        el.join(F.broadcast(centroids), on="idx")
-        .groupBy("vec_id", "cell")
-        .agg(F.expr(_DIST_Q).alias("dq"))
+    zip_with folds the element-wise floor((v-c)²·Q) terms, aggregate
+    sums them as bigints — the same order-independent integer sum the
+    oracle's GROUP BY computes, with zero shuffle.
+    """
+    cent_arr = F.array(*[F.lit(float(c)) for c in cvec])
+    terms = F.zip_with(
+        F.col(vec_col),
+        cent_arr,
+        lambda v, c: F.floor(
+            (v.cast("double") - c) * (v.cast("double") - c) * F.lit(Q)
+        ).cast("long"),
     )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
-def nearest_cells(distances: DataFrame, *, nprobe: int = 1) -> DataFrame:
-    """(vec_id, cell, rnk<=nprobe), deterministic ties by cell id."""
-    w = Window.partitionBy("vec_id").orderBy("dq", "cell")
-    return (
-        distances.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= F.lit(nprobe))
-        .select("vec_id", "cell", "rnk")
-    )
+def sorted_cells_col(cents: dict[int, list[float]], *, vec_col: str = "embedding"):
+    """array<struct<dq,cell>> sorted by (dq, cell) — struct field order
+    gives the deterministic tie-break; element 1 is the assignment,
+    the first nprobe elements are the probe list."""
+    structs = [
+        F.named_struct(
+            F.lit("dq"), _dq_col(cvec, vec_col=vec_col),
+            F.lit("cell"), F.lit(cell),
+        )
+        for cell, cvec in sorted(cents.items())
+    ]
+    return F.array_sort(F.array(*structs))
 
 
 def train_ivf(
@@ -109,16 +130,24 @@ def train_ivf(
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd-iterate from the sign-bit seed; returns (assignment,
     centroids) where assignment is argmin w.r.t. the returned
-    centroids (the invariant a probe-list query needs)."""
-    el = elements(emb, id_col=id_col, vec_col=vec_col)
-    cells = signbit_cells(emb, id_col=id_col, vec_col=vec_col)
-    cent = None
+    centroids (the invariant a probe-list query needs).
+
+    assignment: (vec_id, cell) — a narrow map over emb.
+    centroids: (cell, idx, c) — the collected final codebook.
+    """
+    emb = emb.persist()
+    cell_col = signbit_cell_col(vec_col)
+    cents: dict[int, list[float]] = {}
     for _ in range(iters):
-        cent = centroids_of(el, cells)
-        cells = nearest_cells(cell_distances(el, cent), nprobe=1).select(
-            "vec_id", "cell"
-        )
-    return cells, cent
+        cents = _collect_centroids(emb, cell_col, vec_col=vec_col)
+        cell_col = F.element_at(sorted_cells_col(cents, vec_col=vec_col), 1)["cell"]
+    cells = emb.select(F.col(id_col).alias("vec_id"), cell_col.alias("cell"))
+    cent_df = emb.sparkSession.createDataFrame(
+        [(cell, idx, c) for cell, cvec in sorted(cents.items())
+         for idx, c in enumerate(cvec)],
+        schema="cell int, idx int, c double",
+    )
+    return cells, cent_df
 
 
 def ivf_topk(
@@ -135,32 +164,33 @@ def ivf_topk(
     Each query probes its `nprobe` nearest cells; candidates are the
     vectors assigned (rank-1) to those cells. Output
     (qid, cid, cosine, rank) with deterministic tie-breaks.
+
+    Shuffle census: iters tiny centroid aggs (training) + the
+    cell-keyed candidate join + the exact-cosine kernel + the final
+    per-query top-k window. Assignment and probe lists are narrow.
     """
     from hha_spark.operators.similarity import cosine_pairs_for
 
     emb = emb.persist()
-    el = elements(emb)
-    cells = signbit_cells(emb)
-    cent = None
+    cell_col = signbit_cell_col()
+    cents: dict[int, list[float]] = {}
     for _ in range(iters):
-        cent = centroids_of(el, cells)
-        cells = nearest_cells(cell_distances(el, cent), nprobe=1).select(
-            "vec_id", "cell"
-        )
-    # final distances serve both the index assignment (rank 1) and the
-    # query probe lists (rank <= nprobe): compute once, persist
-    dist = cell_distances(el, cent).persist()
-    assignment = nearest_cells(dist, nprobe=1).select("vec_id", "cell")
+        cents = _collect_centroids(emb, cell_col)
+        cell_col = F.element_at(sorted_cells_col(cents), 1)["cell"]
+    ranked = sorted_cells_col(cents)
+    assignment = emb.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.element_at(ranked, 1)["cell"].alias("cell"),
+    )
     probes = (
-        nearest_cells(dist, nprobe=nprobe)
-        .join(emb.where(query_pred).select("vec_id"), on="vec_id")
-        .select(F.col("vec_id").alias("vec_id_a"), "cell")
+        emb.where(query_pred)
+        .select(
+            F.col("vec_id").alias("vec_id_a"),
+            F.explode(F.slice(ranked, 1, nprobe)["cell"]).alias("cell"),
+        )
     )
     pairs = (
-        probes.join(
-            assignment.select(F.col("vec_id").alias("vec_id_b"), "cell"),
-            on="cell",
-        )
+        probes.join(assignment, on="cell")
         .where(F.col("vec_id_a") != F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b")
         .distinct()

@@ -5,18 +5,24 @@ bucketed variants (operators/dedup.py banding, sign-bit buckets) are
 the scale path. The dot product is computed EXACTLY:
 
     per-element product in double (bit-identical across engines)
-      -> cast to DECIMAL(20,15) (exact sum, order-independent)
+      -> floor-quantized to integer 1e-12 units (order-independent
+         BIGINT sum)
       -> one double division / sqrt at the end (correctly rounded).
 
 This sidesteps float-summation order entirely — a requirement both
 for the DuckDB oracle gate and for run-to-run stability once partial
 aggregation reorders partitions on a real cluster.
 
-Layout note: element explosion multiplies row count by the dimension
-(64 here). At scale, keep the candidate set bounded (blocking /
-LSH / IVF probe lists) before exploding; the explode itself is a
-narrow map, and the (pair -> dot) aggregation shuffles on the pair
-key with map-side partial sums.
+Physical strategy: the per-pair arithmetic is a NARROW map —
+`zip_with` multiplies the two arrays element-wise and `aggregate`
+folds the quantized terms, entirely inside whole-stage codegen. No
+element explode, no (pair, idx) join, no per-pair aggregation
+shuffle: the only wide operations left in a similarity pipeline are
+the joins that attach the two vectors to each candidate pair (equi-
+joins on the vector id; broadcast when a side is small). Cost per
+pair is O(dim) multiply-adds on in-row arrays — the same arithmetic
+a columnar kernel would do, without moving |pairs|×dim rows through
+a shuffle first.
 """
 
 from __future__ import annotations
@@ -34,30 +40,39 @@ from pyspark.sql import functions as F
 # correctly rounded — bit-identical across engines and partition
 # orders, at the cost of a deterministic <=1e-12/element truncation.
 _Q = 1_000_000_000_000
-_DOT = (
-    f"CAST(SUM(CAST(FLOOR(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE) * {_Q}) "
-    "AS BIGINT)) AS DOUBLE)"
-)
-_NORM = (
-    f"CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * {_Q}) "
-    "AS BIGINT)) AS DOUBLE)"
-)
 
 
-def _elements(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias(f"{prefix}id"),
-        F.posexplode(F.col(vec_col)).alias("idx", f"{prefix}v"),
+def _fold_long(terms):
+    """Sum an array<bigint> column; BIGINT addition is associative, so
+    the in-row fold equals any shuffle-order SUM of the same terms."""
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def dot_scaled(a, b):
+    """Quantized dot product of two array columns, in 1e-12 units:
+    Σ floor(a_i·b_i·1e12) as a DOUBLE-cast BIGINT. Narrow."""
+    terms = F.zip_with(
+        a, b,
+        lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * F.lit(_Q)
+        ).cast("long"),
     )
+    return _fold_long(terms).cast("double")
+
+
+def norm_sq_scaled(v):
+    """Quantized squared norm of an array column (1e-12 units). The
+    scale cancels against the scaled dot inside the cosine."""
+    return dot_scaled(v, v)
 
 
 def _norms_scaled(
     df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """(id, norm_sq) in picounits — the internal kernel currency; the
-    1e12 scale cancels against the scaled dot inside the cosine."""
-    el = df.select(F.col(id_col), F.explode(F.col(vec_col)).alias("v"))
-    return el.groupBy(id_col).agg(F.expr(_NORM).alias("norm_sq"))
+    """(id, norm_sq) in picounits — the internal kernel currency."""
+    return df.select(
+        F.col(id_col), norm_sq_scaled(F.col(vec_col)).alias("norm_sq")
+    )
 
 
 def vector_norms(
@@ -77,35 +92,35 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All (query, candidate) cosine similarities via element join.
+    """All (query, candidate) cosine similarities.
 
     Returns (qid, cid, cosine DOUBLE). Both inputs should already be
     blocked/bounded — this is the exact kernel, not the pruner.
+
+    The (small) query side is broadcast, so the cross product never
+    shuffles: each candidate partition streams against the in-memory
+    query vectors and the whole cosine is computed in one narrow
+    projection (BroadcastNestedLoopJoin + codegen fold).
     """
-    q_el = _elements(queries, id_col, vec_col, "a")
-    c_el = _elements(candidates, id_col, vec_col, "b")
-    # broadcast the (small) query side: the element join then runs
-    # without a shuffle on the 64-key idx column, which would
-    # otherwise cap parallelism at the vector dimension
-    dots = (
-        F.broadcast(q_el)
-        .join(c_el, on="idx")
-        .groupBy("aid", "bid")
-        .agg(F.expr(_DOT).alias("dot"))
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
     )
-    qn = _norms_scaled(queries, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("aid"), F.col("norm_sq").alias("qn")
-    )
-    cn = _norms_scaled(candidates, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("bid"), F.col("norm_sq").alias("cn")
+    c = candidates.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv")
     )
     return (
-        dots.join(F.broadcast(qn), on="aid")
-        .join(F.broadcast(cn), on="bid")
+        F.broadcast(q)
+        .crossJoin(c)
         .select(
-            F.col("aid").alias("qid"),
-            F.col("bid").alias("cid"),
-            (F.col("dot") / (F.sqrt("qn") * F.sqrt("cn"))).alias("cosine"),
+            "qid",
+            "cid",
+            (
+                dot_scaled(F.col("__qv"), F.col("__cv"))
+                / (
+                    F.sqrt(norm_sq_scaled(F.col("__qv")))
+                    * F.sqrt(norm_sq_scaled(F.col("__cv")))
+                )
+            ).alias("cosine"),
         )
     )
 
@@ -121,38 +136,28 @@ def cosine_pairs_for(
 ) -> DataFrame:
     """Cosine similarity for an explicit candidate-pair set.
 
-    `pairs` is (a_col, b_col [, extra cols]); only those pairs are
-    exploded (|pairs| × dim element rows), so the cost tracks the
+    `pairs` is (a_col, b_col [, extra cols]); the cost tracks the
     candidate count — the shape every blocked/LSH/IVF near-dup
     pipeline needs at scale. Returns pairs + cosine.
+
+    Two equi-joins attach the two vectors to each pair (the only wide
+    ops; broadcast/shuffled-hash per AQE's choice), then the cosine is
+    one narrow projection per pair.
     """
-    el = vectors.select(
-        F.col(id_col), F.posexplode(F.col(vec_col)).alias("idx", "v")
-    )
-    a_el = el.select(
-        F.col(id_col).alias(a_col), "idx", F.col("v").alias("av")
-    )
-    b_el = el.select(
-        F.col(id_col).alias(b_col), "idx", F.col("v").alias("bv")
-    )
-    dots = (
-        pairs.select(a_col, b_col)
-        .join(a_el, on=a_col)
-        .join(b_el, on=[b_col, "idx"])
-        .groupBy(a_col, b_col)
-        .agg(F.expr(_DOT).alias("dot"))
-    )
-    norms = vectors.select(
-        F.col(id_col), F.explode(F.col(vec_col)).alias("v")
-    ).groupBy(id_col).agg(F.expr(_NORM).alias("norm_sq"))
-    an = norms.select(F.col(id_col).alias(a_col), F.col("norm_sq").alias("an"))
-    bn = norms.select(F.col(id_col).alias(b_col), F.col("norm_sq").alias("bn"))
+    va = vectors.select(F.col(id_col).alias(a_col), F.col(vec_col).alias("__va"))
+    vb = vectors.select(F.col(id_col).alias(b_col), F.col(vec_col).alias("__vb"))
     return (
-        pairs.join(dots, on=[a_col, b_col])
-        .join(F.broadcast(an), on=a_col)
-        .join(F.broadcast(bn), on=b_col)
-        .withColumn("cosine", F.col("dot") / (F.sqrt("an") * F.sqrt("bn")))
-        .drop("dot", "an", "bn")
+        pairs.join(va, on=a_col)
+        .join(vb, on=b_col)
+        .withColumn(
+            "cosine",
+            dot_scaled(F.col("__va"), F.col("__vb"))
+            / (
+                F.sqrt(norm_sq_scaled(F.col("__va")))
+                * F.sqrt(norm_sq_scaled(F.col("__vb")))
+            ),
+        )
+        .drop("__va", "__vb")
     )
 
 
@@ -189,30 +194,50 @@ def hyperplane_bands(
     """(vec_id, band, band_val): random-hyperplane (SRP) signature
     bits, banded for LSH. Bit j is the sign of Σ_i s_ji·v_i, computed
     over floor-quantized integers so partial-sum order can't flip a
-    boundary sign. The planes frame is bits×dim rows — always
-    broadcast; both aggregations key on the vector id."""
-    el = emb.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("idx", "v"))
-    bit_rows = (
-        el.join(F.broadcast(planes), el.idx == planes.i)
-        .groupBy(id_col, "j")
-        .agg(
-            F.expr(
-                f"SUM(CAST(FLOOR(CAST(v AS DOUBLE) * {_Q}) AS BIGINT) * s)"
-            ).alias("sb")
+    boundary sign.
+
+    The sign matrix is bits×dim values — collected driver-side (it is
+    deterministic and tiny) and re-embedded as literal arrays, so the
+    whole signature is one NARROW projection per vector followed by a
+    band explode: no element join, no (vec_id, j) or (vec_id, band)
+    aggregation shuffle. The BIGINT term sum is order-independent,
+    so the values match the oracle's exploded GROUP BY formulation
+    bit-for-bit."""
+    srows = planes.collect()
+    smat: dict[int, dict[int, int]] = {}
+    for r in srows:
+        smat.setdefault(r["j"], {})[r["i"]] = r["s"]
+    sign_arrays = {
+        j: [row[i] for i in sorted(row)] for j, row in smat.items()
+    }
+
+    def bit(j: int):
+        s_arr = F.array(*[F.lit(s) for s in sign_arrays[j]])
+        terms = F.zip_with(
+            F.col(vec_col),
+            s_arr,
+            lambda x, s: F.floor(x.cast("double") * F.lit(_Q)).cast("long") * s,
         )
-        .select(
-            id_col, "j",
-            F.expr("CASE WHEN sb > 0 THEN 1 ELSE 0 END").alias("bit"),
+        sb = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return F.when(sb > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    n_bands = (len(sign_arrays) + bits_per_band - 1) // bits_per_band
+    band_structs = []
+    for b in range(n_bands):
+        js = [j for j in sorted(sign_arrays) if j // bits_per_band == b]
+        band_val = None
+        for j in js:
+            term = bit(j) * F.lit(2 ** (j % bits_per_band)).cast("long")
+            band_val = term if band_val is None else band_val + term
+        band_structs.append(
+            F.named_struct(
+                F.lit("band"), F.lit(b).cast("long"),
+                F.lit("band_val"), band_val,
+            )
         )
-    )
-    pw = (
-        f"CAST(CASE CAST(j % {bits_per_band} AS INT) "
-        "WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS BIGINT)"
-    )
-    return (
-        bit_rows.groupBy(id_col, F.expr(f"j DIV {bits_per_band}").alias("band"))
-        .agg(F.expr(f"SUM(bit * {pw})").alias("band_val"))
-    )
+    return emb.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
 
 
 def hyperplane_candidate_pairs(

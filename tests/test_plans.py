@@ -214,3 +214,39 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cosine_kernel_is_narrow(spark):
+    """The exact cosine kernel must stay a narrow in-row fold: no
+    element explode (Generate) and no per-pair aggregation between
+    attaching the vectors and emitting the cosine. The only wide ops
+    in embedding_cosine_pairs downstream of candidate generation are
+    the two vector-attach joins."""
+    import hha_spark.queries.llm_ops as L
+
+    plan = plan_of(L.embedding_cosine_pairs(spark, "/root/testdata/sf0.01"))
+    # posexplode of the embedding array would print as Generate
+    assert "posexplode" not in plan
+    # brute-force all-pairs compare must ride a broadcast, never a
+    # shuffled cross product
+    p_topk = plan_of(L.ann_topk_cosine(spark, "/root/testdata/sf0.01"))
+    assert "posexplode" not in p_topk
+    assert "BroadcastNestedLoopJoin" in p_topk
+    assert "CartesianProduct" not in p_topk
+
+
+def test_srp_signatures_are_shuffle_free(spark):
+    """Random-hyperplane signatures (hyperplane_bands) are a narrow
+    projection + band explode: the plan up to the banding frame has
+    no aggregate and no join — the sign matrix is inlined as
+    literals, not joined."""
+    from hha_spark.operators.similarity import (
+        hyperplane_bands,
+        hyperplane_planes,
+    )
+    from hha_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings", fanout=False)
+    plan = plan_of(hyperplane_bands(emb, hyperplane_planes(spark)))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
