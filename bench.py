@@ -47,25 +47,32 @@ def main() -> None:
             force(fn(spark, sf_dir))
             dt = time.perf_counter() - t0
         except Exception as e:  # noqa: BLE001
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            # one short line — multi-KB tracebacks once pushed the
+            # summary JSON out of the driver's captured tail
+            msg = " ".join(str(e).split())[:160]
+            print(f"bench: {name} failed: {msg}", file=sys.stderr)
             # null, not NaN — NaN is not valid JSON
             timings[name] = None
             continue
-        timings[name] = round(dt, 4)
+        timings[name] = round(dt, 3)
         total += dt
-    spark.stop()
 
+    # emit the summary BEFORE spark.stop(): stop() can log noise (or
+    # hang) and the driver parses the captured tail for this one line
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_time",
-                "value": round(total, 4),
+                "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
+    spark.stop()
 
 
 if __name__ == "__main__":

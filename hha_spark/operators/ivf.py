@@ -121,6 +121,44 @@ def sorted_cells_col(cents: dict[int, list[float]], *, vec_col: str = "embedding
     return F.array_sort(F.array(*structs))
 
 
+def _lloyd(
+    emb: DataFrame,
+    *,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """Run `iters` Lloyd rounds from the sign-bit seed.
+
+    Returns (assigned, cents): `assigned` is a PERSISTED
+    (vec_id, <vec_col>, cell) frame whose cell is the argmin w.r.t.
+    `cents`, the final collected codebook.
+
+    Each round MATERIALIZES its assignment (persist + count) before
+    the next centroid aggregation groups by it. Without this, round
+    N's grouping column is round N-1's full argmin expression
+    (k cells × dim-wide zip_with folds), so expression/codegen size
+    grows multiplicatively with `iters` — measured 63 s on 2,000
+    vectors. Materialized, each round is one narrow map + one tiny
+    k·dim centroid agg, exactly MLlib KMeans' shape.
+    """
+    cur = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col)
+    ).withColumn("cell", signbit_cell_col(vec_col)).persist()
+    cents: dict[int, list[float]] = {}
+    for _ in range(iters):
+        cents = _collect_centroids(cur, F.col("cell"), vec_col=vec_col)
+        nxt = cur.select(
+            "vec_id",
+            vec_col,
+            F.element_at(sorted_cells_col(cents, vec_col=vec_col), 1)["cell"].alias("cell"),
+        ).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    return cur, cents
+
+
 def train_ivf(
     emb: DataFrame,
     *,
@@ -135,13 +173,8 @@ def train_ivf(
     assignment: (vec_id, cell) — a narrow map over emb.
     centroids: (cell, idx, c) — the collected final codebook.
     """
-    emb = emb.persist()
-    cell_col = signbit_cell_col(vec_col)
-    cents: dict[int, list[float]] = {}
-    for _ in range(iters):
-        cents = _collect_centroids(emb, cell_col, vec_col=vec_col)
-        cell_col = F.element_at(sorted_cells_col(cents, vec_col=vec_col), 1)["cell"]
-    cells = emb.select(F.col(id_col).alias("vec_id"), cell_col.alias("cell"))
+    assigned, cents = _lloyd(emb, iters=iters, id_col=id_col, vec_col=vec_col)
+    cells = assigned.select("vec_id", "cell")
     cent_df = emb.sparkSession.createDataFrame(
         [(cell, idx, c) for cell, cvec in sorted(cents.items())
          for idx, c in enumerate(cvec)],
@@ -171,17 +204,11 @@ def ivf_topk(
     """
     from hha_spark.operators.similarity import cosine_pairs_for
 
-    emb = emb.persist()
-    cell_col = signbit_cell_col()
-    cents: dict[int, list[float]] = {}
-    for _ in range(iters):
-        cents = _collect_centroids(emb, cell_col)
-        cell_col = F.element_at(sorted_cells_col(cents), 1)["cell"]
+    assigned, cents = _lloyd(emb, iters=iters)
     ranked = sorted_cells_col(cents)
-    assignment = emb.select(
-        F.col("vec_id").alias("vec_id_b"),
-        F.element_at(ranked, 1)["cell"].alias("cell"),
-    )
+    # rank-1 cells were materialized by _lloyd; the full probe-order
+    # expression is only evaluated over the (few) query vectors.
+    assignment = assigned.select(F.col("vec_id").alias("vec_id_b"), "cell")
     probes = (
         emb.where(query_pred)
         .select(

@@ -50,7 +50,10 @@ def with_global_rank(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = ranged.withColumn("_lr", F.row_number().over(w).cast("long"))
+    # persist: `local` feeds counts, total, and the final join — without
+    # it the distributed range-sort runs three times (and _pid from
+    # spark_partition_id could drift between recomputations).
+    local = ranged.withColumn("_lr", F.row_number().over(w).cast("long")).persist()
 
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     a, b = counts.alias("a"), counts.alias("b")

@@ -42,7 +42,16 @@ def _docs(spark, sf_dir) -> DataFrame:
 
 
 def _emb(spark, sf_dir) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    """Embeddings with the scan fanned out to the session parallelism.
+
+    The fixture is ONE parquet row group, so without this every narrow
+    similarity kernel (the 250k-pair zip_with cosine fold, the Lloyd
+    assignment map) runs in ONE task — measured 8.8 s vs 2.4 s for
+    ann_topk_cosine at sf0.1. The shuffle moves only (vec_id,
+    embedding, label) — ~0.5 MB here; on a production table with real
+    splits AQE coalesces it to a no-op."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _cast_longs(df: DataFrame, cols: list[str]) -> DataFrame:

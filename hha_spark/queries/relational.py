@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hha_spark.functions.exact import dec_sum, dec_sum_mul, trunc_avg_exact
-from hha_spark.sources.tables import load_table
+from hha_spark.sources.tables import events_ts_us, load_table
 
 
 def _t(spark, sf_dir, name) -> DataFrame:
@@ -337,8 +337,9 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
 def events_sessionize(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").select(
-        F.expr("ts DIV 1000").alias("ts_us"), "user_id", "event_id"
+    ev_raw = _t(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        events_ts_us(ev_raw).alias("ts_us"), "user_id", "event_id"
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     flagged = ev.withColumn(

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hha_spark.functions.exact import dec_sum_mul
-from hha_spark.sources.tables import load_table
+from hha_spark.sources.tables import events_ts_us, load_table
 
 
 def _t(spark, sf_dir, name) -> DataFrame:
@@ -295,8 +295,9 @@ def events_session_window(spark, sf_dir):
     Timestamps stay exact: nanos -> integer micros -> timestamp_micros
     -> unix_micros round-trips without any double conversion.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("t"), "user_id"
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        F.timestamp_micros(events_ts_us(ev_raw)).alias("t"), "user_id"
     )
     return (
         ev.groupBy(

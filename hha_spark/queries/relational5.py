@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hha_spark.functions.exact import dec_sum
-from hha_spark.sources.tables import load_table
+from hha_spark.sources.tables import events_ts_us, load_table
 
 
 def _t(spark, sf_dir, name) -> DataFrame:
@@ -40,9 +40,11 @@ def daily_activity_fulljoin(spark, sf_dir):
         .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+    ev_raw = _t(spark, sf_dir, "events")
     events_d = (
-        _t(spark, sf_dir, "events")
-        .select(F.expr("ts DIV 1000 DIV 86400000000").alias("day_idx"))
+        ev_raw
+        .select(events_ts_us(ev_raw).alias("ts_us"))
+        .select(F.expr("ts_us DIV 86400000000").alias("day_idx"))
         .groupBy("day_idx")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(

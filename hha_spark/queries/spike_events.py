@@ -30,7 +30,7 @@ from hha_spark.operators.spike import (
     rollup_averages,
     spike_filter,
 )
-from hha_spark.sources.tables import US_PER_DAY, load_table
+from hha_spark.sources.tables import US_PER_DAY, events_ts_us, load_table
 
 KEYS = ["user_id", "event_type"]
 Q = 1.5                 # quotientAmplification analogue
@@ -43,10 +43,8 @@ BUCKET = "user_id - user_id % 10"
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # ts is BIGINT nanoseconds (sources/tables.py); DIV keeps the
-    # microsecond value exact (a double round-trip would not)
     return ev.select(
-        F.expr("ts DIV 1000").alias("ts_us"), "user_id", "event_type", "value"
+        events_ts_us(ev).alias("ts_us"), "user_id", "event_type", "value"
     )
 
 

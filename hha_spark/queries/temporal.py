@@ -6,13 +6,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hha_spark.operators.temporal import asof_join, range_join_pairs
-from hha_spark.sources.tables import load_table
+from hha_spark.sources.tables import events_ts_us, load_table
 
 
 def _events_us(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
-        F.expr("ts DIV 1000").alias("ts_us"),
+        events_ts_us(ev).alias("ts_us"),
         "event_id",
         "user_id",
         "event_type",

@@ -5,17 +5,22 @@ existence probing (hha.py:278-313) with plain `spark.read.parquet`;
 time-based file selection becomes Catalyst partition pruning when the
 data is laid out as date=/hour= directories (see sources/histograms.py).
 
-One real-world quirk handled here: `events.parquet` stores
-TIMESTAMP(NANOS) which Spark refuses by default
-([PARQUET_TYPE_ILLEGAL]); `spark.sql.legacy.parquet.nanosAsLong`
-reads it as nanoseconds-since-epoch BIGINT, which is also the most
-deterministic representation for window arithmetic (no timezone
-ambiguity). All event-time math downstream uses integer microseconds.
+Event-time robustness: the reference reads whatever the parquet footer
+says (hha.py:304) — so do we. The fixture's `ts` column has shipped as
+both TIMESTAMP(NANOS) (readable only as BIGINT nanoseconds via
+`spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS,
+isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ). `events_ts_us()`
+inspects the dataframe's actual dtype and yields exact integer
+microseconds-since-epoch either way; all downstream event-time math
+uses that one canonical representation (the session TZ is pinned UTC
+in session.py, so the NTZ -> timestamp cast is an identity on the
+stored micros).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -33,34 +38,89 @@ TABLE_NAMES = (
 NS_PER_US = 1_000
 US_PER_DAY = 86_400 * 1_000_000
 
-# Fact tables that arrive as ONE single-row-group parquet file in the
-# fixture layout. Spark cannot split inside a row group, so without
-# intervention every scan — and the whole narrow pipeline above it
-# (tokenize/explode/hash/partial-agg) — runs in ONE task regardless of
-# cluster size. A round-robin repartition to the session's parallelism
-# fixes that for the price of one tiny shuffle (the files are <11 MB).
-# This is strictly a small-file artifact: a production 100 TB table has
-# thousands of splits and the fan-out becomes a no-op cost that a
-# caller can disable with fanout=False. Catalyst still pushes filters
-# and column pruning through the Repartition node, so scan pushdown is
-# unaffected (pinned by test_plans.test_q1_pushes_filter_and_prunes_columns).
-# Dimension tables stay as-is: they broadcast, and an extra exchange
-# under a BroadcastExchange is pure overhead.
-FANOUT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
+
+def events_ts_us(df: DataFrame, col: str = "ts") -> Column:
+    """`col` as exact integer microseconds-since-epoch, robust to how
+    the parquet fixture encodes it.
+
+    - BIGINT: nanoseconds (TIMESTAMP(NANOS) read via nanosAsLong) —
+      integer DIV keeps the microsecond value exact (a double
+      round-trip would not).
+    - timestamp / timestamp_ntz: micros via unix_micros; the NTZ cast
+      to timestamp uses the session TZ, pinned UTC in session.py, so
+      the stored microsecond value passes through unchanged.
+    """
+    dtype = dict(df.dtypes).get(col, "")
+    if dtype in ("bigint", "long"):
+        return F.expr(f"{col} DIV 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, *, fanout: bool | None = None
+    spark: SparkSession, sf_dir: str, name: str, *, fanout: bool = False
 ) -> DataFrame:
+    """Read one fixture table.
+
+    `fanout=True` round-robin-repartitions to the session parallelism —
+    an opt-in escape hatch for the local single-row-group fixture files
+    (Spark cannot split inside a row group, so a narrow pipeline over
+    one such file runs in ONE task). It is OFF by default: benchmarks
+    showed the blanket shuffle of wide payloads (doc text, blobs,
+    embedding arrays) cost far more than the lost scan parallelism
+    gains, and it re-runs on every re-read of an unpersisted frame. A
+    production table has thousands of splits and never needs it.
+    """
     if name == "events":
-        # TIMESTAMP(NANOS) -> BIGINT ns; runtime conf, safe to set per-read
+        # Tolerate a TIMESTAMP(NANOS) fixture ([PARQUET_TYPE_ILLEGAL]
+        # by default); harmless for MICROS files. Runtime conf, safe
+        # to set per-read.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if fanout is None:
-        fanout = name in FANOUT_TABLES
     if fanout:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+def try_load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    retries: int = 3,
+    retry_sleep_s: float = 5.0,
+    fanout: bool = False,
+) -> DataFrame | None:
+    """Read-failure-tolerant variant of `load_table`.
+
+    The reference's table read logs the failure, sleeps, and retries
+    instead of crashing the long-running driver (hha.py:305-311);
+    this is the same contract for a scheduled pipeline: transient
+    storage errors (eventual consistency, a writer mid-commit) retry
+    with a pause, and a persistently unreadable table yields None so
+    the caller can skip the cycle rather than die.
+
+    The parquet read is lazy, so each attempt forces schema resolution
+    (`df.schema`) — the step that actually touches the footer.
+    """
+    import time
+
+    last_err: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            df = load_table(spark, sf_dir, name, fanout=fanout)
+            df.schema  # force footer read; plain open is lazy
+            return df
+        except Exception as e:  # noqa: BLE001 — any read error retries
+            last_err = e
+            if attempt < retries:
+                time.sleep(retry_sleep_s)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "table %s/%s unreadable after %d attempts: %s",
+        sf_dir, name, retries + 1, last_err,
+    )
+    return None
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:

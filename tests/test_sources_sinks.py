@@ -250,3 +250,48 @@ def test_binary_file_ingest_feeds_blob_stats(spark, tmp_path):
     for doc_id, blob in payloads.items():
         assert stats[doc_id].n_bytes == len(blob)
         assert stats[doc_id].blob_md5 == hashlib.md5(blob).hexdigest()
+
+
+def test_events_ts_us_both_encodings(spark):
+    """events_ts_us yields the same integer micros whether ts arrives
+    as BIGINT nanoseconds (TIMESTAMP(NANOS) fixture read via
+    nanosAsLong) or as a timestamp type (TIMESTAMP_MICROS fixture) —
+    the schema robustness the reference gets for free by trusting the
+    parquet footer (hha.py:304)."""
+    from hha_spark.sources.tables import events_ts_us
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+
+    as_ns = spark.createDataFrame(
+        [(m * 1_000,) for m in micros], "ts bigint"
+    )
+    got_ns = [r[0] for r in as_ns.select(events_ts_us(as_ns)).collect()]
+    assert got_ns == micros
+
+    as_ts = spark.createDataFrame([(m,) for m in micros], "us bigint").select(
+        F.timestamp_micros("us").alias("ts")
+    )
+    got_ts = [r[0] for r in as_ts.select(events_ts_us(as_ts)).collect()]
+    assert got_ts == micros
+
+    as_ntz = as_ts.select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+    got_ntz = [r[0] for r in as_ntz.select(events_ts_us(as_ntz)).collect()]
+    assert got_ntz == micros
+
+
+def test_try_load_table_retries_then_none(spark, tmp_path):
+    """Read-failure tolerance on the flat-tables path (hha.py:305-311):
+    a persistently missing table yields None after the retry budget; a
+    readable one loads normally."""
+    from hha_spark.sources.tables import try_load_table
+
+    assert (
+        try_load_table(
+            spark, str(tmp_path), "nope", retries=1, retry_sleep_s=0.01
+        )
+        is None
+    )
+
+    spark.range(3).toDF("x").write.parquet(f"{tmp_path}/good.parquet")
+    df = try_load_table(spark, str(tmp_path), "good", retries=0)
+    assert df is not None and df.count() == 3
