@@ -25,27 +25,29 @@ the DuckDB oracle, which unrolls the same iterations as CTEs.
 
 Physical strategy (the part that matters at 100 TB): centroids are
 k·dim values — driver-collected each round exactly like MLlib's
-KMeans, then re-embedded as literal arrays. Distance + argmin are
-then a NARROW map over the vector column (`zip_with` element
-subtraction folded by `aggregate`, `array_sort` over per-cell
-(dq, cell) structs for the probe order) — no element explode, no
-(vec_id, cell) shuffle, no row_number window. The only shuffle per
-Lloyd round is the k·dim-group centroid aggregation, which is
-map-side combinable. For codebooks too large to inline as a literal
-(k·dim in the millions), the same expressions apply against a
-broadcast-joined centroid array instead; the quantized math is
-unchanged.
+KMeans, then closed over by an Arrow-batched numpy kernel
+(probe_cells_udf). Distance + argmin are a NARROW projection over
+the vector column — no element explode, no (vec_id, cell) shuffle,
+no row_number window. The only shuffle per Lloyd round is the
+k·dim-group centroid aggregation, which is map-side combinable. For
+codebooks too large to broadcast in a closure (k·dim in the
+millions), the same quantized math applies against a broadcast-joined
+centroid table instead.
 
 Exactness contract: bigint sums are order-independent, double ops are
-IEEE-identical across engines, and Python round-trips collected
-doubles losslessly, so the literal-array path produces bit-identical
+IEEE-identical between numpy and the JVM, and Python round-trips
+collected doubles losslessly, so the kernel produces bit-identical
 cells/distances to the exploded-join formulation the oracle uses.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 Q = 1_000_000_000_000  # picounit quantization, shared with similarity.py
 
@@ -89,36 +91,39 @@ def _collect_centroids(
     }
 
 
-def _dq_col(cvec: list[float], *, vec_col: str = "embedding"):
-    """Quantized squared distance to one centroid: a pure narrow map.
+def probe_cells_udf(cents: dict[int, list[float]], nprobe: int):
+    """Arrow-batched kernel: the `nprobe` nearest cells per vector,
+    ordered by (quantized squared distance, cell id).
 
-    zip_with folds the element-wise floor((v-c)²·Q) terms, aggregate
-    sums them as bigints — the same order-independent integer sum the
-    oracle's GROUP BY computes, with zero shuffle.
+    Returns a pandas_udf usable as a narrow projection — element 1 of
+    its array<bigint> result is the Lloyd assignment, the whole array
+    the probe list. The arithmetic is the module's exact quantized
+    contract: per-element float64 ops (widen, subtract, square,
+    scale) are IEEE-identical to the JVM's, floor lands on an exact
+    int64, and int64 sums are associative — so the result matches the
+    DuckDB oracle's exploded GROUP BY formulation bit-for-bit, in any
+    batch/partition order. Expression twins were tried first: a fully
+    unrolled k×dim projection exceeds the codegen threshold and a
+    literal-matrix HOF loop runs interpreted; the numpy batch kernel
+    beats both ~5× at sf0.1 while keeping the plan shuffle-free.
     """
-    cent_arr = F.array(*[F.lit(float(c)) for c in cvec])
-    terms = F.zip_with(
-        F.col(vec_col),
-        cent_arr,
-        lambda v, c: F.floor(
-            (v.cast("double") - c) * (v.cast("double") - c) * F.lit(Q)
-        ).cast("long"),
-    )
-    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    ks = sorted(cents)
+    cent_mat = np.array([cents[k] for k in ks], dtype=np.float64)  # k × dim
+    ids = np.array(ks, dtype=np.int64)
 
+    @pandas_udf("array<bigint>")
+    def _probe(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0:
+            return pd.Series([], dtype=object)
+        v = np.array(batch.tolist(), dtype=np.float64)         # n × dim
+        d = v[:, None, :] - cent_mat[None, :, :]               # n × k × dim
+        dq = np.floor(d * d * Q).astype(np.int64).sum(axis=2)  # n × k
+        # stable argsort over columns already in ascending cell-id
+        # order == (dq, cell) tie-break
+        order = np.argsort(dq, axis=1, kind="stable")
+        return pd.Series(list(ids[order[:, :nprobe]]))
 
-def sorted_cells_col(cents: dict[int, list[float]], *, vec_col: str = "embedding"):
-    """array<struct<dq,cell>> sorted by (dq, cell) — struct field order
-    gives the deterministic tie-break; element 1 is the assignment,
-    the first nprobe elements are the probe list."""
-    structs = [
-        F.named_struct(
-            F.lit("dq"), _dq_col(cvec, vec_col=vec_col),
-            F.lit("cell"), F.lit(cell),
-        )
-        for cell, cvec in sorted(cents.items())
-    ]
-    return F.array_sort(F.array(*structs))
+    return _probe
 
 
 def _lloyd(
@@ -136,24 +141,28 @@ def _lloyd(
 
     Each round MATERIALIZES its assignment (persist + count) before
     the next centroid aggregation groups by it. Without this, round
-    N's grouping column is round N-1's full argmin expression
-    (k cells × dim-wide zip_with folds), so expression/codegen size
-    grows multiplicatively with `iters` — measured 63 s on 2,000
-    vectors. Materialized, each round is one narrow map + one tiny
-    k·dim centroid agg, exactly MLlib KMeans' shape.
+    N's grouping column is round N-1's full argmin expression, so
+    plan size grows multiplicatively with `iters` — measured 63 s on
+    2,000 vectors. Materialized, each round is one narrow map + one
+    tiny k·dim centroid agg, exactly MLlib KMeans' shape.
     """
     cur = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col)
     ).withColumn("cell", signbit_cell_col(vec_col)).persist()
     cents: dict[int, list[float]] = {}
-    for _ in range(iters):
+    for i in range(iters):
         cents = _collect_centroids(cur, F.col("cell"), vec_col=vec_col)
+        assign = probe_cells_udf(cents, 1)
         nxt = cur.select(
             "vec_id",
             vec_col,
-            F.element_at(sorted_cells_col(cents, vec_col=vec_col), 1)["cell"].alias("cell"),
+            F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
         ).persist()
-        nxt.count()
+        if i < iters - 1:
+            # eager-materialize only rounds that feed another centroid
+            # aggregation; the final assignment is consumed lazily by
+            # the caller (persist still dedups multi-arm consumers)
+            nxt.count()
         cur.unpersist()
         cur = nxt
     return cur, cents
@@ -205,22 +214,25 @@ def ivf_topk(
     from hha_spark.operators.similarity import cosine_pairs_for
 
     assigned, cents = _lloyd(emb, iters=iters)
-    ranked = sorted_cells_col(cents)
-    # rank-1 cells were materialized by _lloyd; the full probe-order
-    # expression is only evaluated over the (few) query vectors.
+    # rank-1 cells were materialized by _lloyd; the probe-list kernel
+    # only runs over the (few) query vectors.
+    probe = probe_cells_udf(cents, nprobe)
     assignment = assigned.select(F.col("vec_id").alias("vec_id_b"), "cell")
     probes = (
         emb.where(query_pred)
         .select(
             F.col("vec_id").alias("vec_id_a"),
-            F.explode(F.slice(ranked, 1, nprobe)["cell"]).alias("cell"),
+            F.explode(probe(F.col("embedding"))).alias("cell"),
         )
     )
+    # the probe frame is |queries|·nprobe rows — broadcast it so the
+    # assignment side never shuffles on the k-valued (skewed) cell key.
+    # No distinct needed: a candidate lives in exactly ONE cell and a
+    # query's probe cells are distinct, so a pair arises at most once.
     pairs = (
-        probes.join(assignment, on="cell")
+        F.broadcast(probes).join(assignment, on="cell")
         .where(F.col("vec_id_a") != F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b")
-        .distinct()
     )
     sims = cosine_pairs_for(pairs, emb)
     w = Window.partitionBy("vec_id_a").orderBy(F.desc("cosine"), F.asc("vec_id_b"))
