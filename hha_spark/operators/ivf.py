@@ -132,37 +132,39 @@ def _lloyd(
     iters: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_width: int = 1,
 ) -> tuple[DataFrame, dict[int, list[float]]]:
     """Run `iters` Lloyd rounds from the sign-bit seed.
 
-    Returns (assigned, cents): `assigned` is a PERSISTED
-    (vec_id, <vec_col>, cell) frame whose cell is the argmin w.r.t.
-    `cents`, the final collected codebook.
+    Returns (assigned, cents): `assigned` is a PERSISTED, eagerly
+    MATERIALIZED (vec_id, <vec_col>, cells) frame where `cells` is
+    the `probe_width`-nearest cell list w.r.t. `cents`, the final
+    collected codebook (element 1 = the argmin assignment).
 
-    Each round MATERIALIZES its assignment (persist + count) before
-    the next centroid aggregation groups by it. Without this, round
-    N's grouping column is round N-1's full argmin expression, so
-    plan size grows multiplicatively with `iters` — measured 63 s on
-    2,000 vectors. Materialized, each round is one narrow map + one
-    tiny k·dim centroid agg, exactly MLlib KMeans' shape.
+    Each round materializes its assignment (persist + count) before
+    the next round consumes it. This bounds plan growth (an
+    expression-nested variant measured 63 s on 2,000 vectors) AND
+    runs the Arrow kernel exactly once per round: every downstream
+    consumer — including broadcast subplans built on the probe lists,
+    which Spark evaluates on driver-side broadcast threads — reads
+    cached JVM rows, never re-enters Python.
     """
     cur = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col)
-    ).withColumn("cell", signbit_cell_col(vec_col)).persist()
+    ).withColumn(
+        "cells", F.array(signbit_cell_col(vec_col).cast("long"))
+    ).persist()
     cents: dict[int, list[float]] = {}
     for i in range(iters):
-        cents = _collect_centroids(cur, F.col("cell"), vec_col=vec_col)
-        assign = probe_cells_udf(cents, 1)
+        cents = _collect_centroids(
+            cur, F.element_at("cells", 1), vec_col=vec_col
+        )
+        width = probe_width if i == iters - 1 else 1
+        assign = probe_cells_udf(cents, width)
         nxt = cur.select(
-            "vec_id",
-            vec_col,
-            F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+            "vec_id", vec_col, assign(F.col(vec_col)).alias("cells")
         ).persist()
-        if i < iters - 1:
-            # eager-materialize only rounds that feed another centroid
-            # aggregation; the final assignment is consumed lazily by
-            # the caller (persist still dedups multi-arm consumers)
-            nxt.count()
+        nxt.count()
         cur.unpersist()
         cur = nxt
     return cur, cents
@@ -183,7 +185,9 @@ def train_ivf(
     centroids: (cell, idx, c) — the collected final codebook.
     """
     assigned, cents = _lloyd(emb, iters=iters, id_col=id_col, vec_col=vec_col)
-    cells = assigned.select("vec_id", "cell")
+    cells = assigned.select(
+        "vec_id", F.element_at("cells", 1).alias("cell")
+    )
     cent_df = emb.sparkSession.createDataFrame(
         [(cell, idx, c) for cell, cvec in sorted(cents.items())
          for idx, c in enumerate(cvec)],
@@ -213,16 +217,18 @@ def ivf_topk(
     """
     from hha_spark.operators.similarity import cosine_pairs_for
 
-    assigned, cents = _lloyd(emb, iters=iters)
-    # rank-1 cells were materialized by _lloyd; the probe-list kernel
-    # only runs over the (few) query vectors.
-    probe = probe_cells_udf(cents, nprobe)
-    assignment = assigned.select(F.col("vec_id").alias("vec_id_b"), "cell")
+    # probe lists are computed once, inside _lloyd's materialized
+    # final round — the joins below are pure JVM reads from cache
+    assigned, cents = _lloyd(emb, iters=iters, probe_width=nprobe)
+    assignment = assigned.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.element_at("cells", 1).alias("cell"),
+    )
     probes = (
-        emb.where(query_pred)
+        assigned.where(query_pred)
         .select(
             F.col("vec_id").alias("vec_id_a"),
-            F.explode(probe(F.col("embedding"))).alias("cell"),
+            F.explode(F.slice("cells", 1, nprobe)).alias("cell"),
         )
     )
     # the probe frame is |queries|·nprobe rows — broadcast it so the
