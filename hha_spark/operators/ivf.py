@@ -113,15 +113,20 @@ def probe_cells_udf(cents: dict[int, list[float]], nprobe: int):
 
     @pandas_udf("array<bigint>")
     def _probe(batch: pd.Series) -> pd.Series:
-        if len(batch) == 0:
-            return pd.Series([], dtype=object)
-        v = np.array(batch.tolist(), dtype=np.float64)         # n × dim
-        d = v[:, None, :] - cent_mat[None, :, :]               # n × k × dim
-        dq = np.floor(d * d * Q).astype(np.int64).sum(axis=2)  # n × k
-        # stable argsort over columns already in ascending cell-id
-        # order == (dq, cell) tie-break
-        order = np.argsort(dq, axis=1, kind="stable")
-        return pd.Series(list(ids[order[:, :nprobe]]))
+        vals = batch.tolist()
+        live = [i for i, x in enumerate(vals) if x is not None]
+        out: list = [None] * len(vals)
+        if live:
+            v = np.array([vals[i] for i in live], dtype=np.float64)
+            d = v[:, None, :] - cent_mat[None, :, :]               # n × k × dim
+            dq = np.floor(d * d * Q).astype(np.int64).sum(axis=2)  # n × k
+            # stable argsort over columns already in ascending
+            # cell-id order == (dq, cell) tie-break
+            order = np.argsort(dq, axis=1, kind="stable")
+            cells = ids[order[:, :nprobe]]
+            for row, i in enumerate(live):
+                out[i] = cells[row]
+        return pd.Series(out, dtype=object)
 
     return _probe
 

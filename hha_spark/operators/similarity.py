@@ -231,15 +231,21 @@ def hyperplane_bands(
 
     @pandas_udf("array<bigint>")
     def _band_vals(batch: pd.Series) -> pd.Series:
-        if len(batch) == 0:
-            return pd.Series([], dtype=object)
-        v = np.array(batch.tolist(), dtype=np.float64)        # n × dim
-        qv = np.floor(v * _Q).astype(np.int64)                # exact
-        bits = (qv @ S.T > 0).astype(np.int64) * shifts       # n × bits
-        out = np.zeros((len(v), n_bands), dtype=np.int64)
-        for b in range(n_bands):
-            out[:, b] = bits[:, band_of == b].sum(axis=1)
-        return pd.Series(list(out))
+        vals = batch.tolist()
+        live = [i for i, x in enumerate(vals) if x is not None]
+        res: list = [None] * len(vals)  # NULL vector -> NULL bands,
+        # dropped by the downstream posexplode like the old NULL-
+        # propagating expression form
+        if live:
+            v = np.array([vals[i] for i in live], dtype=np.float64)
+            qv = np.floor(v * _Q).astype(np.int64)                # exact
+            bits = (qv @ S.T > 0).astype(np.int64) * shifts       # n × bits
+            out = np.zeros((len(v), n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                out[:, b] = bits[:, band_of == b].sum(axis=1)
+            for row, i in enumerate(live):
+                res[i] = out[row]
+        return pd.Series(res, dtype=object)
 
     return emb.select(
         F.col(id_col),

@@ -131,3 +131,30 @@ def test_hyperplane_lsh_catches_identical_vectors(spark):
         for r in hyperplane_candidate_pairs(bands).collect()
     }
     assert (1, 2) in cand
+
+
+def test_kernels_tolerate_null_vectors(spark):
+    """A NULL embedding must not poison the Arrow batch: the SRP
+    signature kernel yields NULL bands (dropped by posexplode, like
+    the old NULL-propagating expression form) and the IVF probe
+    kernel yields a NULL probe list."""
+    from hha_spark.operators.ivf import probe_cells_udf
+    from hha_spark.operators.similarity import (
+        hyperplane_bands,
+        hyperplane_planes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.2, 0.8]), (2, None), (3, [1.0, 0.2, -0.8])],
+        "vec_id long, embedding array<float>",
+    )
+    bands = hyperplane_bands(df, hyperplane_planes(spark, bits=8, dim=3))
+    got = {r.vec_id for r in bands.collect()}
+    assert got == {1, 3}
+
+    probe = probe_cells_udf({0: [0.0, 0.0, 0.0], 1: [1.0, 1.0, 1.0]}, 2)
+    import pyspark.sql.functions as F
+    rows = {r.vec_id: r.cells for r in df.select(
+        "vec_id", probe(F.col("embedding")).alias("cells")).collect()}
+    assert rows[2] is None
+    assert rows[1] is not None and len(rows[1]) == 2
