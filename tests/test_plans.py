@@ -250,3 +250,23 @@ def test_srp_signatures_are_shuffle_free(spark):
     plan = plan_of(hyperplane_bands(emb, hyperplane_planes(spark)))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_ivf_candidate_join_broadcasts_probe_side(spark):
+    """The IVF candidate join keys on the k-valued (skewed) cell id;
+    the tiny probe frame must BROADCAST so the assignment side never
+    shuffles on it, and the probe lists must come from the cached
+    Lloyd frame (InMemoryTableScan), not a re-run of the Python
+    kernel inside the broadcast subplan."""
+    from pyspark.sql import functions as F
+
+    from hha_spark.operators.ivf import ivf_topk
+    from hha_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    plan = plan_of(
+        ivf_topk(emb, query_pred=(F.col("vec_id") % 16 == 0), k=3, nprobe=2)
+    )
+    assert "BroadcastHashJoin [cell" in plan
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan
