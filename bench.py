@@ -16,6 +16,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hha_spark.session import get_spark  # noqa: E402
@@ -38,6 +40,17 @@ def main() -> None:
     spark = get_spark("hha_spark_bench")
     # warm the JVM + parquet footer caches outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # ...and the Arrow python-worker pool, so the first pandas_udf
+    # query isn't charged the one-time worker startup
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1_000).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float | None] = {}
     total = 0.0
