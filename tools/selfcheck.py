@@ -11,6 +11,7 @@ iff everything matches. Run while iterating:
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -89,7 +90,22 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    spark = get_spark("selfcheck")
+    if os.environ.get("HHA_SELFCHECK_DRIVER_SESSION"):
+        # replicate the DRIVER's environment, not our tuned one:
+        # default config = ANSI mode ON, 200 shuffle partitions. Any
+        # query passing only under get_spark's ANSI-off session is a
+        # latent driver-gate failure.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .appName("selfcheck-driver")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
