@@ -54,6 +54,56 @@ from pyspark import StorageLevel
 
 DEFAULT_MAX_ROUNDS = 50
 
+# Below this edge count the closure is computed with a driver-side
+# union-find instead of iterated Spark jobs. A near-dup graph is tiny
+# relative to its corpus (pairs survive LSH + verification), so the
+# common case lands here; 2M edges ≈ tens of MB collected — the same
+# driver-memory envelope as MLlib collecting a k-means codebook. Big
+# graphs (pathological boilerplate clusters at 100 TB) take the
+# distributed loop unchanged.
+SMALL_GRAPH_EDGES = 2_000_000
+
+
+def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Min-label closure of a SMALL edge frame, computed on the driver.
+
+    Union-by-min-root + path compression: the root of every set is
+    the minimum id seen in it, so labels equal the distributed
+    algorithms' min-reachable-id labelling exactly. Deterministic —
+    no iteration order sensitivity (the final find() fully resolves
+    every chain)."""
+    rows = edges.select(src, dst).collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # larger root under smaller -> root == min
+
+    node_type = dict(zip(edges.schema.names, edges.schema.fields))[src].dataType
+    out = [(n, find(n)) for n in parent]
+    from pyspark.sql.types import StructField, StructType
+
+    return edges.sparkSession.createDataFrame(
+        out,
+        StructType(
+            [StructField("node", node_type), StructField("label", node_type)]
+        ),
+    )
+
 
 def connected_components(
     edges: DataFrame,
@@ -61,9 +111,18 @@ def connected_components(
     src: str = "doc_id_a",
     dst: str = "doc_id_b",
     max_rounds: int = DEFAULT_MAX_ROUNDS,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """(node, label) for every node incident to an edge; label is the
     minimum node id reachable from the node (its component's id).
+
+    ADAPTIVE kernel: the edge count (one job over the persisted edge
+    frame) picks the physical strategy — a driver union-find when the
+    graph fits the `small_graph_edges` envelope (each distributed
+    round costs ~0.5 s of fixed job overhead; a 571-edge graph was
+    paying 7 rounds of it), the iterated min-label propagation loop
+    otherwise. Both produce the identical min-reachable-id labelling
+    (`test_cluster.py` pins small ≡ distributed ≡ star).
 
     Raises RuntimeError if the fixpoint is not reached in
     `max_rounds` — with path compression that means a component of
@@ -84,6 +143,11 @@ def connected_components(
         .select("e.u", "e.v")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if sym.count() <= 2 * small_graph_edges:
+        try:
+            return _driver_union_find(sym, "u", "v")
+        finally:
+            sym.unpersist()
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

@@ -42,7 +42,9 @@ def test_long_chain_converges_logarithmically(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "doc_id_a long, doc_id_b long"
     )
-    out = _labels(connected_components(edges, max_rounds=14))
+    out = _labels(
+        connected_components(edges, max_rounds=14, small_graph_edges=0)
+    )
     assert set(out.values()) == {0}
     assert len(out) == n + 1
 
@@ -52,7 +54,7 @@ def test_non_convergence_raises(spark):
         [(i, i + 1) for i in range(32)], "doc_id_a long, doc_id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_rounds=1)
+        connected_components(edges, max_rounds=1, small_graph_edges=0)
 
 
 def test_star_chain_cycle_and_pair(spark):
@@ -131,8 +133,26 @@ def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
 )
 @given(edges=edges_strategy)
 def test_cc_matches_union_find(spark, edges):
+    # default path: these graphs take the driver union-find fast path,
+    # checked against the test's independent union-find
     df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
     assert _labels(connected_components(df)) == _union_find_labels(edges)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_cc_distributed_matches_union_find(spark, edges):
+    # small_graph_edges=0 forces the distributed min-label loop, so
+    # the adaptive kernel's two physical strategies are both pinned
+    # to the same labelling
+    df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    assert _labels(
+        connected_components(df, small_graph_edges=0)
+    ) == _union_find_labels(edges)
 
 
 @settings(
