@@ -293,6 +293,30 @@ def minhash_signatures(
 MAX_LSH_BUCKET = 64
 
 
+def band_keys(
+    sigs: DataFrame,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, key): each doc's LSH band keys — concatenations of
+    `rows_per_band` adjacent signature columns, exploded one row per
+    band. Narrow (no shuffle); the join on (band, key) downstream is
+    what turns signatures into candidates."""
+    band_structs = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.concat(*parts).alias("key"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     *,
@@ -303,23 +327,14 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: docs sharing any band key become candidate pairs.
 
-    Bands are concatenations of `rows_per_band` adjacent signature
-    columns; the self-equi-join on (band, key) is the only shuffle and
-    touches only genuine collisions — this is what makes near-dedup
-    feasible at 100 TB (vs the quadratic blocked join). Buckets larger
-    than `max_bucket` are skipped entirely (see MAX_LSH_BUCKET).
+    The self-equi-join on (band, key) is the only shuffle and touches
+    only genuine collisions — this is what makes near-dedup feasible
+    at 100 TB (vs the quadratic blocked join). Buckets larger than
+    `max_bucket` are skipped entirely (see MAX_LSH_BUCKET).
     """
-    band_structs = []
-    for b in range(bands):
-        parts = [
-            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.concat(*parts).alias("key"))
-        )
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = band_keys(
+        sigs, bands=bands, rows_per_band=rows_per_band, id_col=id_col
+    )
     ok_buckets = (
         banded.groupBy("band", "key")
         .count()
@@ -333,6 +348,48 @@ def lsh_candidate_pairs(
         a.join(b, on=["band", "key"])
         .where(F.col("doc_id_a") < F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
+def incremental_lsh_pairs(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """Cross-side LSH: candidates pair a NEW doc with a CORPUS doc
+    sharing any band key — the ingest-time dedup shape. The corpus is
+    never self-paired (its internal duplicates were settled when it
+    was built), so cost tracks |new| × bucket occupancy, not |corpus|².
+
+    At 100 TB the corpus band table is a precomputed, (band, key)-
+    bucketed stored table; each incoming batch computes its own band
+    keys (a narrow map over the batch) and equi-joins against it.
+    The bucket cap is computed over CORPUS buckets — a boilerplate
+    bucket with thousands of corpus members signals template text,
+    not a meaningful duplicate of any specific new doc.
+
+    Returns distinct (doc_id_new, doc_id_corpus).
+    """
+    newb = band_keys(
+        new_sigs, bands=bands, rows_per_band=rows_per_band, id_col=id_col
+    ).select(F.col(id_col).alias("doc_id_new"), "band", "key")
+    corpb = band_keys(
+        corpus_sigs, bands=bands, rows_per_band=rows_per_band, id_col=id_col
+    ).select(F.col(id_col).alias("doc_id_corpus"), "band", "key")
+    ok = (
+        corpb.groupBy("band", "key")
+        .count()
+        .where(F.col("count") <= F.lit(max_bucket))
+        .select("band", "key")
+    )
+    return (
+        newb.join(corpb.join(ok, on=["band", "key"]), on=["band", "key"])
+        .select("doc_id_new", "doc_id_corpus")
         .distinct()
     )
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from hha_spark.operators.dedup import (
     exact_dedup_groups,
+    incremental_lsh_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -214,6 +215,84 @@ ORACLE_MINHASH = f"""
     JOIN toks tb ON tb.doc_id = doc_id_b
     WHERE 10 * len(list_intersect(ta.tokens, tb.tokens))
           >= 7 * len(list_distinct(list_concat(ta.tokens, tb.tokens)))
+"""
+
+
+NEW_BATCH_PRED = "doc_id % 4 = 0"   # deterministic ~25% "incoming batch"
+
+
+def dedup_incremental(spark, sf_dir):
+    """Ingest-time dedup: which docs of an incoming batch near-
+    duplicate the EXISTING corpus? The batch (doc_id % 4 = 0) and the
+    corpus (the rest) each compute MinHash band keys; candidates come
+    from the cross-side band join only — the corpus is never
+    self-paired, so cost tracks the batch size, the way a daily crawl
+    increment is deduped against a petabyte corpus. Corpus buckets
+    over the cap are template noise and skipped
+    (operators/dedup.py::incremental_lsh_pairs). Candidates pay the
+    exact Jaccard verification (>= 0.7, integer cross-multiply)."""
+    docs = with_token_set(_docs(spark, sf_dir)).persist()
+    new = docs.where(F.expr(NEW_BATCH_PRED))
+    corpus = docs.where(~F.expr(NEW_BATCH_PRED))
+    cand = incremental_lsh_pairs(
+        minhash_signatures(new, num_hashes=8),
+        minhash_signatures(corpus, num_hashes=8),
+        bands=4,
+        rows_per_band=2,
+    )
+    toks = docs.select("doc_id", "tokens")
+    verified = (
+        cand.join(
+            toks.select(
+                F.col("doc_id").alias("doc_id_new"),
+                F.col("tokens").alias("tokens_n"),
+            ),
+            on="doc_id_new",
+        )
+        .join(
+            toks.select(
+                F.col("doc_id").alias("doc_id_corpus"),
+                F.col("tokens").alias("tokens_c"),
+            ),
+            on="doc_id_corpus",
+        )
+        .select(
+            "doc_id_new",
+            "doc_id_corpus",
+            F.size(F.array_intersect("tokens_n", "tokens_c")).alias("inter_size"),
+            F.size(F.array_union("tokens_n", "tokens_c")).alias("union_size"),
+        )
+        .where(F.expr("10 * inter_size >= 7 * union_size"))
+    )
+    return _cast_longs(verified, ["inter_size", "union_size"])
+
+
+ORACLE_INCREMENTAL = f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
+      FROM documents),
+    sigs AS (SELECT doc_id, tokens, {_SIG_COLS} FROM toks),
+    bands_all AS ({_BANDS}),
+    corp AS (SELECT * FROM bands_all WHERE NOT (doc_id % 4 = 0)),
+    corp_ok AS (
+      SELECT band, key FROM corp GROUP BY band, key
+      HAVING COUNT(*) <= {MAX_LSH_BUCKET_SQL}),
+    newb AS (SELECT * FROM bands_all WHERE doc_id % 4 = 0),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS doc_id_new, c.doc_id AS doc_id_corpus
+      FROM newb n
+      JOIN corp c ON n.band = c.band AND n.key = c.key
+      JOIN corp_ok ok ON c.band = ok.band AND c.key = ok.key)
+    SELECT doc_id_new, doc_id_corpus,
+           CAST(len(list_intersect(tn.tokens, tc.tokens)) AS BIGINT)
+               AS inter_size,
+           CAST(len(list_distinct(list_concat(tn.tokens, tc.tokens))) AS BIGINT)
+               AS union_size
+    FROM cand
+    JOIN toks tn ON tn.doc_id = doc_id_new
+    JOIN toks tc ON tc.doc_id = doc_id_corpus
+    WHERE 10 * len(list_intersect(tn.tokens, tc.tokens))
+          >= 7 * len(list_distinct(list_concat(tn.tokens, tc.tokens)))
 """
 
 
@@ -1392,6 +1471,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_trigram_jaccard": dedup_trigram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental": dedup_incremental,
     "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
@@ -1426,6 +1506,7 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_NGRAM,
     "dedup_trigram_jaccard": ORACLE_TRIGRAM,
     "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_incremental": ORACLE_INCREMENTAL,
     "dedup_minhash_recall": ORACLE_RECALL,
     "dedup_clusters": ORACLE_CLUSTERS,
     "dedup_clusters_star": ORACLE_CLUSTERS,

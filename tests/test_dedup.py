@@ -117,3 +117,37 @@ def test_simhash_stability_and_collision(spark):
     # one-token difference moves few bits: hamming distance small
     ham = bin(out[1] ^ out[3]).count("1")
     assert ham <= 8
+
+
+def test_incremental_lsh_cross_side_only(spark):
+    """Cross-side banding: identical docs across the batch/corpus
+    split pair up; two identical NEW docs never pair with each other
+    (the corpus settles its own duplicates elsewhere); an over-cap
+    corpus bucket is skipped."""
+    from hha_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_signatures,
+        with_token_set,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta"
+    boiler = "common template words here now"
+    new = with_token_set(
+        spark.createDataFrame(
+            [(0, text), (4, text), (8, boiler)], "doc_id long, text string"
+        )
+    )
+    corpus_rows = [(1, text)] + [(100 + i, boiler) for i in range(5)]
+    corpus = with_token_set(
+        spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    )
+    pairs = {
+        (r.doc_id_new, r.doc_id_corpus)
+        for r in incremental_lsh_pairs(
+            minhash_signatures(new), minhash_signatures(corpus), max_bucket=4
+        ).collect()
+    }
+    assert (0, 1) in pairs and (4, 1) in pairs     # batch ~ corpus
+    assert not any(a in (0, 4, 8) and b in (0, 4, 8) for a, b in pairs)
+    # boilerplate bucket (5 corpus members > cap 4) skipped entirely
+    assert not any(a == 8 for a, _ in pairs)
