@@ -64,3 +64,56 @@ def dedup_stream(
             .drop("_rn")
         )
     return deduped.drop("_event_ts")
+
+
+def incremental_dedup_stream(
+    new_stream: DataFrame,
+    corpus_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup screening of an ingest STREAM against a static corpus —
+    the streaming face of `operators/dedup.py::incremental_lsh_pairs`.
+
+    The incoming stream computes MinHash signatures and band keys
+    (narrow, per-row maps — legal in streaming), then STREAM-STATIC
+    joins the precomputed corpus band table: Spark broadcasts/rescans
+    the static side per micro-batch and keeps NO join state, so this
+    scales with batch size exactly like the batch operator. Emits one
+    row per (new doc, corpus doc, band) collision; exact-Jaccard
+    verification and pair-distinct belong downstream (foreachBatch
+    running the batch verifier), where the candidate volume is already
+    LSH-pruned.
+
+    At 100 TB the corpus band table is a stored, (band, key)-bucketed
+    table maintained by the batch pipeline; `max_bucket` drops
+    template buckets on the static side before the join ever sees
+    them.
+    """
+    from hha_spark.operators.dedup import (
+        MAX_LSH_BUCKET,
+        band_keys,
+        minhash_signatures,
+        with_token_set,
+    )
+
+    cap = MAX_LSH_BUCKET if max_bucket is None else max_bucket
+    corp = band_keys(
+        minhash_signatures(with_token_set(corpus_docs, text_col=text_col))
+    )
+    ok = (
+        corp.groupBy("band", "key")
+        .count()
+        .where(F.col("count") <= F.lit(cap))
+        .select("band", "key")
+    )
+    corp = corp.join(ok, on=["band", "key"]).select(
+        F.col("doc_id").alias("doc_id_corpus"), "band", "key"
+    )
+    newb = band_keys(
+        minhash_signatures(with_token_set(new_stream, text_col=text_col))
+    ).select(F.col("doc_id").alias("doc_id_new"), "band", "key")
+    return newb.join(corp, on=["band", "key"]).select(
+        "doc_id_new", "doc_id_corpus", "band"
+    )

@@ -63,3 +63,49 @@ def test_batch_path_matches_stream_key_set(stream_env, spark):
     )
     # batch first-wins is contractual: doc 1 (not 3) owns 'alpha'
     assert {r.doc_id for r in batch if r.text == "alpha"} == {1}
+
+
+def test_incremental_stream_static_band_join(spark, tmp_path):
+    """Ingest stream screened against a static corpus via a
+    stream-static band join: a replayed corpus doc collides, a fresh
+    doc does not, and collisions keep arriving across micro-batches
+    with no stream-side state."""
+    from hha_spark.streaming.dedup_stream import incremental_dedup_stream
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "completely different corpus text content here")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "in2")
+    ckpt = str(tmp_path / "ckpt2")
+    _write(spark, src, [(1, T0, "the quick brown fox jumps over the lazy dog"),
+                        (2, T0 + 1, "something never seen before at all")])
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        incremental_dedup_stream(stream, corpus)
+        .writeStream.format("memory")
+        .queryName("inc_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        hits = {
+            (r.doc_id_new, r.doc_id_corpus)
+            for r in spark.sql("SELECT * FROM inc_out").collect()
+        }
+        assert (1, 100) in hits
+        assert not any(n == 2 for n, _ in hits)
+
+        # next micro-batch: another replay of corpus doc 101
+        _write(spark, src, [(3, T0 + 5, "completely different corpus text content here")])
+        q.processAllAvailable()
+        hits2 = {
+            (r.doc_id_new, r.doc_id_corpus)
+            for r in spark.sql("SELECT * FROM inc_out").collect()
+        }
+        assert (3, 101) in hits2
+    finally:
+        q.stop()
