@@ -434,3 +434,66 @@ def simhash16(
         *[F.expr(nibble_sum_sql(i)).alias(f"w{i}") for i in range(16)]
     )
     return sums.select(F.col(id_col), F.expr(simhash16_pack_sql()).alias("simhash"))
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_near_pairs(
+    hashes: DataFrame,
+    *,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """SimHash near-dup PAIRS via pigeonhole block join — never
+    all-pairs: at hamming distance <= d, at least one of d+1 equal-
+    width bit blocks is untouched, so candidates come from an exact
+    equi-join on (block index, block value) and only candidates pay
+    the popcount verification (bit_count(a XOR b) <= d).
+
+    Scale shape at 100 TB: one narrow block explode (d+1 rows/doc),
+    a bucket-capped self-equi-join on the block key (template-heavy
+    buckets are noise, same rationale as MAX_LSH_BUCKET), one exact
+    verify per candidate. Returns (doc_id_a, doc_id_b, hamming),
+    a < b, distinct.
+    """
+    blocks = max_hamming + 1
+    width = bits // blocks
+    mask = (1 << width) - 1
+    block_structs = [
+        F.struct(
+            F.lit(b).alias("blk"),
+            F.shiftright(F.col(sim_col), b * width).bitwiseAND(F.lit(mask)).alias("val"),
+        )
+        for b in range(blocks)
+    ]
+    exploded = hashes.select(
+        F.col(id_col), F.col(sim_col), F.explode(F.array(*block_structs)).alias("bk")
+    ).select(id_col, sim_col, F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"))
+    ok = (
+        exploded.groupBy("blk", "val")
+        .count()
+        .where(F.col("count") <= F.lit(max_bucket))
+        .select("blk", "val")
+    )
+    kept = exploded.join(ok, on=["blk", "val"])
+    a = kept.select(
+        F.col(id_col).alias("doc_id_a"), F.col(sim_col).alias("sim_a"), "blk", "val"
+    )
+    b = kept.select(
+        F.col(id_col).alias("doc_id_b"), F.col(sim_col).alias("sim_b"), "blk", "val"
+    )
+    return (
+        a.join(b, on=["blk", "val"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .distinct()
+    )

@@ -407,6 +407,40 @@ ORACLE_SIMHASH = f"""
 """
 
 
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS at hamming distance <= 3, found by
+    PIGEONHOLE blocking (one of four 4-bit blocks must match exactly
+    when <= 3 bits differ) — the pairing stage that turns SimHash
+    signatures into a usable near-dup relation, never all-pairs
+    (operators/dedup.py::simhash_near_pairs)."""
+    from hha_spark.operators.dedup import simhash_near_pairs
+
+    docs = with_token_set(_docs(spark, sf_dir))
+    return simhash_near_pairs(simhash16(docs))
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM toks GROUP BY doc_id),
+    hashes AS (SELECT doc_id, {simhash16_pack_sql()} AS simhash FROM sums),
+    blocks AS (
+      SELECT doc_id, simhash, b.blk, (simhash >> (b.blk * 4)) & 15 AS val
+      FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS blk) b),
+    ok AS (
+      SELECT blk, val FROM blocks GROUP BY blk, val
+      HAVING COUNT(*) <= {MAX_LSH_BUCKET_SQL}),
+    kept AS (SELECT k.* FROM blocks k JOIN ok USING (blk, val)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM kept a JOIN kept b
+        ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+    SELECT doc_id_a, doc_id_b, hamming FROM cand WHERE hamming <= 3
+"""
+
+
 # --- similarity search ------------------------------------------------------
 
 # DuckDB's range() can't take lateral column args; the embedding
@@ -1472,6 +1506,7 @@ QUERIES = {
     "dedup_trigram_jaccard": dedup_trigram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental": dedup_incremental,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
@@ -1507,6 +1542,7 @@ ORACLES = {
     "dedup_trigram_jaccard": ORACLE_TRIGRAM,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_incremental": ORACLE_INCREMENTAL,
+    "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "dedup_minhash_recall": ORACLE_RECALL,
     "dedup_clusters": ORACLE_CLUSTERS,
     "dedup_clusters_star": ORACLE_CLUSTERS,

@@ -151,3 +151,32 @@ def test_incremental_lsh_cross_side_only(spark):
     assert not any(a in (0, 4, 8) and b in (0, 4, 8) for a, b in pairs)
     # boilerplate bucket (5 corpus members > cap 4) skipped entirely
     assert not any(a == 8 for a, _ in pairs)
+
+
+def test_simhash_near_pairs_pigeonhole(spark):
+    """Hamming <= 3 pairs are found via block collision; hamming > 3
+    pairs are rejected even when a block collides; over-cap buckets
+    are skipped."""
+    from hha_spark.operators.dedup import simhash_near_pairs
+
+    rows = [
+        (1, 0b1010_1010_1010_1010),
+        (2, 0b1010_1010_1010_1011),   # hamming 1 from doc 1
+        (3, 0b1010_1010_1010_0101),   # hamming 4 from doc 1 (blocks 1-3 equal)
+        (4, 0b0101_0101_0101_0101),   # far from 1/2
+    ]
+    hashes = spark.createDataFrame(rows, "doc_id long, simhash long")
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in simhash_near_pairs(hashes).collect()
+    }
+    assert pairs[(1, 2)] == 1
+    assert (1, 3) not in pairs          # verified out despite collision
+    assert pairs[(2, 3)] == 3           # exactly at the threshold
+    assert all(h <= 3 for h in pairs.values())
+
+    # cap: 5 identical signatures > max_bucket=4 -> no pairs at all
+    same = spark.createDataFrame(
+        [(i, 7) for i in range(5)], "doc_id long, simhash long"
+    )
+    assert simhash_near_pairs(same, max_bucket=4).count() == 0
