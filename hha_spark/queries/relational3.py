@@ -182,6 +182,50 @@ ORACLE_STRATIFIED = f"""
 """
 
 
+# --- deterministic train/val/test split ------------------------------------
+
+TEST_PCT = 5
+VAL_PCT = 5  # val occupies buckets [TEST_PCT, TEST_PCT + VAL_PCT)
+
+
+def corpus_train_val_test(spark, sf_dir):
+    """Deterministic 3-way split assignment: every doc lands in
+    train/val/test by its md5 bucket — the split a training pipeline
+    must be able to RECOMPUTE at any time, on any cluster, under any
+    partitioning, and still agree with the original run (seeded RNG
+    splits cannot promise that). Salting the hash input ('split|' +
+    id) decorrelates this bucketing from `stratified_sample_docs`'s,
+    so composing the two stays unbiased. Pure narrow map, no shuffle.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long") % 100
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket < TEST_PCT, F.lit("test"))
+        .when(bucket < TEST_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+ORACLE_TVT = f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, source,
+           CASE WHEN bucket < {TEST_PCT} THEN 'test'
+                WHEN bucket < {TEST_PCT + VAL_PCT} THEN 'val'
+                ELSE 'train' END AS split
+    FROM b
+"""
+
+
 # --- C4-style corpus selection gate ----------------------------------------
 
 MIN_TOKENS = 10
@@ -339,6 +383,7 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "stratified_sample_docs": stratified_sample_docs,
+    "corpus_train_val_test": corpus_train_val_test,
     "corpus_select_training": corpus_select_training,
     "dedup_survivors": dedup_survivors,
     "events_session_window": events_session_window,
@@ -348,6 +393,7 @@ ORACLES = {
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier_volume": ORACLE_Q5,
     "stratified_sample_docs": ORACLE_STRATIFIED,
+    "corpus_train_val_test": ORACLE_TVT,
     "corpus_select_training": ORACLE_CORPUS_SELECT,
     "dedup_survivors": ORACLE_SURVIVORS,
     "events_session_window": ORACLE_SESSION_WINDOW,
