@@ -169,7 +169,13 @@ def _lloyd(
         nxt = cur.select(
             "vec_id", vec_col, assign(F.col(vec_col)).alias("cells")
         ).persist()
-        nxt.count()
+        if i == iters - 1:
+            # eager only on the FINAL round: downstream broadcast
+            # subplans must read cached JVM rows, never re-enter the
+            # Python kernel on a driver broadcast thread. Intermediate
+            # rounds are materialized by the next centroid job itself —
+            # a separate count would just run the same lineage twice.
+            nxt.count()
         cur.unpersist()
         cur = nxt
     return cur, cents
