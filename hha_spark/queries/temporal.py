@@ -506,8 +506,79 @@ ORACLE_STREAKS = """
 """
 
 
+DECAY_HORIZON_DAYS = 7   # contributions older than this are zero
+DECAY_NUM, DECAY_DEN = 1, 2   # a = 0.5 per day, exact in binary
+DECAY_Q = 1_000_000           # term quantization (micro-units)
+US_PER_DAY_TEMPORAL = 86_400_000_000
+
+
+def events_decayed_activity(spark, sf_dir):
+    """Exponentially-decayed per-user activity signal — the
+    feature-engineering staple (recency-weighted engagement) computed
+    WITHOUT an ordered recursion: each source day SCATTERS its
+    contribution floor(x·a^k·Q) to the next `horizon` days (one
+    narrow sequence-explode), and one (user, day) aggregation sums
+    the integer terms. No window recursion, no row-dependent pow
+    inside a float SUM — every term is floor-quantized to an exact
+    BIGINT before summing, so partial-aggregation order (and the
+    DuckDB oracle) agree bit-for-bit. a = 1/2 and day offsets are
+    exact doubles, so a^k is exact too.
+
+    Scale shape: explode is a bounded ×horizon row expansion of the
+    already-aggregated daily frame (|users|·|days| rows, not raw
+    events); the only shuffles are the two keyed aggregations.
+    """
+    ev = _events_us(spark, sf_dir).where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id",
+        F.expr(f"ts_us DIV {US_PER_DAY_TEMPORAL}").alias("day_idx"),
+    ).agg(F.expr("SUM(CAST(value AS DECIMAL(18,6)))").alias("x_dec"))
+    scattered = daily.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(DECAY_HORIZON_DAYS - 1))
+        ).alias("k"),
+        F.col("day_idx"),
+        F.col("x_dec"),
+    ).select(
+        "user_id",
+        (F.col("day_idx") + F.col("k")).alias("day_idx"),
+        F.floor(
+            F.col("x_dec").cast("double")
+            * F.pow(
+                F.lit(DECAY_NUM / DECAY_DEN), F.col("k").cast("double")
+            )
+            * F.lit(DECAY_Q)
+        ).cast("long").alias("term_q"),
+    )
+    return scattered.groupBy("user_id", "day_idx").agg(
+        F.sum("term_q").alias("decayed_q")
+    )
+
+
+ORACLE_DECAYED = f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // {US_PER_DAY_TEMPORAL} AS day_idx,
+             value
+      FROM events WHERE event_type = 'purchase'),
+    daily AS (
+      SELECT user_id, day_idx,
+             SUM(CAST(value AS DECIMAL(18,6))) AS x_dec
+      FROM ev GROUP BY user_id, day_idx),
+    scattered AS (
+      SELECT user_id, day_idx + k.k AS day_idx,
+             CAST(FLOOR(CAST(x_dec AS DOUBLE)
+                        * POW({DECAY_NUM / DECAY_DEN}, k.k)
+                        * {DECAY_Q}) AS BIGINT) AS term_q
+      FROM daily, (SELECT unnest(range({DECAY_HORIZON_DAYS})) AS k) k)
+    SELECT user_id, day_idx, SUM(term_q) AS decayed_q
+    FROM scattered GROUP BY user_id, day_idx
+"""
+
+
 QUERIES = {
     "events_asof_last_purchase": events_asof_last_purchase,
+    "events_decayed_activity": events_decayed_activity,
     "events_pairs_within_30min": events_pairs_within_30min,
     "events_resample_daily": events_resample_daily,
     "events_funnel": events_funnel,
@@ -522,6 +593,7 @@ QUERIES = {
 
 ORACLES = {
     "events_asof_last_purchase": ORACLE_ASOF,
+    "events_decayed_activity": ORACLE_DECAYED,
     "events_pairs_within_30min": ORACLE_RANGE,
     "events_resample_daily": ORACLE_RESAMPLE,
     "events_funnel": ORACLE_FUNNEL,
