@@ -1289,6 +1289,81 @@ ORACLE_TRIANGLES = f"""
 """
 
 
+PR_Q = 1_000_000        # rank unit (micro-ranks)
+PR_ITERS = 2            # unrolled in the oracle CTEs
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # damping 0.85, exact in ints
+PR_BASE = PR_Q * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # 0.15·Q
+
+
+def dedup_graph_pagerank(spark, sf_dir):
+    """PageRank over the near-dup graph in EXACT integer arithmetic —
+    the doc-authority signal corpus curation uses to pick cluster
+    survivors (a doc many near-dups point at is the canonical copy;
+    a leaf near-dup of one hub is noise). All math is integer: each
+    node sends pr DIV degree to every neighbor, receives
+    0.15·Q + (85·Σ msgs) DIV 100 — no float accumulation anywhere, so
+    partial-aggregation order and the DuckDB oracle agree exactly.
+    Two unrolled rounds (matching the oracle CTEs); every node of the
+    symmetric pair graph has degree >= 1, so there are no dangling
+    nodes. Per round: one equi-join to attach sender ranks + one
+    keyed aggregation — linear in |E|, the textbook message-passing
+    shape at 100 TB."""
+    pairs = (
+        _minhash_lsh_from(with_token_set(_docs(spark, sf_dir)))
+        .select("doc_id_a", "doc_id_b")
+        .persist()
+    )
+    sym = pairs.select(
+        F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_id_b").alias("u"), F.col("doc_id_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("u").alias("node"), F.lit(PR_Q).cast("long").alias("pr"))
+    for _ in range(PR_ITERS):
+        msgs = (
+            sym.join(
+                ranks.select(F.col("node").alias("v"), "pr"), on="v"
+            )
+            .join(deg.select(F.col("u").alias("v"), "deg"), on="v")
+            .groupBy("u")
+            .agg(F.sum(F.expr("pr DIV deg")).alias("s"))
+        )
+        ranks = msgs.select(
+            F.col("u").alias("node"),
+            (F.lit(PR_BASE) + F.expr(f"({PR_DAMP_NUM} * s) DIV {PR_DAMP_DEN}"))
+            .cast("long")
+            .alias("pr"),
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("pr").alias("pagerank_q"))
+
+
+def _pr_round_sql(prev: str, out: str) -> str:
+    return f"""
+    m_{out} AS (
+      SELECT e.u, SUM(r.pr // d.deg) AS s
+      FROM e JOIN {prev} r ON r.node = e.v
+             JOIN deg d ON d.u = e.v
+      GROUP BY e.u),
+    {out} AS (
+      SELECT u AS node,
+             CAST({PR_BASE} + ({PR_DAMP_NUM} * s) // {PR_DAMP_DEN} AS BIGINT) AS pr
+      FROM m_{out})
+"""
+
+
+ORACLE_PAGERANK = f"""
+    WITH pairs AS (SELECT doc_id_a, doc_id_b FROM ({ORACLE_MINHASH})),
+    e AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+          UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY u),
+    r0 AS (SELECT u AS node, CAST({PR_Q} AS BIGINT) AS pr FROM deg),
+    {_pr_round_sql("r0", "r1")},
+    {_pr_round_sql("r1", "r2")}
+    SELECT node AS doc_id, pr AS pagerank_q FROM r2
+"""
+
+
 CHUNK_SIZE = 40  # tokens per training chunk
 CHUNK_STRIDE = 30  # overlap = CHUNK_SIZE - CHUNK_STRIDE
 
@@ -1507,6 +1582,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental": dedup_incremental,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_graph_pagerank": dedup_graph_pagerank,
     "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
@@ -1543,6 +1619,7 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_incremental": ORACLE_INCREMENTAL,
     "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
+    "dedup_graph_pagerank": ORACLE_PAGERANK,
     "dedup_minhash_recall": ORACLE_RECALL,
     "dedup_clusters": ORACLE_CLUSTERS,
     "dedup_clusters_star": ORACLE_CLUSTERS,
