@@ -1289,6 +1289,62 @@ ORACLE_TRIANGLES = f"""
 """
 
 
+def dedup_quality_survivors(spark, sf_dir):
+    """The dedup stack's PAYOFF decision: for every near-dup cluster,
+    which single document survives? Survivor = highest quality score,
+    ties to the lowest doc_id — the policy that upgrades naive
+    keep-min-id (dedup_survivors) once a quality signal exists.
+    Composes the verified pieces end-to-end: MinHash-LSH pairs ->
+    transitive clusters (operators/cluster.py) -> quality join ->
+    per-cluster argmax (a window over cluster-sized groups; cluster
+    cardinality is bounded by the LSH bucket cap, so no skewed
+    partitions). One row per cluster."""
+    from hha_spark.operators.cluster import cluster_members
+
+    pairs = _minhash_lsh_from(with_token_set(_docs(spark, sf_dir))).select(
+        "doc_id_a", "doc_id_b"
+    )
+    members = cluster_members(pairs)
+    q = quality_score(_docs(spark, sf_dir)).select("doc_id", "quality_score")
+    joined = members.join(q, on="doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            "cluster_size",
+            F.col("quality_score").cast("long").alias("survivor_quality"),
+        )
+    )
+
+
+ORACLE_QUALITY_SURVIVORS = f"""
+    WITH clustered AS ({ORACLE_CLUSTERS}),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id,
+             CAST(CASE WHEN len(toks) BETWEEN 20 AND 400 THEN 1 ELSE 0 END
+                  + CASE WHEN 10 * len(list_distinct(toks)) >= 3 * len(toks)
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+               AS BIGINT) AS quality_score
+      FROM t),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, c.cluster_size, q.quality_score,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality_score DESC, c.doc_id)
+                 AS rn
+      FROM clustered c JOIN q USING (doc_id))
+    SELECT cluster_id, doc_id AS survivor_doc_id, cluster_size,
+           quality_score AS survivor_quality
+    FROM ranked WHERE rn = 1
+"""
+
+
 PR_Q = 1_000_000        # rank unit (micro-ranks)
 PR_ITERS = 2            # unrolled in the oracle CTEs
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # damping 0.85, exact in ints
@@ -1583,6 +1639,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_graph_pagerank": dedup_graph_pagerank,
+    "dedup_quality_survivors": dedup_quality_survivors,
     "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
@@ -1620,6 +1677,7 @@ ORACLES = {
     "dedup_incremental": ORACLE_INCREMENTAL,
     "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "dedup_graph_pagerank": ORACLE_PAGERANK,
+    "dedup_quality_survivors": ORACLE_QUALITY_SURVIVORS,
     "dedup_minhash_recall": ORACLE_RECALL,
     "dedup_clusters": ORACLE_CLUSTERS,
     "dedup_clusters_star": ORACLE_CLUSTERS,
