@@ -180,3 +180,96 @@ def test_simhash_near_pairs_pigeonhole(spark):
         [(i, 7) for i in range(5)], "doc_id long, simhash long"
     )
     assert simhash_near_pairs(same, max_bucket=4).count() == 0
+
+
+# --- properties: blocked kernels == brute force ----------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_sig_strategy = st.lists(
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+    min_size=2,
+    max_size=12,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sigs=_sig_strategy)
+def test_simhash_pairs_match_bruteforce(spark, sigs):
+    """Pigeonhole block join finds EXACTLY the hamming<=3 pairs a
+    brute-force scan finds (buckets stay under the cap at this size,
+    so blocking must be lossless)."""
+    from hha_spark.operators.dedup import simhash_near_pairs
+
+    hashes = spark.createDataFrame(
+        list(enumerate(sigs)), "doc_id long, simhash long"
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in simhash_near_pairs(hashes).collect()
+    }
+    want = {
+        (i, j, bin(a ^ b).count("1"))
+        for i, a in enumerate(sigs)
+        for j, b in enumerate(sigs)
+        if i < j and bin(a ^ b).count("1") <= 3
+    }
+    assert got == want
+
+
+_docs_strategy = st.lists(
+    st.sampled_from(
+        ["aa bb cc dd", "aa bb cc ee", "xx yy zz ww", "aa bb cc dd", "pp qq rr ss"]
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_docs_strategy)
+def test_incremental_pairs_match_full_lsh_cross_side(spark, texts):
+    """incremental_lsh_pairs(new, corpus) == the full self-join LSH
+    candidates restricted to cross-side pairs (bucket caps never bind
+    at this size, where the two cap definitions coincide)."""
+    from hha_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        with_token_set,
+    )
+
+    docs = with_token_set(
+        spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+    )
+    new = docs.where("doc_id % 2 = 0")
+    corpus = docs.where("doc_id % 2 != 0")
+    inc = {
+        (r.doc_id_new, r.doc_id_corpus)
+        for r in incremental_lsh_pairs(
+            minhash_signatures(new), minhash_signatures(corpus)
+        ).collect()
+    }
+    full = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    want = set()
+    for a, b in full:
+        if a % 2 == 0 and b % 2 != 0:
+            want.add((a, b))
+        elif b % 2 == 0 and a % 2 != 0:
+            want.add((b, a))
+    assert inc == want
