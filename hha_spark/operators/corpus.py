@@ -131,10 +131,13 @@ def source_overlap(
     (bounding per-gram pair fan-out at max_sources^2) — the cap that
     keeps this linear when "sources" means thousands of web domains.
     """
+    # persist: consumed by the per-gram source sets AND the per-source
+    # totals — without it the k-gram explode + distinct runs twice
     grams = (
         kgram_frame(docs, k=k, extra_cols=("source",))
         .select("source", "gram_key")
         .distinct()
+        .persist()
     )
     per_gram = grams.groupBy("gram_key").agg(
         F.collect_set("source").alias("sources")
