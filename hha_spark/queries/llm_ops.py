@@ -1187,9 +1187,11 @@ def doc_top_terms(spark, sf_dir):
     log is monotone; avoids ln(), whose last-ulp behavior is
     libm-specific and would break cross-engine hashing)."""
     docs = _docs(spark, sf_dir)
+    # persist: the exploded token frame feeds BOTH the tf aggregation
+    # and the document-frequency distinct — one tokenization, not two
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    )
+    ).persist()
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = (
         toks.select("doc_id", "tok").distinct()
