@@ -70,16 +70,38 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    # emit the summary BEFORE spark.stop(): stop() can log noise (or
-    # hang) and the driver parses the captured tail for this one line
+    # Full per-query map goes to a local artifact file — a 121-entry
+    # map on stdout overflowed the driver's tail capture two rounds
+    # running (BENCH parsed: null). The driver-parsed line below stays
+    # compact and is emitted LAST, before spark.stop() (stop() can log
+    # noise or hang).
+    full = {
+        "metric": "total_query_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    os.makedirs(".benchmarks", exist_ok=True)
+    with open(".benchmarks/bench_last.json", "w") as f:
+        json.dump(full, f, separators=(",", ":"))
+    n_failed = sum(1 for v in timings.values() if v is None)
+    slowest = sorted(
+        ((n, t) for n, t in timings.items() if t is not None),
+        key=lambda kv: -kv[1],
+    )[:8]
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "n_failed": n_failed,
+                "queries": {n: t for n, t in slowest},
+                "queries_truncated_to_slowest": len(slowest),
+                "queries_file": ".benchmarks/bench_last.json",
             },
             separators=(",", ":"),
         ),

@@ -57,11 +57,14 @@ DEFAULT_MAX_ROUNDS = 50
 # Below this edge count the closure is computed with a driver-side
 # union-find instead of iterated Spark jobs. A near-dup graph is tiny
 # relative to its corpus (pairs survive LSH + verification), so the
-# common case lands here; 2M edges ≈ tens of MB collected — the same
-# driver-memory envelope as MLlib collecting a k-means codebook. Big
-# graphs (pathological boilerplate clusters at 100 TB) take the
-# distributed loop unchanged.
-SMALL_GRAPH_EDGES = 2_000_000
+# common case lands here. Sized to measured PYTHON-side memory, not
+# the JVM estimate: edges arrive as an Arrow table whose columns
+# become two plain-object lists (~60-100 B per long/str node in
+# CPython) plus the parent dict (~2× again) — 500k edges keeps the
+# whole structure under ~200 MB even with string ids. Big graphs
+# (pathological boilerplate clusters at 100 TB) take the distributed
+# loop unchanged.
+SMALL_GRAPH_EDGES = 500_000
 
 
 def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -72,7 +75,12 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
     algorithms' min-reachable-id labelling exactly. Deterministic —
     no iteration order sensitivity (the final find() fully resolves
     every chain)."""
-    rows = edges.select(src, dst).collect()
+    # Arrow transfer, not collect(): pyspark Row objects cost ~10× the
+    # payload in driver memory; Arrow columns + to_pylist keep the
+    # envelope at plain-object size (see SMALL_GRAPH_EDGES sizing).
+    tbl = edges.select(src, dst).toArrow()
+    src_vals = tbl.column(0).to_pylist()
+    dst_vals = tbl.column(1).to_pylist()
     parent: dict = {}
 
     def find(x):
@@ -83,8 +91,7 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        a, b = r[0], r[1]
+    for a, b in zip(src_vals, dst_vals):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)

@@ -29,18 +29,24 @@ from hha_spark.queries import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Order is the driver's verification window: it oracle-checks the FIRST
+# 50 names yielded here. Rounds 1-3 verified the spike/relational1-5
+# suites (50/50 green in CORRECTNESS_r03); round 4 rotates the
+# never-checked modules (llm_ops, temporal, corpus, relational6/7) to
+# the front so they earn driver-verified rows. Rotate again next round
+# if any remainder is still unchecked. See COVERAGE.md for the policy.
 _MODULES = (
+    llm_ops,
+    temporal,
+    corpus,
+    relational6,
+    relational7,
     spike_events,
     relational,
     relational2,
     relational3,
     relational4,
     relational5,
-    relational6,
-    relational7,
-    llm_ops,
-    temporal,
-    corpus,
 )
 
 

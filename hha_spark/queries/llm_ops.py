@@ -580,6 +580,9 @@ def ann_topk_ivf_trained(spark, sf_dir):
         _emb(spark, sf_dir),
         query_pred=(F.col("vec_id") % 16 == 0),
         k=5, nprobe=IVF_NPROBE, iters=IVF_ITERS,
+        # deterministic training -> the codebook is shared with
+        # ann_ivf_recall within a session (operators/ivf.py memo)
+        train_key=sf_dir,
     )
 
 
@@ -664,6 +667,7 @@ def ann_ivf_recall(spark, sf_dir):
     ivf = ivf_topk(
         emb, query_pred=(F.col("vec_id") % 16 == 0),
         k=5, nprobe=IVF_NPROBE, iters=IVF_ITERS,
+        train_key=sf_dir,
     ).select("qid", "cid", F.lit(1).alias("found"))
     joined = exact.join(ivf, on=["qid", "cid"], how="left")
     return joined.agg(

@@ -42,22 +42,21 @@ def write_training_shards(
 ) -> None:
     """Write `df` as a Hive-partitioned, size-bounded shard tree.
 
-    overwrite_partitions_only=True sets dynamic partition overwrite:
-    an incremental re-run touching one source replaces only that
-    source's directory — the idempotent-backfill contract.
+    overwrite_partitions_only=True sets dynamic partition overwrite
+    as a per-write DataFrameWriter option (NOT the session conf, which
+    would silently change every later overwrite+partitionBy write in
+    the session): an incremental re-run touching one source replaces
+    only that source's directory — the idempotent-backfill contract.
     """
-    spark = df.sparkSession
-    if overwrite_partitions_only:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
+    writer = (
         df.repartition(*partition_cols)
         .sortWithinPartitions(*partition_cols, *order_cols)
         .write.partitionBy(*partition_cols)
         .option("maxRecordsPerFile", max_records_per_file)
-        .mode("overwrite")
-        .format(fmt)
-        .save(path)
     )
+    if overwrite_partitions_only:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.mode("overwrite").format(fmt).save(path)
 
 
 def read_training_shards(spark, path: str, fmt: str = "parquet") -> DataFrame:

@@ -46,13 +46,21 @@ def events_ts_us(df: DataFrame, col: str = "ts") -> Column:
     - BIGINT: nanoseconds (TIMESTAMP(NANOS) read via nanosAsLong) —
       integer DIV keeps the microsecond value exact (a double
       round-trip would not).
-    - timestamp / timestamp_ntz: micros via unix_micros; the NTZ cast
-      to timestamp uses the session TZ, pinned UTC in session.py, so
-      the stored microsecond value passes through unchanged.
+    - timestamp_ntz: wall-clock micros taken directly with
+      timestampdiff against the NTZ epoch — no cast through
+      session-TZ-dependent TIMESTAMP, so the result is identical on
+      any host/session timezone (matches DuckDB's epoch_us, which is
+      TZ-independent).
+    - timestamp: already an instant; unix_micros is exact.
     """
     dtype = dict(df.dtypes).get(col, "")
     if dtype in ("bigint", "long"):
         return F.expr(f"{col} DIV 1000")
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+        )
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 
