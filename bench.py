@@ -25,7 +25,13 @@ from hha_spark.session import get_spark  # noqa: E402
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
-    # queries may persist() internal frames; keep runs independent
+    # queries register their internal persists with the session-scoped
+    # cache registry (hha_spark/caching.py); release them per query to
+    # keep runs independent. clearCache stays as a backstop for any
+    # cache created outside the registry (e.g. by Spark itself).
+    from hha_spark.caching import release_tracked
+
+    release_tracked()
     df.sparkSession.catalog.clearCache()
 
 

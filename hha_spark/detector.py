@@ -30,6 +30,8 @@ from hha_spark.operators.spike import detect_spikes
 from hha_spark.sinks.alerts import append_alerts, collect_rules, recent_alerts
 from hha_spark.sources.histograms import read_window
 
+from hha_spark.caching import release_tracked
+
 
 def run_cycle(
     spark: SparkSession,
@@ -105,3 +107,7 @@ def run_cycle(
         return rules
     finally:
         alerts.unpersist()
+        # detect_spikes registers its fused/cur/prev persists with the
+        # session cache registry; a long-lived detector must release
+        # them every cycle or the cache grows without bound
+        release_tracked()

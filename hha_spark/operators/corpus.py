@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hha_spark.caching import tracked_persist
+
 # Redaction patterns — valid and identical under Java regex (Spark)
 # and RE2 (DuckDB oracle): no backreferences, no lookaround.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -133,11 +135,10 @@ def source_overlap(
     """
     # persist: consumed by the per-gram source sets AND the per-source
     # totals — without it the k-gram explode + distinct runs twice
-    grams = (
+    grams = tracked_persist(
         kgram_frame(docs, k=k, extra_cols=("source",))
         .select("source", "gram_key")
         .distinct()
-        .persist()
     )
     per_gram = grams.groupBy("gram_key").agg(
         F.collect_set("source").alias("sources")

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hha_spark.caching import tracked_persist
+
 
 def with_token_set(
     df: DataFrame, text_col: str = "text", out_col: str = "tokens"
@@ -157,8 +159,8 @@ def prefix_candidate_pairs(
         .withColumn("_rank", F.row_number().over(w))
         .where(F.col("_rank") <= plen)
         .select(*block_cols, "doc_id", "tok")
-        .persist()
     )
+    pref = tracked_persist(pref)
     a = pref.select(*block_cols, F.col("doc_id").alias("doc_id_a"), "tok")
     b = pref.select(*block_cols, F.col("doc_id").alias("doc_id_b"), "tok")
     return (

@@ -49,6 +49,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from hha_spark.caching import track
+
 Q = 1_000_000_000_000  # picounit quantization, shared with similarity.py
 
 _MEAN_NUM = (
@@ -161,7 +163,7 @@ def _assign_final(
     # eager: downstream broadcast subplans must read cached JVM rows,
     # never re-enter the Python kernel on a driver broadcast thread
     cur.count()
-    return cur
+    return track(cur)
 
 
 def _lloyd(
@@ -227,9 +229,12 @@ def _lloyd(
         if i == iters - 1:
             # eager on the FINAL round: downstream broadcast subplans
             # must read cached JVM rows, never re-enter the Python
-            # kernel on a driver broadcast thread.
+            # kernel on a driver broadcast thread. The final frame
+            # outlives this function (the returned query plan reads
+            # it), so it is registered for session-scoped release.
             nxt.count()
             cur.unpersist()
+            track(nxt)
         else:
             prev = cur
         cur = nxt

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hha_spark.caching import tracked_persist
+
 DEFAULT_RANGE_PARTS = 32
 
 
@@ -53,7 +55,9 @@ def with_global_rank(
     # persist: `local` feeds counts, total, and the final join — without
     # it the distributed range-sort runs three times (and _pid from
     # spark_partition_id could drift between recomputations).
-    local = ranged.withColumn("_lr", F.row_number().over(w).cast("long")).persist()
+    local = tracked_persist(
+        ranged.withColumn("_lr", F.row_number().over(w).cast("long"))
+    )
 
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     a, b = counts.alias("a"), counts.alias("b")

@@ -40,6 +40,8 @@ from pyspark.sql import functions as F
 from hha_spark.config import DetectorParams
 from hha_spark.functions.ip import ip_to_net24
 
+from hha_spark.caching import tracked_persist
+
 
 def _safe_ratio(num: Column, den: Column) -> Column:
     """num/den with NULL (not error, not inf) on den == 0.
@@ -290,7 +292,7 @@ def detect_spikes(
             clamp_guard=True,
         )
         if persist:
-            base = base.persist()
+            base = tracked_persist(base)
         cur = base.where(F.col("sum_val").isNotNull()).select(*keys, "sum_val")
         prev = base.where(F.col("prev_sum_val").isNotNull()).select(
             *keys, F.col("prev_sum_val").alias("sum_val")
@@ -314,8 +316,8 @@ def detect_spikes(
         if persist:
             # each frame feeds both the /32 comparison and the /24
             # rollup (replaces recreateDF, hha.py:119-128,155-156)
-            cur = cur.persist()
-            prev = prev.persist()
+            cur = tracked_persist(cur)
+            prev = tracked_persist(prev)
         ip_cmp = compare_windows(
             cur, prev, key_cols=keys, q=p.quotient_amplification,
             limit_new=p.limit_new_data, clamp_guard=True,

@@ -24,6 +24,7 @@ from hha_spark.queries import (
     relational6,
     relational7,
     spike_events,
+    streaming_gate,
     temporal,
 )
 
@@ -36,6 +37,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the front so they earn driver-verified rows. Rotate again next round
 # if any remainder is still unchecked. See COVERAGE.md for the policy.
 _MODULES = (
+    streaming_gate,
     llm_ops,
     temporal,
     corpus,

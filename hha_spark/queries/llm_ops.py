@@ -37,6 +37,8 @@ from hha_spark.operators.text import (
 )
 from hha_spark.sources.tables import load_table
 
+from hha_spark.caching import tracked_persist
+
 
 def _docs(spark, sf_dir) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
@@ -85,7 +87,7 @@ def _ngram_jaccard_from(docs_tok: DataFrame) -> DataFrame:
 def dedup_ngram_jaccard(spark, sf_dir):
     # persist: the prefix-filtered kernel reads the tokenized frame for
     # postings AND for pair verification
-    return _ngram_jaccard_from(with_token_set(_docs(spark, sf_dir)).persist())
+    return _ngram_jaccard_from(tracked_persist(with_token_set(_docs(spark, sf_dir))))
 
 
 ORACLE_NGRAM = """
@@ -112,7 +114,7 @@ def dedup_trigram_jaccard(spark, sf_dir):
     same inverted-index kernel. Threshold 0.5."""
     # persist: both sides of the self-join read the shingled frame,
     # and the per-row shingle construction is the expensive part
-    docs = with_shingle_set(_docs(spark, sf_dir), n=3).persist()
+    docs = tracked_persist(with_shingle_set(_docs(spark, sf_dir), n=3))
     out = jaccard_pairs(
         docs, docs, block_cols=["source"], tokens_col="shingles",
         threshold_num=5, threshold_den=10,
@@ -231,7 +233,7 @@ def dedup_incremental(spark, sf_dir):
     over the cap are template noise and skipped
     (operators/dedup.py::incremental_lsh_pairs). Candidates pay the
     exact Jaccard verification (>= 0.7, integer cross-multiply)."""
-    docs = with_token_set(_docs(spark, sf_dir)).persist()
+    docs = tracked_persist(with_token_set(_docs(spark, sf_dir)))
     new = docs.where(F.expr(NEW_BATCH_PRED))
     corpus = docs.where(~F.expr(NEW_BATCH_PRED))
     cand = incremental_lsh_pairs(
@@ -308,7 +310,7 @@ def dedup_minhash_recall(spark, sf_dir):
     tokenization — the shared expensive prefix — is not recomputed.
     The per-arm shuffles (postings join vs signatures/banding) remain
     distinct work by construction."""
-    docs = with_token_set(_docs(spark, sf_dir)).persist()
+    docs = tracked_persist(with_token_set(_docs(spark, sf_dir)))
     exact = _ngram_jaccard_from(docs).select("doc_id_a", "doc_id_b")
     lsh = _minhash_lsh_from(docs).select(
         "doc_id_a", "doc_id_b", F.lit(1).alias("found")
@@ -661,7 +663,7 @@ def ann_ivf_recall(spark, sf_dir):
     embeddings frame across both arms."""
     from hha_spark.operators.ivf import ivf_topk
 
-    emb = _emb(spark, sf_dir).persist()
+    emb = tracked_persist(_emb(spark, sf_dir))
     queries = emb.where(F.col("vec_id") % 16 == 0)
     exact = cosine_topk(queries, emb, k=5).select("qid", "cid")
     ivf = ivf_topk(
@@ -707,7 +709,7 @@ def dedup_embedding_lsh(spark, sf_dir):
         hyperplane_planes,
     )
 
-    emb = _emb(spark, sf_dir).persist()
+    emb = tracked_persist(_emb(spark, sf_dir))
     bands = hyperplane_bands(emb, hyperplane_planes(spark))
     cand = hyperplane_candidate_pairs(bands)
     return (
@@ -933,9 +935,9 @@ def benchmark_contamination(spark, sf_dir):
     # build it once and persist (same reuse shape as
     # dedup_minhash_recall), instead of re-tokenizing the corpus for
     # each side of the join
-    docs = with_shingle_set(
+    docs = tracked_persist(with_shingle_set(
         _docs(spark, sf_dir), n=CONTAM_N, out_col="grams"
-    ).persist()
+    ))
     bench_grams = (
         docs.where(F.col("doc_id") % 50 == 0)
         .select(F.explode("grams").alias("gram"))
@@ -1191,17 +1193,18 @@ def doc_top_terms(spark, sf_dir):
     log is monotone; avoids ln(), whose last-ulp behavior is
     libm-specific and would break cross-engine hashing)."""
     docs = _docs(spark, sf_dir)
-    # persist: the exploded token frame feeds BOTH the tf aggregation
-    # and the document-frequency distinct — one tokenization, not two
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).persist()
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = (
-        toks.select("doc_id", "tok").distinct()
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
     )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # df derives FROM tf: tf's key set IS the distinct (doc_id, tok)
+    # pairs, so document frequency is a second aggregation over the
+    # already-reduced frame — the exploded token frame has exactly one
+    # consumer and needs no persist (r3 persisted it and paid more for
+    # materializing the explosion than the re-read it saved; at 100 TB
+    # caching an exploded-bigger-than-input frame is still the wrong
+    # trade, reuse-after-reduction is the scalable shape)
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_, on="tok")
@@ -1264,10 +1267,9 @@ def dedup_graph_triangles(spark, sf_dir):
     fan-out by graph arboricity; here the upstream MAX_LSH_BUCKET cap
     already bounds any vertex's degree.
     """
-    pairs = (
+    pairs = tracked_persist(
         _minhash_lsh_from(with_token_set(_docs(spark, sf_dir)))
         .select("doc_id_a", "doc_id_b")
-        .persist()
     )
     wedges = pairs.select(
         F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
@@ -1370,10 +1372,9 @@ def dedup_graph_pagerank(spark, sf_dir):
     nodes. Per round: one equi-join to attach sender ranks + one
     keyed aggregation — linear in |E|, the textbook message-passing
     shape at 100 TB."""
-    pairs = (
+    pairs = tracked_persist(
         _minhash_lsh_from(with_token_set(_docs(spark, sf_dir)))
         .select("doc_id_a", "doc_id_b")
-        .persist()
     )
     sym = pairs.select(
         F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from hha_spark.functions.exact import dec_sum_mul
 from hha_spark.sources.tables import load_table
 
+from hha_spark.caching import tracked_persist
+
 
 def _t(spark, sf_dir, name) -> DataFrame:
     return load_table(spark, sf_dir, name)
@@ -442,7 +444,8 @@ def copurchase_part_pairs(spark, sf_dir):
         F.broadcast(sizes.where(F.col("n_parts") <= BASKET_CAP)),
         on="l_orderkey",
         how="left_semi",
-    ).persist()
+    )
+    small = tracked_persist(small)
     a = small.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = small.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = a.join(b, on="l_orderkey").where(F.col("part_a") < F.col("part_b"))

@@ -32,6 +32,8 @@ from hha_spark.operators.spike import (
 )
 from hha_spark.sources.tables import US_PER_DAY, events_ts_us, load_table
 
+from hha_spark.caching import tracked_persist
+
 KEYS = ["user_id", "event_type"]
 Q = 1.5                 # quotientAmplification analogue
 LIMIT_NEW = 40          # LimitNewData analogue (≈ median sum_val)
@@ -105,7 +107,7 @@ def spike_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted once and feeds the /32-analog filter and both bucket
     rollups.
     """
-    fused = _fused(spark, sf_dir).persist()
+    fused = tracked_persist(_fused(spark, sf_dir))
     ip_alerts = spike_filter(
         fused.where(F.col("sum_val").isNotNull()), q=Q
     ).select(
@@ -157,7 +159,7 @@ def spike_events_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both gates are broadcast joins — no extra shuffle on the alert
     stream beyond what S1-S7 already did.
     """
-    alerts = spike_events_alerts(spark, sf_dir).persist()
+    alerts = tracked_persist(spike_events_alerts(spark, sf_dir))
     ev = _events_us(spark, sf_dir)
     bounds = ev.agg(F.max("ts_us").alias("now_us"))
     zones = (

@@ -51,6 +51,7 @@ from hha_spark.config import DetectorParams
 from hha_spark.operators.spike import detect_spikes
 from hha_spark.schemas import HISTOGRAM_SCHEMA
 from hha_spark.sinks.alerts import append_alerts, collect_rules, recent_alerts
+from hha_spark.caching import release_tracked
 from hha_spark.sources.histograms import (
     SECONDS_PER_HOUR,
     read_window,
@@ -140,6 +141,8 @@ def make_batch_processor(
             append_alerts(alerts, alerts_path, detected_at=now)
         finally:
             alerts.unpersist()
+            # release detect_spikes' registered persists per micro-batch
+            release_tracked()
         if on_rules is not None:
             on_rules(rules)
 
