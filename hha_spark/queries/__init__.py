@@ -37,8 +37,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the front so they earn driver-verified rows. Rotate again next round
 # if any remainder is still unchecked. See COVERAGE.md for the policy.
 _MODULES = (
-    streaming_gate,
     llm_ops,
+    streaming_gate,
     temporal,
     corpus,
     relational6,

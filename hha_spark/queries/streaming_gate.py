@@ -39,11 +39,23 @@ _QUERY_SEQ = itertools.count()
 
 def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed twin of `dedup_incremental` (same output contract)."""
+    from hha_spark.caching import tracked_persist
     from hha_spark.operators.dedup import with_token_set
-    from hha_spark.streaming.dedup_stream import incremental_dedup_stream
+    from hha_spark.streaming.dedup_stream import (
+        corpus_band_table,
+        incremental_dedup_stream,
+    )
 
     docs_path = f"{sf_dir}/documents.parquet"
     batch_docs = _docs(spark, sf_dir)
+
+    # the corpus band table is batch-built and MATERIALIZED before the
+    # stream starts (the 100 TB shape: a stored table maintained by
+    # the batch pipeline) — the micro-batch plan then only computes
+    # the incoming batch's band keys and one equi-join against cache
+    corpus = batch_docs.where(~F.expr(NEW_BATCH_PRED))
+    bands = tracked_persist(corpus_band_table(corpus))
+    bands.count()
 
     # the file stream source wants a DIRECTORY to monitor; the fixture
     # table is a single file inside sf_dir, so monitor sf_dir and
@@ -55,8 +67,7 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(sf_dir)
         .where(F.expr(NEW_BATCH_PRED))
     )
-    corpus = batch_docs.where(~F.expr(NEW_BATCH_PRED))
-    collisions = incremental_dedup_stream(stream, corpus)
+    collisions = incremental_dedup_stream(stream, corpus_bands=bands)
 
     # availableNow: process everything currently in the source, then
     # stop — one bounded run of the real streaming machinery. The

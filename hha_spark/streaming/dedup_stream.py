@@ -66,30 +66,21 @@ def dedup_stream(
     return deduped.drop("_event_ts")
 
 
-def incremental_dedup_stream(
-    new_stream: DataFrame,
+def corpus_band_table(
     corpus_docs: DataFrame,
     *,
     text_col: str = "text",
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Near-dup screening of an ingest STREAM against a static corpus —
-    the streaming face of `operators/dedup.py::incremental_lsh_pairs`.
+    """(doc_id_corpus, band, key) — the static side of the stream-
+    static LSH join, with over-cap template buckets already dropped.
 
-    The incoming stream computes MinHash signatures and band keys
-    (narrow, per-row maps — legal in streaming), then STREAM-STATIC
-    joins the precomputed corpus band table: Spark broadcasts/rescans
-    the static side per micro-batch and keeps NO join state, so this
-    scales with batch size exactly like the batch operator. Emits one
-    row per (new doc, corpus doc, band) collision; exact-Jaccard
-    verification and pair-distinct belong downstream (foreachBatch
-    running the batch verifier), where the candidate volume is already
-    LSH-pruned.
-
-    At 100 TB the corpus band table is a stored, (band, key)-bucketed
-    table maintained by the batch pipeline; `max_bucket` drops
-    template buckets on the static side before the join ever sees
-    them.
+    Build (and persist/store) this ONCE per corpus version; at 100 TB
+    it is a stored (band, key)-bucketed table maintained by the batch
+    pipeline. Computing it inside the per-micro-batch plan would
+    re-tokenize and re-aggregate the whole corpus every trigger — and
+    micro-batch plans don't get AQE, so it would also run with
+    unoptimized shuffles.
     """
     from hha_spark.operators.dedup import (
         MAX_LSH_BUCKET,
@@ -108,9 +99,56 @@ def incremental_dedup_stream(
         .where(F.col("count") <= F.lit(cap))
         .select("band", "key")
     )
-    corp = corp.join(ok, on=["band", "key"]).select(
+    return corp.join(ok, on=["band", "key"]).select(
         F.col("doc_id").alias("doc_id_corpus"), "band", "key"
     )
+
+
+def incremental_dedup_stream(
+    new_stream: DataFrame,
+    corpus_docs: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    max_bucket: int | None = None,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup screening of an ingest STREAM against a static corpus —
+    the streaming face of `operators/dedup.py::incremental_lsh_pairs`.
+
+    The incoming stream computes MinHash signatures and band keys
+    (narrow, per-row maps — legal in streaming), then STREAM-STATIC
+    joins the precomputed corpus band table: Spark broadcasts/rescans
+    the static side per micro-batch and keeps NO join state, so this
+    scales with batch size exactly like the batch operator. Emits one
+    row per (new doc, corpus doc, band) collision; exact-Jaccard
+    verification and pair-distinct belong downstream (foreachBatch
+    running the batch verifier), where the candidate volume is already
+    LSH-pruned.
+
+    Pass `corpus_bands` (a `corpus_band_table` result, ideally
+    persisted or a stored table) to keep corpus-side work out of the
+    micro-batch plan; passing raw `corpus_docs` instead computes the
+    band table inline per trigger — correct, but it re-does corpus
+    tokenization/aggregation every micro-batch, without AQE.
+
+    At 100 TB the corpus band table is a stored, (band, key)-bucketed
+    table maintained by the batch pipeline; `max_bucket` drops
+    template buckets on the static side before the join ever sees
+    them.
+    """
+    from hha_spark.operators.dedup import (
+        band_keys,
+        minhash_signatures,
+        with_token_set,
+    )
+
+    if corpus_bands is None:
+        if corpus_docs is None:
+            raise ValueError("need corpus_docs or corpus_bands")
+        corpus_bands = corpus_band_table(
+            corpus_docs, text_col=text_col, max_bucket=max_bucket
+        )
+    corp = corpus_bands
     newb = band_keys(
         minhash_signatures(with_token_set(new_stream, text_col=text_col))
     ).select(F.col("doc_id").alias("doc_id_new"), "band", "key")
