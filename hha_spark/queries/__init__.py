@@ -30,12 +30,6 @@ from hha_spark.queries import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Order is the driver's verification window: it oracle-checks the FIRST
-# 50 names yielded here. Rounds 1-3 verified the spike/relational1-5
-# suites (50/50 green in CORRECTNESS_r03); round 4 rotates the
-# never-checked modules (llm_ops, temporal, corpus, relational6/7) to
-# the front so they earn driver-verified rows. Rotate again next round
-# if any remainder is still unchecked. See COVERAGE.md for the policy.
 _MODULES = (
     llm_ops,
     streaming_gate,
@@ -51,16 +45,52 @@ _MODULES = (
     relational5,
 )
 
+# Order is the driver's verification window: it oracle-checks the FIRST
+# 50 names yielded. Rounds 1-3 checked 71 of the registry
+# (CORRECTNESS_r01-03); this list front-loads every query that has
+# NEVER had a driver correctness row (union of those files, registry
+# order — flagship llm_ops first, then temporal/corpus/relational6-7)
+# so round 4 converts them to driver-verified. Names here that fall
+# out of the registry are ignored defensively; queries not listed
+# follow in module order. Policy: COVERAGE.md "Registry rotation".
+_NEVER_CHECKED_FIRST = (
+    "dedup_incremental", "dedup_simhash_pairs", "dedup_graph_pagerank",
+    "dedup_quality_survivors", "dedup_clusters", "dedup_clusters_star",
+    "dedup_graph_triangles", "doc_token_count_map", "text_normalize",
+    "doc_chunking", "doc_packing_bins", "ann_topk_ivf_trained",
+    "ann_ivf_recall", "dedup_embedding_lsh", "embedding_hof_features",
+    "benchmark_contamination", "text_repetition", "stream_dedup_incremental",
+    "events_decayed_activity", "events_resample_daily", "events_funnel",
+    "scd2_user_event_history", "hll_daily_users_merge",
+    "events_hourly_to_daily", "events_sliding_7day", "user_retention_cohorts",
+    "weekly_revenue_growth", "user_activity_streaks", "corpus_dup_spans",
+    "corpus_source_overlap", "corpus_pii_scrub", "corpus_mixture_weights",
+    "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q13_order_distribution", "q15_top_supplier",
+    "q19_disjunctive_revenue", "copurchase_part_pairs",
+    "nation_revenue_share", "null_semantics_suite", "top_status_per_flag",
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q16_supplier_relationship", "q20_promotion_suppliers",
+    "region_pair_matrix", "part_name_fuzzy_pairs", "lineitem_price_deciles",
+    "dq_orders_report",
+)
+
+
+def _ordered(full: dict) -> dict:
+    first = {n: full[n] for n in _NEVER_CHECKED_FIRST if n in full}
+    first.update(full)  # remaining names keep module order
+    return first
+
 
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
-    return out
+    return _ordered(out)
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _MODULES:
         out.update(mod.ORACLES)
-    return out
+    return _ordered(out)
