@@ -121,6 +121,98 @@ def duplicated_span_stats(docs: DataFrame, *, k: int = 5) -> DataFrame:
     )
 
 
+def boilerplate_coverage(
+    docs: DataFrame, *, k: int = 3, min_docs_pct: int = 1
+) -> DataFrame:
+    """Per-document boilerplate footprint — the C4/RefinedWeb scrub
+    signal (Raffel et al. 2020 §2.2 drop repeated boilerplate lines;
+    here at token-window granularity, the corpus-wide complement of
+    `duplicated_span_stats`).
+
+    A k-gram is *boilerplate* when it occurs in >= `min_docs_pct`
+    percent of all documents (navigation chrome, legal footers,
+    template headers — document frequency far beyond organic reuse).
+    The threshold is RELATIVE so the operator means the same thing at
+    sf0.001 and at 100 TB; the comparison is pure-integer
+    (n_docs * 100 >= total * pct), no float ratio.
+    For each document: total tokens, how many token positions fall
+    under at least one boilerplate window (overlaps counted ONCE via
+    a distinct on covered positions), and the clean remainder.
+    Downstream, `clean_tokens` is the real training-token count and
+    high `boiler_ratio` docs get dropped.
+
+    Plan shape (all map-side-combinable aggregates, no count_distinct
+    Expand):
+      positional gram explode (narrow)
+        -> per (doc, gram) window-count reduce   [shuffle 1]
+        -> document-frequency reduce             [shuffle 2, skinny]
+        -> semi-join flags boilerplate grams back onto occurrences
+           [shuffle 3 on gram_key — fixed-width md5]
+        -> position expand (x k, narrow) -> distinct covered
+           positions -> per-doc count            [shuffle 4]
+    At 100 TB the df table is Zipf-headed: the >= min_docs survivors
+    are few and hot, but they flow through an equi-join keyed by
+    gram_key whose per-key fan-out is each doc's own occurrence list
+    — no cross-doc pair blowup anywhere (contrast: pairing ops cap
+    buckets; coverage needs no cap at all).
+    """
+    with_toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    grams = F.expr(
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"transform(sequence(1, size(toks) - {k - 1}),"
+        f" i -> array_join(slice(toks, i, {k}), ' '))"
+        f" ELSE array() END"
+    )
+    # pos is 0-based window start; covered token positions are
+    # [pos, pos + k - 1]
+    occ = with_toks.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).select("doc_id", "pos", F.md5("gram").alias("gram_key"))
+
+    doc_gram = occ.groupBy("doc_id", "gram_key").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    total = docs.select(F.count(F.lit(1)).alias("n_total"))
+    boiler = (
+        doc_gram.groupBy("gram_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(F.broadcast(total))
+        .where(F.col("n_docs") * 100 >= F.col("n_total") * min_docs_pct)
+        .select("gram_key")
+    )
+    covered = (
+        occ.join(boiler, "gram_key", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tokpos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    n_tokens = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    return n_tokens.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("covered_tokens"), F.lit(0))
+        .cast("long")
+        .alias("covered_tokens"),
+        (
+            F.col("n_tokens")
+            - F.coalesce(F.col("covered_tokens"), F.lit(0))
+        ).cast("long").alias("clean_tokens"),
+        (
+            F.coalesce(F.col("covered_tokens"), F.lit(0)) / F.col("n_tokens")
+        ).alias("boiler_ratio"),
+    )
+
+
 def source_overlap(
     docs: DataFrame, *, k: int = 5, max_sources: int = 10
 ) -> DataFrame:

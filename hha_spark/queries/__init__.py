@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hha_spark.queries import (
     corpus,
+    curation,
     llm_ops,
     relational,
     relational2,
@@ -43,6 +44,10 @@ _MODULES = (
     relational3,
     relational4,
     relational5,
+    # round-4 curation additions sit LAST: the driver's round-4
+    # window is reserved for the never-checked 50; these (plus
+    # dq_orders_report, position 51) rotate to the front in round 5
+    curation,
 )
 
 # Order is the driver's verification window: it oracle-checks the FIRST

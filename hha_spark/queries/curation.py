@@ -1,0 +1,138 @@
+"""Driver-gate queries for the round-4 curation operators:
+semantic deduplication (operators/semantic.py) and boilerplate
+coverage (operators/corpus.py::boilerplate_coverage).
+
+Same determinism contract as queries/corpus.py: integer/md5 keys,
+exact integer accumulation, at most one IEEE-double division (or
+sqrt-division chain over exact integers) per output value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hha_spark.operators.corpus import boilerplate_coverage
+from hha_spark.operators.semantic import Q_COMP, semantic_prune
+from hha_spark.sources.tables import load_table
+
+EMB_DIM = 64  # fixture embedding width (FIXTURES.md §B)
+BITS = 4
+DROP_NUM, DROP_DEN = 1, 4
+BOILER_K = 3
+BOILER_MIN_DOCS_PCT = 1  # boilerplate = gram present in >= 1% of docs
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def semantic_prune_cells(spark, sf_dir):
+    """SemDeDup keep/drop over the embeddings table: sign-bit coarse
+    cells -> distributed centroid sums -> exact cosine-to-centroid ->
+    per-cell redundancy ranking, dropping the closest quarter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_prune(
+        emb, bits=BITS, drop_num=DROP_NUM, drop_den=DROP_DEN
+    )
+
+
+_CELL_SQL = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(BITS)
+)
+
+ORACLE_SEMANTIC_PRUNE = f"""
+    WITH el AS (
+      SELECT vec_id, i AS idx,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {Q_COMP}) AS BIGINT) AS q
+      FROM embeddings, range(1, {EMB_DIM} + 1) t(i)),
+    cells AS (
+      SELECT vec_id, CAST({_CELL_SQL} AS BIGINT) AS cell FROM embeddings),
+    cent AS (
+      SELECT cell, idx, CAST(SUM(q) AS BIGINT) AS s
+      FROM el JOIN cells USING (vec_id)
+      GROUP BY cell, idx),
+    ncell AS (SELECT cell, COUNT(*) AS n_cell FROM cells GROUP BY cell),
+    cnorm AS (
+      SELECT cell, CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE) AS cent_norm
+      FROM cent GROUP BY cell),
+    dots AS (
+      SELECT c.vec_id, c.cell,
+             CAST(SUM(e.q * ct.s) AS DOUBLE) AS dot,
+             CAST(SUM(e.q * e.q) AS DOUBLE) AS vnorm
+      FROM cells c
+      JOIN el e USING (vec_id)
+      JOIN cent ct ON ct.cell = c.cell AND ct.idx = e.idx
+      GROUP BY c.vec_id, c.cell),
+    scored AS (
+      SELECT d.vec_id, d.cell,
+             d.dot / (sqrt(d.vnorm) * sqrt(cn.cent_norm)) AS cos_centroid,
+             n.n_cell
+      FROM dots d
+      JOIN cnorm cn USING (cell)
+      JOIN ncell n USING (cell)),
+    ranked AS (
+      SELECT vec_id, cell, cos_centroid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cell
+                                     ORDER BY cos_centroid DESC, vec_id)
+                  AS BIGINT) AS cell_rank,
+             CAST(n_cell AS BIGINT) AS n_cell
+      FROM scored)
+    SELECT vec_id, cell, cos_centroid, cell_rank, n_cell,
+           CASE WHEN cell_rank >
+                  CAST(FLOOR(n_cell * {DROP_NUM} / {DROP_DEN}) AS BIGINT)
+                THEN 1 ELSE 0 END AS kept
+    FROM ranked
+"""
+
+
+def corpus_boilerplate(spark, sf_dir):
+    """Per-doc boilerplate token coverage (C4-style scrub signal)."""
+    return boilerplate_coverage(
+        _docs(spark, sf_dir), k=BOILER_K, min_docs_pct=BOILER_MIN_DOCS_PCT
+    )
+
+
+ORACLE_BOILERPLATE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+{BOILER_K - 1}], ' ')) AS gram_key
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - {BOILER_K - 1})) AS i
+      ) s),
+    doc_gram AS (
+      SELECT doc_id, gram_key FROM occ GROUP BY doc_id, gram_key),
+    tot AS (SELECT COUNT(*) AS n_total FROM documents),
+    boiler AS (
+      SELECT gram_key FROM doc_gram CROSS JOIN tot
+      GROUP BY gram_key, n_total
+      HAVING COUNT(*) * 100 >= n_total * {BOILER_MIN_DOCS_PCT}),
+    covered AS (
+      SELECT o.doc_id, COUNT(DISTINCT p) AS covered_tokens
+      FROM occ o
+      JOIN boiler USING (gram_key),
+      LATERAL (
+        SELECT unnest(generate_series(o.pos, o.pos + {BOILER_K - 1})) AS p
+      ) q
+      GROUP BY o.doc_id),
+    nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+    SELECT nt.doc_id, nt.n_tokens,
+           CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CAST(nt.n_tokens - coalesce(c.covered_tokens, 0) AS BIGINT)
+               AS clean_tokens,
+           coalesce(c.covered_tokens, 0) / nt.n_tokens AS boiler_ratio
+    FROM nt LEFT JOIN covered c USING (doc_id)
+"""
+
+
+QUERIES = {
+    "semantic_prune_cells": semantic_prune_cells,
+    "corpus_boilerplate": corpus_boilerplate,
+}
+
+ORACLES = {
+    "semantic_prune_cells": ORACLE_SEMANTIC_PRUNE,
+    "corpus_boilerplate": ORACLE_BOILERPLATE,
+}

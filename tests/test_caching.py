@@ -64,7 +64,8 @@ def test_release_is_idempotent(spark):
         "dedup_ngram_jaccard",     # dedup.py prefix postings + docs
         "dedup_minhash_recall",    # shared docs frame, two arms
         "corpus_source_overlap",   # operators/corpus.py gram frame
-        "doc_top_terms",           # llm_ops exploded-token persist
+        # doc_top_terms dropped its persist (reuse-after-reduction,
+        # commit 4513f9b) — no longer a persist-using query
         "ann_topk_ivf_trained",    # ivf.py final assignment (track())
         "lineitem_price_deciles",  # operators/rank.py local-rank frame
     ],
