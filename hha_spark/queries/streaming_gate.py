@@ -33,6 +33,7 @@ from hha_spark.queries.llm_ops import (
     _cast_longs,
     _docs,
 )
+from hha_spark.sources.tables import events_ts_us, load_table
 
 _QUERY_SEQ = itertools.count()
 
@@ -114,11 +115,171 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cast_longs(verified, ["inter_size", "union_size"])
 
 
+SPIKE_Q = 1.5
+SPIKE_LIMIT_NEW = 40
+SPIKE_LIMIT_NEW_NET = 40
+# The reference detector natively runs second-scale windows over
+# HOURLY state files (hha.conf:29-31, hha.py:293-297); the events
+# fixture spans 30 DAYS. Compress the time axis 24x (1 fixture day ->
+# 1 detector hour) so the state table has ~30 hour partitions instead
+# of 720 — the same cadence-to-state ratio the reference runs at.
+# Windows scale with the axis: 2 days -> 7200 s, 7 days -> 25200 s.
+TIME_COMPRESS = 24
+SPIKE_CUR_SEC = 2 * 86_400 // TIME_COMPRESS
+SPIKE_PREV_SEC = 7 * 86_400 // TIME_COMPRESS
+# dst_ip = user_id * 16 so the /24 bitmask (clear low 8 bits) groups
+# 16 users per network — a meaningful rollup over the 150-user fixture
+IP_SCALE = 16
+
+
+def stream_spike_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's deployment loop (hha.py:315-327) under the
+    oracle gate: events mapped onto the histogram fact schema, written
+    as plain parquet, then consumed by the REAL streaming detector —
+    readStream file source -> foreachBatch -> partitioned state table
+    -> full S1-S8 `detect_spikes` (with /24 rollup and zones gating)
+    -> persisted alerts table — with an availableNow trigger and a
+    data-derived clock so one bounded run equals the batch semantics
+    the DuckDB oracle expresses.
+
+    The result is materialized before the scratch dirs are removed;
+    alert cardinality is tiny (it's the point of the detector), so
+    the driver-side copy is bounded.
+    """
+    import shutil
+    import tempfile
+
+    from hha_spark.config import DetectorParams
+    from hha_spark.streaming.spike_stream import run_streaming_detector
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_s = (
+        (events_ts_us(ev) / F.lit(1_000_000)).cast("long")
+        / F.lit(TIME_COMPRESS)
+    ).cast("long")
+    hist = ev.select(
+        ts_s.alias("timestamp"),
+        F.lit(None).cast("int").alias("subagent_id"),
+        F.lit(0).cast("int").alias("num_protocol"),
+        F.lit(0).cast("int").alias("type_proto"),
+        F.floor("value").cast("long").alias("CountPkt"),
+        (F.col("user_id") * IP_SCALE).cast("long").alias("dst_ip"),
+    )
+    now = hist.agg(F.max("timestamp")).first()[0]
+    zones = (
+        ev.where(F.expr("user_id % 7 = 0"))
+        .select((F.col("user_id") * IP_SCALE).cast("long").alias("ip"))
+        .distinct()
+    )
+    params = DetectorParams(
+        quotient_amplification=SPIKE_Q,
+        limit_new_data=SPIKE_LIMIT_NEW,
+        limit_new_data_net=SPIKE_LIMIT_NEW_NET,
+        cur_window_sec=SPIKE_CUR_SEC,
+        prev_window_sec=SPIKE_PREV_SEC,
+    )
+    tmp = tempfile.mkdtemp(prefix="hha_stream_spike_gate_")
+    try:
+        hist.repartition(4).write.parquet(f"{tmp}/in")
+        q = run_streaming_detector(
+            spark,
+            data_root=f"{tmp}/in",
+            samples_root=f"{tmp}/state",
+            alerts_path=f"{tmp}/alerts",
+            checkpoint=f"{tmp}/ckpt",
+            params=params,
+            zones=zones,
+            now_fn=lambda: now,
+            # retention must cover the whole fixture span: the gate
+            # replays history in one shot, so nothing may be evicted
+            # and the unbounded-below prev window must see every row
+            retention_sec=10 * 365 * 86_400,
+            available_now=True,
+        )
+        q.awaitTermination()
+        rows = (
+            spark.read.parquet(f"{tmp}/alerts")
+            .select("num_protocol", "type_proto", "dst_ip", "sum_val", "scope")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "num_protocol int, type_proto int, dst_ip long, sum_val long, scope string",
+    )
+
+
+# Mirrors detect_spikes exactly, keyed by the synthetic dst_ip:
+# floor-avg windows, clamp-guarded /32 comparison (S3), guardless /24
+# comparison over user-16 network buckets (S5), spike ratio filter
+# (S6), union (S7), zones semi-join (S8). Single batch + empty prior
+# alerts table => no TTL suppression term.
+ORACLE_STREAM_SPIKE = f"""
+    WITH bounds AS (
+      SELECT MAX(epoch_us(ts) // 1000000 // {TIME_COMPRESS}) AS now_s
+      FROM events),
+    ev AS (
+      SELECT epoch_us(ts) // 1000000 // {TIME_COMPRESS} AS ts_s,
+             user_id * {IP_SCALE} AS dst_ip,
+             CAST(FLOOR(value) AS BIGINT) AS cnt
+      FROM events),
+    cur AS (
+      SELECT dst_ip,
+             CAST(FLOOR(SUM(CAST(cnt AS DECIMAL(18,6))) / COUNT(*)) AS BIGINT)
+                 AS sum_val
+      FROM ev, bounds WHERE ts_s > now_s - {SPIKE_CUR_SEC}
+      GROUP BY dst_ip),
+    prev AS (
+      SELECT dst_ip,
+             CAST(FLOOR(SUM(CAST(cnt AS DECIMAL(18,6))) / COUNT(*)) AS BIGINT)
+                 AS sum_val
+      FROM ev, bounds WHERE ts_s < now_s - {SPIKE_PREV_SEC}
+      GROUP BY dst_ip),
+    cmp AS (
+      SELECT c.dst_ip, c.sum_val,
+             COALESCE(CASE WHEN p.sum_val / NULLIF(c.sum_val, 0) > {SPIKE_Q}
+                            AND p.sum_val > {SPIKE_LIMIT_NEW}
+                           THEN {SPIKE_LIMIT_NEW} ELSE p.sum_val END,
+                      {SPIKE_LIMIT_NEW}) AS prev_sum_val2
+      FROM cur c LEFT JOIN prev p USING (dst_ip)),
+    cur_net AS (
+      SELECT dst_ip - dst_ip % 256 AS dst_net,
+             CAST(SUM(sum_val) // COUNT(*) AS BIGINT) AS sum_val
+      FROM cur GROUP BY 1),
+    prev_net AS (
+      SELECT dst_ip - dst_ip % 256 AS dst_net,
+             CAST(SUM(sum_val) // COUNT(*) AS BIGINT) AS sum_val
+      FROM prev GROUP BY 1),
+    cmp_net AS (
+      SELECT c.dst_net, c.sum_val,
+             COALESCE(CASE WHEN p.sum_val / NULLIF(c.sum_val, 0) > {SPIKE_Q}
+                           THEN {SPIKE_LIMIT_NEW_NET} ELSE p.sum_val END,
+                      {SPIKE_LIMIT_NEW_NET}) AS prev_sum_val2
+      FROM cur_net c LEFT JOIN prev_net p USING (dst_net)),
+    alerts AS (
+      SELECT 0 AS num_protocol, 0 AS type_proto, dst_ip,
+             prev_sum_val2 AS sum_val, 'ip' AS scope
+      FROM cmp WHERE sum_val / NULLIF(prev_sum_val2, 0) > {SPIKE_Q}
+      UNION ALL
+      SELECT 0, 0, dst_net AS dst_ip, prev_sum_val2, 'net'
+      FROM cmp_net WHERE sum_val / NULLIF(prev_sum_val2, 0) > {SPIKE_Q}),
+    zones AS (
+      SELECT DISTINCT user_id * {IP_SCALE} AS ip FROM events
+      WHERE user_id % 7 = 0)
+    SELECT a.num_protocol, a.type_proto, a.dst_ip, a.sum_val, a.scope
+    FROM alerts a
+    WHERE EXISTS (SELECT 1 FROM zones z WHERE z.ip = a.dst_ip)
+"""
+
+
 QUERIES = {
     "stream_dedup_incremental": stream_dedup_incremental,
+    "stream_spike_alerts": stream_spike_alerts,
 }
 
 # the batch oracle IS the stream oracle — that equality is the point
 ORACLES = {
     "stream_dedup_incremental": ORACLE_INCREMENTAL,
+    "stream_spike_alerts": ORACLE_STREAM_SPIKE,
 }

@@ -162,11 +162,15 @@ def run_streaming_detector(
     now_fn: Callable[[], float] = time.time,
     retention_sec: int = RETENTION_SEC,
     on_rules: Callable[[list[dict]], None] | None = None,
+    available_now: bool = False,
 ):
     """File source -> foreachBatch(full detector) -> alerts table.
 
     `trigger_sec` plays the reference's sleepInterval (hha.conf:26);
     `now_fn` is injectable so tests replay deterministically.
+    `available_now=True` processes everything currently in the source
+    then stops — one bounded run of the real machinery (the
+    driver-gate replay mode; mutually exclusive with `trigger_sec`).
     Returns the StreamingQuery.
     """
     p = params or DetectorParams()
@@ -187,6 +191,8 @@ def run_streaming_detector(
             on_rules=on_rules,
         )
     ).option("checkpointLocation", checkpoint)
-    if trigger_sec:
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_sec:
         writer = writer.trigger(processingTime=f"{trigger_sec} seconds")
     return writer.start()
