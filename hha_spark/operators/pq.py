@@ -1,0 +1,162 @@
+"""Product-quantization ADC similarity — the third ANN strategy.
+
+Jégou et al., "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011): split the vector into M subspaces, quantize each
+subspace against its own small codebook, and score query-candidate
+pairs with an Asymmetric Distance Computation — the query keeps full
+precision, every candidate is reduced to M small codes, and the pair
+score is M table lookups instead of D multiplies. This is the piece
+that makes billion-vector search memory-feasible: candidate storage
+drops from D floats to M bytes, and the per-pair cost from O(D) to
+O(M).
+
+Deterministic decomposition (same discipline as operators/semantic.py
+— no reference analogue; the reference engine has no embedding ops):
+
+  * codebook cells: sign bits of each subspace's first two components
+    (4 cells/subspace) — the reproducible stand-in for per-subspace
+    k-means (the trained path lives in operators/ivf.py);
+  * codebook vectors: per-(subspace, cell) element-wise sums of
+    micro-unit-quantized components (one skinny BIGINT shuffle);
+  * per-query lookup table: dot(query_sub, cell_sum) // cell_count —
+    an EXACT integer floor-division (divisibility forced by
+    subtracting the Python-style modulus first, so Spark's truncating
+    `div` and DuckDB's flooring `//` agree on any sign);
+  * pair scoring: broadcast the |Q| x (M*4) LUT, fold M array lookups
+    per candidate — a narrow codegen'd map over the candidate scan,
+    no per-pair shuffle.
+
+Scale: the LUT is |queries| x M x 4 longs and broadcasts; candidates
+stream through one projection. At 100 TB compose with the IVF coarse
+quantizer (operators/ivf.py) so each query scores only its probed
+cells' candidates — PQ compresses the residual scoring, IVF bounds
+the candidate set; the two are orthogonal and multiply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hha_spark.operators.semantic import Q_COMP
+
+M_SUB = 8      # subspaces
+D_SUB = 8      # dims per subspace (fixture dim 64 = 8 x 8)
+CELLS = 256    # sign-bit cells per subspace (one bit per dimension —
+               # the canonical PQ codebook size, 256 codes = 1 byte)
+
+
+def subspace_codes(vec_col: str = "embedding"):
+    """array<int> of length M_SUB: per-subspace cell id from the sign
+    bit of every component (bit j = component j of the subspace)."""
+    bits = " + ".join(
+        f"{1 << j} * CAST({vec_col}[m * {D_SUB} + {j}] >= 0 AS INT)"
+        for j in range(D_SUB)
+    )
+    return F.expr(
+        f"transform(sequence(0, {M_SUB - 1}), m -> {bits})"
+    )
+
+
+def _quantized_el(df: DataFrame, *, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, m, idx, q): micro-unit components with subspace ids."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * F.lit(Q_COMP)).cast("long"),
+            )
+        ).alias("idx", "q"),
+    ).withColumn("m", (F.col("idx") / F.lit(D_SUB)).cast("int"))
+
+
+def pq_codebook(emb: DataFrame, *, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(m, cell, idx, s, n): per-subspace-cell component sums + sizes.
+
+    One narrow explode -> one skinny groupBy (BIGINT keys/values,
+    partial aggregation). 32 cells x D_SUB rows total — broadcastable
+    regardless of corpus size.
+    """
+    codes = emb.select(
+        F.col(id_col).alias("vec_id"), subspace_codes(vec_col).alias("codes")
+    )
+    el = _quantized_el(emb, id_col=id_col, vec_col=vec_col)
+    coded = el.join(codes, "vec_id").withColumn(
+        "cell", F.expr("codes[m]")
+    )
+    return coded.groupBy("m", "cell", "idx").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def pq_query_lut(queries: DataFrame, codebook: DataFrame, *,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(qid, lut array<long> of length M_SUB*CELLS): ADC lookup table.
+
+    lut[m*CELLS + cell] = dot(query_sub_m, cell_sum) floor-div cell
+    size — the exact-integer mean dot. Missing (empty) cells fill 0.
+    """
+    q_el = _quantized_el(queries, id_col=id_col, vec_col=vec_col)
+    dots = (
+        q_el.join(codebook, on=["m", "idx"])
+        .groupBy(F.col("vec_id").alias("qid"), "m", "cell")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("dot"), F.max("n").alias("n"))
+    )
+    # exact floor division: subtract the Python-style modulus so the
+    # quotient is an exact integer under BOTH truncating (Spark div)
+    # and flooring (DuckDB //) semantics
+    term = F.expr("(dot - ((dot % n + n) % n)) div n")
+    slots = dots.select(
+        "qid", (F.col("m") * CELLS + F.col("cell")).alias("slot"),
+        term.alias("term"),
+    )
+    # two steps: the aggregate builds a slot->term map, the projection
+    # densifies it (aggregates are not allowed inside HOF lambdas)
+    slotmap = slots.groupBy("qid").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("slot", "term"))
+        ).alias("slotmap")
+    )
+    return slotmap.select(
+        "qid",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M_SUB * CELLS - 1)),
+            lambda i: F.coalesce(
+                F.element_at("slotmap", i), F.lit(0).cast("long")
+            ),
+        ).alias("lut"),
+    )
+
+
+def pq_topk(queries: DataFrame, candidates: DataFrame, *, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(qid, cid, score, rank): ADC top-k per query.
+
+    Candidates carry only their M codes; the broadcast LUT turns pair
+    scoring into an M-term array fold inside whole-stage codegen.
+    `score` is the exact integer sum of per-subspace mean dots
+    (micro-unit^2 scale — monotone in the ADC inner product, which is
+    all a ranking needs).
+    """
+    cb = pq_codebook(candidates, id_col=id_col, vec_col=vec_col)
+    lut = pq_query_lut(queries, cb, id_col=id_col, vec_col=vec_col)
+    cand = candidates.select(
+        F.col(id_col).alias("cid"), subspace_codes(vec_col).alias("codes")
+    )
+    score = F.expr(
+        f"aggregate(sequence(0, {M_SUB - 1}), CAST(0 AS BIGINT), "
+        f"(acc, m) -> acc + lut[m * {CELLS} + codes[m]])"
+    )
+    pairs = (
+        cand.join(F.broadcast(lut))
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", score.alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", F.col("score").cast("long").alias("score"), "rank")
+    )

@@ -127,12 +127,74 @@ ORACLE_BOILERPLATE = f"""
 """
 
 
+def ann_topk_pq(spark, sf_dir):
+    """PQ/ADC approximate top-k (operators/pq.py): candidates reduced
+    to 8 sign-bit subspace codes, queries score them via a broadcast
+    exact-integer lookup table. Same query set as the other ANN
+    variants (vec_id % 16)."""
+    from hha_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb.where(F.col("vec_id") % 16 == 0), emb, k=5)
+
+
+# mirrors operators/pq.py: micro-unit quantization, (m, cell, idx)
+# component sums, exact floor-div LUT terms, M-term ADC sum. The
+# divisibility trick ((dot - pymod) // n) makes DuckDB's flooring //
+# and Spark's truncating div agree for negative dots.
+_PQ_M, _PQ_D = 8, 8
+_PQ_CELL_SQL = " + ".join(
+    f"{1 << j} * (CASE WHEN embedding[mm.m * {_PQ_D} + {j + 1}] >= 0"
+    f" THEN 1 ELSE 0 END)"
+    for j in range(_PQ_D)
+)
+
+ORACLE_ANN_PQ = f"""
+    WITH el AS (
+      SELECT vec_id, i - 1 AS idx, (i - 1) // {_PQ_D} AS m,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {Q_COMP}) AS BIGINT) AS q
+      FROM embeddings, range(1, {EMB_DIM} + 1) t(i)),
+    codes AS (
+      SELECT vec_id, mm.m, ({_PQ_CELL_SQL}) AS cell
+      FROM embeddings, (
+        SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) mm),
+    cb AS (
+      SELECT e.m, c.cell, e.idx, SUM(e.q) AS s, COUNT(*) AS n
+      FROM el e JOIN codes c ON c.vec_id = e.vec_id AND c.m = e.m
+      GROUP BY e.m, c.cell, e.idx),
+    lut AS (
+      SELECT e.vec_id AS qid, cb.m, cb.cell,
+             SUM(e.q * cb.s) AS dot, MAX(cb.n) AS n
+      FROM el e JOIN cb ON cb.m = e.m AND cb.idx = e.idx
+      WHERE e.vec_id % 16 = 0
+      GROUP BY e.vec_id, cb.m, cb.cell),
+    term AS (
+      SELECT qid, m, cell,
+             (dot - ((dot % n + n) % n)) // n AS term
+      FROM lut),
+    scored AS (
+      SELECT t.qid, c.vec_id AS cid, CAST(SUM(t.term) AS BIGINT) AS score
+      FROM codes c JOIN term t ON t.m = c.m AND t.cell = c.cell
+      WHERE t.qid <> c.vec_id
+      GROUP BY t.qid, c.vec_id),
+    ranked AS (
+      SELECT qid, cid, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, cid) AS BIGINT)
+                 AS rank
+      FROM scored)
+    SELECT qid, cid, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "semantic_prune_cells": semantic_prune_cells,
     "corpus_boilerplate": corpus_boilerplate,
+    "ann_topk_pq": ann_topk_pq,
 }
 
 ORACLES = {
     "semantic_prune_cells": ORACLE_SEMANTIC_PRUNE,
     "corpus_boilerplate": ORACLE_BOILERPLATE,
+    "ann_topk_pq": ORACLE_ANN_PQ,
 }
