@@ -112,21 +112,26 @@ def pq_query_lut(queries: DataFrame, codebook: DataFrame, *,
         "qid", (F.col("m") * CELLS + F.col("cell")).alias("slot"),
         term.alias("term"),
     )
-    # two steps: the aggregate builds a slot->term map, the projection
-    # densifies it (aggregates are not allowed inside HOF lambdas)
-    slotmap = slots.groupBy("qid").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("slot", "term"))
-        ).alias("slotmap")
-    )
-    return slotmap.select(
+    # densify by generating the full slot domain and sort-packing:
+    # every qid gets exactly M_SUB*CELLS (slot, term) rows (term 0 for
+    # empty cells), then one array_sort(collect_list(struct)) yields
+    # the positional array. NOT a slot->term map probed per position:
+    # Spark's map element_at is a linear scan, which made the densify
+    # O((M*CELLS)^2) per query — measured 24 s vs <1 s for this shape.
+    domain = dots.select("qid").distinct().select(
         "qid",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(M_SUB * CELLS - 1))
+        ).alias("slot"),
+    )
+    full = domain.join(slots, ["qid", "slot"], "left").select(
+        "qid", "slot", F.coalesce("term", F.lit(0).cast("long")).alias("term")
+    )
+    return full.groupBy("qid").agg(
         F.transform(
-            F.sequence(F.lit(0), F.lit(M_SUB * CELLS - 1)),
-            lambda i: F.coalesce(
-                F.element_at("slotmap", i), F.lit(0).cast("long")
-            ),
-        ).alias("lut"),
+            F.array_sort(F.collect_list(F.struct("slot", "term"))),
+            lambda st: st["term"],
+        ).alias("lut")
     )
 
 
