@@ -124,7 +124,9 @@ def pq_query_lut(queries: DataFrame, codebook: DataFrame, *,
             F.sequence(F.lit(0), F.lit(M_SUB * CELLS - 1))
         ).alias("slot"),
     )
-    full = domain.join(slots, ["qid", "slot"], "left").select(
+    # slots is LUT-sized (|Q| x occupied cells) — broadcast it so the
+    # densify never sort-merges
+    full = domain.join(F.broadcast(slots), ["qid", "slot"], "left").select(
         "qid", "slot", F.coalesce("term", F.lit(0).cast("long")).alias("term")
     )
     return full.groupBy("qid").agg(

@@ -270,3 +270,51 @@ def test_ivf_candidate_join_broadcasts_probe_side(spark):
     assert "BroadcastHashJoin [cell" in plan
     assert "SortMergeJoin" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_semantic_prune_centroids_broadcast(spark):
+    """SemDeDup's per-cell centroid table must BROADCAST back onto the
+    vector frame (16 rows vs the corpus), and the cosine fold must be
+    a narrow in-row computation — no sort-merge join, no per-vector
+    element aggregation after the centroid attach."""
+    from hha_spark.operators.semantic import semantic_prune
+    from hha_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    plan = plan_of(semantic_prune(emb))
+    assert "BroadcastHashJoin [cell" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_scoring_broadcasts_lut(spark):
+    """PQ pair scoring must ride the broadcast LUT (BroadcastNestedLoop
+    for the bounded query side), never a shuffled cross product, and
+    the candidate side must stay un-exploded: the only Generates in
+    the plan belong to the codebook/LUT build, which aggregates to
+    M*CELLS rows before the join."""
+    from pyspark.sql import functions as F
+
+    from hha_spark.operators.pq import pq_topk
+    from hha_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    plan = plan_of(pq_topk(emb.where(F.col("vec_id") % 16 == 0), emb, k=5))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_semi_join_and_broadcast_total(spark):
+    """Boilerplate coverage: occurrences are filtered by a LEFT SEMI
+    join on the fixed-width gram_key, and the corpus-size threshold
+    rides a broadcast one-row frame — no count_distinct Expand node
+    anywhere (document frequency is a two-level plain aggregate)."""
+    from hha_spark.operators.corpus import boilerplate_coverage
+    from hha_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    plan = plan_of(boilerplate_coverage(docs, k=3, min_docs_pct=1))
+    assert "LeftSemi" in plan
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
