@@ -187,14 +187,87 @@ ORACLE_ANN_PQ = f"""
 """
 
 
+BUDGET_PCT = 50  # mixture_weights' budget (queries/corpus.py uses 50)
+
+
+def corpus_importance_resample(spark, sf_dir):
+    """The downsampling ACT that `corpus_mixture_weights` only plans:
+    every document of an over-budget source is kept with its source's
+    computed probability, via the salted-md5 uniform (reproducible on
+    any cluster/partitioning — seeded RNG is not). The keep test is
+    pure integer cross-multiplication (bucket * n_tokens <
+    target * 1000, or source under budget), so the boundary is exact
+    in both engines — the per-source float `weight` is never compared.
+
+    Plan: mixture_weights is one groupBy over sources + a broadcast
+    1-row total; its per-source frame broadcasts back onto the narrow
+    doc scan. No data-sized shuffle at all — the decision for 100 TB
+    of docs is a map against a dimension table.
+    """
+    from hha_spark.operators.corpus import mixture_weights
+
+    docs = _docs(spark, sf_dir)
+    w = mixture_weights(docs, budget_frac_pct=BUDGET_PCT).select(
+        "source", "n_tokens", "target_tokens"
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("resample|"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1000
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("bucket", bucket)
+        .join(F.broadcast(w), on="source")
+        .where(
+            (F.col("n_tokens") <= F.col("target_tokens"))
+            | (F.col("bucket") * F.col("n_tokens")
+               < F.col("target_tokens") * 1000)
+        )
+        .select("doc_id", "source", F.col("bucket").cast("long").alias("bucket"))
+    )
+
+
+ORACLE_IMPORTANCE_RESAMPLE = f"""
+    WITH per_source AS (
+      SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources
+      FROM per_source),
+    w AS (
+      SELECT source, n_tokens,
+             (total_tokens * {BUDGET_PCT}) // (100 * n_sources)
+                 AS target_tokens
+      FROM per_source, tot),
+    b AS (
+      SELECT doc_id, source,
+             CAST(CAST('0x' || substr(
+                 md5('resample|' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 1000 AS BIGINT) AS bucket
+      FROM documents)
+    SELECT b.doc_id, b.source, b.bucket
+    FROM b JOIN w USING (source)
+    WHERE w.n_tokens <= w.target_tokens
+       OR b.bucket * w.n_tokens < w.target_tokens * 1000
+"""
+
+
 QUERIES = {
     "semantic_prune_cells": semantic_prune_cells,
     "corpus_boilerplate": corpus_boilerplate,
     "ann_topk_pq": ann_topk_pq,
+    "corpus_importance_resample": corpus_importance_resample,
 }
 
 ORACLES = {
     "semantic_prune_cells": ORACLE_SEMANTIC_PRUNE,
     "corpus_boilerplate": ORACLE_BOILERPLATE,
     "ann_topk_pq": ORACLE_ANN_PQ,
+    "corpus_importance_resample": ORACLE_IMPORTANCE_RESAMPLE,
 }
