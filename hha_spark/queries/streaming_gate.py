@@ -273,13 +273,81 @@ ORACLE_STREAM_SPIKE = f"""
 """
 
 
+WIN_SEC = 86_400  # tumbling day windows over the events fixture
+
+
+def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming's OWN state machinery under the oracle
+    gate: a watermarked tumbling-window aggregation (streaming/
+    windowed.py) maintained by the streaming state store — not
+    foreachBatch — run availableNow in complete mode, whose final
+    snapshot must equal the batch GROUP BY the DuckDB oracle runs.
+    Covers the third streaming topology (ingest -> window agg ->
+    sink) after the stream-static join (stream_dedup_incremental)
+    and the foreachBatch detector (stream_spike_alerts).
+
+    `value` is floored to BIGINT before summing so the windowed total
+    is exact-integer on both engines (the no-raw-float-SUM rule).
+    """
+    from hha_spark.streaming.windowed import windowed_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    prepared = stream.select(
+        (events_ts_us(stream) / F.lit(1_000_000)).cast("long").alias("ts_s"),
+        "event_type",
+        F.floor("value").cast("long").alias("val"),
+    )
+    counts = windowed_counts(
+        prepared,
+        time_col="ts_s",
+        key_cols=("event_type",),
+        value_col="val",
+        window_sec=WIN_SEC,
+        watermark_sec=WIN_SEC,
+    )
+    qname = f"_stream_windowed_{next(_QUERY_SEQ)}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+
+ORACLE_STREAM_WINDOWED = f"""
+    WITH ev AS (
+      SELECT epoch_us(ts) // 1000000 AS ts_s, event_type,
+             CAST(FLOOR(value) AS BIGINT) AS val
+      FROM events)
+    SELECT ts_s - ts_s % {WIN_SEC} AS window_start, event_type,
+           COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS total
+    FROM ev GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_dedup_incremental": stream_dedup_incremental,
     "stream_spike_alerts": stream_spike_alerts,
+    "stream_events_windowed": stream_events_windowed,
 }
 
 # the batch oracle IS the stream oracle — that equality is the point
 ORACLES = {
     "stream_dedup_incremental": ORACLE_INCREMENTAL,
     "stream_spike_alerts": ORACLE_STREAM_SPIKE,
+    "stream_events_windowed": ORACLE_STREAM_WINDOWED,
 }
