@@ -57,6 +57,16 @@ def main() -> None:
     spark.range(1_000).select(_warm("id")).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ...and run the first registry query once UNTIMED: whichever
+    # query sits at position 1 otherwise absorbs the remaining
+    # first-job costs (parquet footer reads, codegen, shuffle service
+    # spin-up) — measured +1.9 s on the same query moved from
+    # position 6 to 1 across rounds 3-4
+    try:
+        first_fn = next(iter(qs.values()))
+        force(first_fn(spark, sf_dir))
+    except Exception:  # noqa: BLE001 — warmup must never kill the run
+        pass
 
     timings: dict[str, float | None] = {}
     total = 0.0
