@@ -1,0 +1,178 @@
+"""Weak-scaling probe: do the headline operators grow ~linearly?
+
+The driver fixtures stop at sf0.1, but the 100 TB question is the
+GROWTH RATE, not the absolute time. This tool manufactures K-times
+larger inputs from the sf0.1 tables — each copy disjoint in ids AND
+content (tokens are suffixed per copy, vector ids shifted), so
+near-dup/pair structure per copy is preserved while nothing pairs
+ACROSS copies — and times a representative operator set at each K.
+An operator whose time grows much faster than K has a superlinear
+stage (pair blowup, driver collect, expression inflation) that a
+1000-executor run would hit at full force.
+
+    python tools/scale_probe.py [K ...]        # default 1 4 16
+
+Emits one JSON line per K and a final summary with time ratios
+normalized to K=1; the artifact lands in .benchmarks/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from hha_spark.session import get_spark  # noqa: E402
+from hha_spark.sources.tables import US_PER_DAY, events_ts_us, load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def scaled_events(spark, k: int) -> DataFrame:
+    ev = load_table(spark, SF_DIR, "events").select(
+        events_ts_us(load_table(spark, SF_DIR, "events")).alias("ts_us"),
+        "user_id", "event_type", "value",
+    )
+    copies = spark.range(k).select(F.col("id").alias("copy"))
+    # disjoint key space per copy: weak scaling grows keys WITH data
+    return ev.crossJoin(F.broadcast(copies)).select(
+        "ts_us",
+        (F.col("user_id") + F.col("copy") * 10_000).alias("user_id"),
+        "event_type",
+        "value",
+    )
+
+
+def scaled_docs(spark, k: int) -> DataFrame:
+    docs = load_table(spark, SF_DIR, "documents")
+    copies = spark.range(k).select(F.col("id").alias("copy"))
+    return docs.crossJoin(F.broadcast(copies)).select(
+        (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
+        # per-copy token suffix: content disjoint across copies, so
+        # pair structure scales linearly by construction
+        F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda t: F.concat(t, F.lit("_"), F.col("copy").cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+        "lang", "source",
+    )
+
+
+def scaled_embeddings(spark, k: int) -> DataFrame:
+    emb = load_table(spark, SF_DIR, "embeddings")
+    copies = spark.range(k).select(F.col("id").alias("copy"))
+    return emb.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
+        "embedding",
+    )
+
+
+def probes(spark, k: int):
+    """(name, build) pairs; build() returns a DataFrame to force."""
+    from hha_spark.operators.corpus import boilerplate_coverage
+    from hha_spark.operators.dedup import (
+        exact_dedup_groups,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        with_token_set,
+    )
+    from hha_spark.operators.semantic import semantic_prune
+    from hha_spark.operators.spike import fused_window_compare
+    from hha_spark.operators.text import quality_score
+    from hha_spark.streaming.windowed import windowed_counts
+
+    ev = scaled_events(spark, k).persist()
+    docs = scaled_docs(spark, k).persist()
+    emb = scaled_embeddings(spark, k).persist()
+    ev.count(), docs.count(), emb.count()
+
+    bounds = ev.agg(F.max("ts_us").alias("now_us"))
+
+    def spike():
+        return fused_window_compare(
+            ev.join(F.broadcast(bounds)),
+            key_cols=["user_id", "event_type"], value_col="value",
+            time_col="ts_us",
+            cur_lower=F.col("now_us") - F.lit(2 * US_PER_DAY),
+            prev_upper=F.col("now_us") - F.lit(7 * US_PER_DAY),
+            q=1.5, limit_new=40, clamp_guard=True,
+        )
+
+    return {
+        "spike_fused": spike,
+        "dedup_exact": lambda: exact_dedup_groups(docs),
+        "dedup_ngram_jaccard": lambda: jaccard_pairs(
+            with_token_set(docs), with_token_set(docs),
+            block_cols=["source"], threshold_num=7, threshold_den=10,
+        ),
+        "minhash_lsh": lambda: lsh_candidate_pairs(
+            minhash_signatures(with_token_set(docs))
+        ),
+        "text_quality": lambda: quality_score(docs),
+        "boilerplate": lambda: boilerplate_coverage(docs, k=3, min_docs_pct=1),
+        "semantic_prune": lambda: semantic_prune(emb),
+        "windowed_counts": lambda: windowed_counts(
+            ev.select(
+                (F.col("ts_us") / 1_000_000).cast("long").alias("ts_s"),
+                "event_type",
+                F.floor("value").cast("long").alias("val"),
+            ),
+            time_col="ts_s", key_cols=("event_type",), value_col="val",
+            window_sec=86_400, watermark_sec=86_400,
+        ),
+    }, (ev, docs, emb)
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark("scale_probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
+
+    results: dict[int, dict[str, float]] = {}
+    rows: dict[int, dict[str, int]] = {}
+    for k in ks:
+        from hha_spark.caching import release_tracked
+
+        fns, frames = probes(spark, k)
+        results[k], rows[k] = {}, {}
+        for name, build in fns.items():
+            t0 = time.perf_counter()
+            df = build()
+            n = df.count()
+            results[k][name] = round(time.perf_counter() - t0, 3)
+            rows[k][name] = n
+            release_tracked()
+        for f in frames:
+            f.unpersist()
+        print(json.dumps({"k": k, "secs": results[k], "out_rows": rows[k]}))
+
+    base = ks[0]
+    summary = {
+        "ks": ks,
+        "ratios_vs_k1": {
+            name: {
+                k: round(results[k][name] / max(results[base][name], 1e-9), 2)
+                for k in ks
+            }
+            for name in results[base]
+        },
+        "out_rows": rows,
+    }
+    os.makedirs(".benchmarks", exist_ok=True)
+    with open(".benchmarks/scale_probe_last.json", "w") as f:
+        json.dump({"results_sec": results, **summary}, f, indent=1)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
