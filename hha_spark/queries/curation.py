@@ -258,11 +258,95 @@ ORACLE_IMPORTANCE_RESAMPLE = f"""
 """
 
 
+def ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-3 most cosine-similar candidates with a DIFFERENT
+    label — the near-misses that make the best negatives (in-batch
+    random negatives are too easy). Exact quantized kernel over the
+    broadcast query side; the label inequality filters BEFORE ranking
+    so the window sees only eligible pairs.
+
+    Scale: identical shape to ann_topk_cosine (broadcast nested-loop
+    over a bounded query set + per-query top-k); at 100 TB swap the
+    candidate set for the IVF/PQ-pruned one — the label filter and
+    ranking are unchanged.
+    """
+    from hha_spark.operators.similarity import cosine_pairs
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 16 == 0)
+    sims = cosine_pairs(queries, emb)
+    labels = emb.select("vec_id", "label")
+    labeled = (
+        sims.join(
+            labels.select(
+                F.col("vec_id").alias("qid"), F.col("label").alias("label_q")
+            ),
+            on="qid",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("cid"), F.col("label").alias("label_c")
+            ),
+            on="cid",
+        )
+        .where(F.col("label_q") != F.col("label_c"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        labeled.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("qid", "cid", "label_q", "label_c", "cosine", "rank")
+    )
+
+
+# same quantized-dot fragments as ORACLE_ANN (queries/llm_ops.py)
+_Q_PAIR = 1_000_000_000_000
+_DOT_SQL = (
+    f"CAST(SUM(CAST(FLOOR(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)"
+    f" * {_Q_PAIR}) AS BIGINT)) AS DOUBLE)"
+)
+_NORM_SQL = (
+    f"CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)"
+    f" * {_Q_PAIR}) AS BIGINT)) AS DOUBLE)"
+)
+
+ORACLE_HARD_NEGATIVES = f"""
+    WITH el AS (
+      SELECT vec_id, i AS idx, embedding[i] AS v
+      FROM embeddings, range(1, {EMB_DIM} + 1) t(i)),
+    q_el AS (SELECT * FROM el WHERE vec_id % 16 = 0),
+    dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, {_DOT_SQL} AS dot
+      FROM q_el a JOIN el b USING (idx) GROUP BY a.vec_id, b.vec_id),
+    norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq FROM el GROUP BY vec_id),
+    sims AS (
+      SELECT qid, cid, dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+      FROM dots JOIN norms qn ON qn.vec_id = qid
+                JOIN norms cn ON cn.vec_id = cid),
+    labeled AS (
+      SELECT s.qid, s.cid, lq.label AS label_q, lc.label AS label_c, s.cosine
+      FROM sims s
+      JOIN embeddings lq ON lq.vec_id = s.qid
+      JOIN embeddings lc ON lc.vec_id = s.cid
+      WHERE lq.label <> lc.label),
+    ranked AS (
+      SELECT qid, cid, label_q, label_c, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, cid) AS BIGINT)
+                 AS rank
+      FROM labeled)
+    SELECT * FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "semantic_prune_cells": semantic_prune_cells,
     "corpus_boilerplate": corpus_boilerplate,
     "ann_topk_pq": ann_topk_pq,
     "corpus_importance_resample": corpus_importance_resample,
+    "ann_hard_negatives": ann_hard_negatives,
 }
 
 ORACLES = {
@@ -270,4 +354,5 @@ ORACLES = {
     "corpus_boilerplate": ORACLE_BOILERPLATE,
     "ann_topk_pq": ORACLE_ANN_PQ,
     "corpus_importance_resample": ORACLE_IMPORTANCE_RESAMPLE,
+    "ann_hard_negatives": ORACLE_HARD_NEGATIVES,
 }
