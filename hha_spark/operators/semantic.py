@@ -145,7 +145,13 @@ def semantic_prune(
         qf.join(F.broadcast(cents), on="cell")
         .withColumn(
             "cos_centroid",
-            dot / (F.sqrt(vnorm) * F.sqrt(F.col("cent_norm"))),
+            # nullif: a zero vector (or an all-zero centroid) yields
+            # NULL, not an ANSI division-by-zero error — the driver
+            # session runs ANSI ON
+            dot
+            / F.nullif(
+                F.sqrt(vnorm) * F.sqrt(F.col("cent_norm")), F.lit(0.0)
+            ),
         )
         .select("vec_id", "cell", "cos_centroid", "n_cell")
     )

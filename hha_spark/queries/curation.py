@@ -67,7 +67,8 @@ ORACLE_SEMANTIC_PRUNE = f"""
       GROUP BY c.vec_id, c.cell),
     scored AS (
       SELECT d.vec_id, d.cell,
-             d.dot / (sqrt(d.vnorm) * sqrt(cn.cent_norm)) AS cos_centroid,
+             d.dot / NULLIF(sqrt(d.vnorm) * sqrt(cn.cent_norm), 0)
+                 AS cos_centroid,
              n.n_cell
       FROM dots d
       JOIN cnorm cn USING (cell)

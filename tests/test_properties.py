@@ -146,3 +146,100 @@ def test_net_alert_implies_member_activity(spark, specs):
     for a in alerts:
         if a.scope == "net":
             assert (a.num_protocol, a.type_proto, a.dst_ip) in cur_nets
+
+
+# --- round-4 curation operators ---------------------------------------------
+
+doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]), min_size=3, max_size=12
+    ).map(lambda toks: " ".join(toks)),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(texts=doc_texts, pct=st.sampled_from([1, 40, 80]))
+@SET
+def test_boilerplate_matches_bruteforce(spark, texts, pct):
+    """boilerplate_coverage == a direct Python reimplementation:
+    grams with df*100 >= n_docs*pct cover positions [i, i+2]; covered
+    positions counted once per doc."""
+    from hha_spark.operators.corpus import boilerplate_coverage
+
+    k = 3
+    docs = [(i, t) for i, t in enumerate(texts)]
+    # brute force
+    df_count: dict[tuple, set] = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        for p in range(len(toks) - k + 1):
+            df_count.setdefault(tuple(toks[p:p + k]), set()).add(i)
+    boiler = {g for g, d in df_count.items() if len(d) * 100 >= len(docs) * pct}
+    expected = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        covered = set()
+        for p in range(len(toks) - k + 1):
+            if tuple(toks[p:p + k]) in boiler:
+                covered.update(range(p, p + k))
+        expected[i] = (len(toks), len(covered))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.covered_tokens)
+        for r in boilerplate_coverage(sdf, k=k, min_docs_pct=pct).collect()
+    }
+    assert got == expected
+
+
+vectors = st.lists(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000).map(lambda x: x / 500.0),
+        min_size=8,
+        max_size=8,
+    ).filter(lambda v: any(abs(x) >= 0.002 for x in v)),  # no zero vectors:
+    # cosine is NULL there by the nullif guard, outside this oracle
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(vecs=vectors)
+@SET
+def test_semantic_prune_matches_numpy(spark, vecs):
+    """semantic_prune's cosine-to-centroid ranking == a numpy
+    reimplementation of the same integer quantization (micro-unit
+    floor, sum-vector centroid)."""
+    import math
+
+    from hha_spark.operators.semantic import Q_COMP, semantic_prune
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    # numpy-free exact reference (plain python ints)
+    def cell_of(v):
+        return sum((1 << j) * (v[j] >= 0) for j in range(4))
+
+    q = {i: [math.floor(x * Q_COMP) for x in v] for i, v in rows}
+    cells: dict[int, list[int]] = {}
+    for i, v in rows:
+        cells.setdefault(cell_of(v), []).append(i)
+    expected_rank = {}
+    for cell, members in cells.items():
+        cent = [sum(q[i][d] for i in members) for d in range(8)]
+        cn = math.sqrt(float(sum(c * c for c in cent)))
+        scored = []
+        for i in members:
+            dot = float(sum(a * b for a, b in zip(q[i], cent)))
+            vn = math.sqrt(float(sum(a * a for a in q[i])))
+            scored.append((-(dot / (vn * cn)), i))
+        scored.sort()
+        for rank, (_, i) in enumerate(scored, start=1):
+            expected_rank[i] = (cell, rank, len(members))
+
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.cell, r.cell_rank, r.n_cell)
+        for r in semantic_prune(sdf).collect()
+    }
+    assert got == expected_rank
