@@ -120,9 +120,12 @@ def cosine_pairs(
             "cid",
             (
                 dot_scaled(F.col("__qv"), F.col("__cv"))
-                / (
+                # nullif: zero vectors yield NULL cosine, never an
+                # ANSI division-by-zero (driver sessions run ANSI ON)
+                / F.nullif(
                     F.sqrt(norm_sq_scaled(F.col("__qv")))
-                    * F.sqrt(norm_sq_scaled(F.col("__cv")))
+                    * F.sqrt(norm_sq_scaled(F.col("__cv"))),
+                    F.lit(0.0),
                 )
             ).alias("cosine"),
         )
@@ -156,9 +159,10 @@ def cosine_pairs_for(
         .withColumn(
             "cosine",
             dot_scaled(F.col("__va"), F.col("__vb"))
-            / (
+            / F.nullif(
                 F.sqrt(norm_sq_scaled(F.col("__va")))
-                * F.sqrt(norm_sq_scaled(F.col("__vb")))
+                * F.sqrt(norm_sq_scaled(F.col("__vb"))),
+                F.lit(0.0),
             ),
         )
         .drop("__va", "__vb")

@@ -323,7 +323,8 @@ ORACLE_HARD_NEGATIVES = f"""
       FROM q_el a JOIN el b USING (idx) GROUP BY a.vec_id, b.vec_id),
     norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq FROM el GROUP BY vec_id),
     sims AS (
-      SELECT qid, cid, dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+      SELECT qid, cid, dot / NULLIF(sqrt(qn.norm_sq) * sqrt(cn.norm_sq), 0)
+                 AS cosine
       FROM dots JOIN norms qn ON qn.vec_id = qid
                 JOIN norms cn ON cn.vec_id = cid),
     labeled AS (

@@ -479,7 +479,7 @@ ORACLE_ANN = f"""
       FROM q_el a JOIN el b USING (idx) GROUP BY a.vec_id, b.vec_id),
     norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq FROM el GROUP BY vec_id),
     sims AS (
-      SELECT qid, cid, dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+      SELECT qid, cid, dot / NULLIF(sqrt(qn.norm_sq) * sqrt(cn.norm_sq), 0) AS cosine
       FROM dots JOIN norms qn ON qn.vec_id = qid
                 JOIN norms cn ON cn.vec_id = cid
       WHERE qid <> cid),
@@ -553,7 +553,7 @@ ORACLE_ANN_IVF = f"""
       GROUP BY p.qid, p.cid),
     norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq FROM el GROUP BY vec_id),
     sims AS (
-      SELECT qid, cid, dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+      SELECT qid, cid, dot / NULLIF(sqrt(qn.norm_sq) * sqrt(cn.norm_sq), 0) AS cosine
       FROM dots JOIN norms qn ON qn.vec_id = qid
                 JOIN norms cn ON cn.vec_id = cid),
     ranked AS (
@@ -639,7 +639,7 @@ _IVF_TRAINED_CTES = f"""
       GROUP BY p.qid, p.cid),
     ivf_norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq FROM el GROUP BY vec_id),
     ivf_sims AS (
-      SELECT qid, cid, dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+      SELECT qid, cid, dot / NULLIF(sqrt(qn.norm_sq) * sqrt(cn.norm_sq), 0) AS cosine
       FROM ivf_dots JOIN ivf_norms qn ON qn.vec_id = qid
                     JOIN ivf_norms cn ON cn.vec_id = cid),
     ivf_ranked AS (
@@ -759,11 +759,11 @@ ORACLE_EMB_LSH = f"""
       GROUP BY p.vec_id_a, p.vec_id_b),
     norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq FROM el GROUP BY vec_id)
     SELECT vec_id_a, vec_id_b,
-           dot / (sqrt(an.norm_sq) * sqrt(bn.norm_sq)) AS cosine
+           dot / NULLIF(sqrt(an.norm_sq) * sqrt(bn.norm_sq), 0) AS cosine
     FROM dots
     JOIN norms an ON an.vec_id = vec_id_a
     JOIN norms bn ON bn.vec_id = vec_id_b
-    WHERE dot / (sqrt(an.norm_sq) * sqrt(bn.norm_sq)) >= {EMB_LSH_TAU}
+    WHERE dot / NULLIF(sqrt(an.norm_sq) * sqrt(bn.norm_sq), 0) >= {EMB_LSH_TAU}
 """
 
 
@@ -806,10 +806,10 @@ ORACLE_COSINE_PAIRS = f"""
       GROUP BY c.qid, c.cid, c.label),
     norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq FROM el GROUP BY vec_id)
     SELECT qid AS vec_id_a, cid AS vec_id_b, label,
-           dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+           dot / NULLIF(sqrt(qn.norm_sq) * sqrt(cn.norm_sq), 0) AS cosine
     FROM dots JOIN norms qn ON qn.vec_id = qid
               JOIN norms cn ON cn.vec_id = cid
-    WHERE dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) >= {COSINE_PAIR_THRESHOLD}
+    WHERE dot / NULLIF(sqrt(qn.norm_sq) * sqrt(cn.norm_sq), 0) >= {COSINE_PAIR_THRESHOLD}
 """
 
 
