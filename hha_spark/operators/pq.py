@@ -167,3 +167,56 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, *, k: int = 5,
         .where(F.col("rank") <= k)
         .select("qid", "cid", F.col("score").cast("long").alias("score"), "rank")
     )
+
+
+def pq_topk_in_cells(queries: DataFrame, candidates: DataFrame, *, k: int = 3,
+                     coarse_bits: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """IVF x PQ: the billion-scale composition.
+
+    The coarse quantizer (sign-bit cells, operators/semantic.py —
+    trained analogue in operators/ivf.py) bounds each query's
+    candidate set to its own cell; PQ/ADC compresses the scoring
+    inside the cell. The coarse join replaces pq_topk's broadcast
+    cross product with a cell equi-join, so pair count drops by the
+    cell count while the per-pair cost stays M lookups — the two
+    prunings are orthogonal and multiply. Subspace codebooks are
+    GLOBAL (trained on the full candidate set), the standard IVF-PQ
+    layout without residual encoding.
+    """
+    from hha_spark.operators.semantic import signbit_cell
+
+    cb = pq_codebook(candidates, id_col=id_col, vec_col=vec_col)
+    lut = pq_query_lut(queries, cb, id_col=id_col, vec_col=vec_col)
+    # multi-probe: each query searches its own cell plus every
+    # hamming-1 neighbor (flip one coarse bit) — the standard IVF
+    # trick recovering the recall a hard cell boundary destroys, at
+    # (coarse_bits + 1)x the candidate volume. Probe cells are
+    # distinct, so no pair is generated twice.
+    base = signbit_cell(vec_col, bits=coarse_bits)
+    probes = F.array(
+        base, *[base.bitwiseXOR(F.lit(1 << j)) for j in range(coarse_bits)]
+    )
+    qcells = queries.select(
+        F.col(id_col).alias("qid"), F.explode(probes).alias("cell")
+    )
+    cand = candidates.select(
+        F.col(id_col).alias("cid"),
+        signbit_cell(vec_col, bits=coarse_bits).alias("cell"),
+        subspace_codes(vec_col).alias("codes"),
+    )
+    score = F.expr(
+        f"aggregate(sequence(0, {M_SUB - 1}), CAST(0 AS BIGINT), "
+        f"(acc, m) -> acc + lut[m * {CELLS} + codes[m]])"
+    )
+    pairs = (
+        cand.join(F.broadcast(lut.join(qcells, "qid")), on="cell")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", score.alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", F.col("score").cast("long").alias("score"), "rank")
+    )

@@ -191,6 +191,69 @@ ORACLE_ANN_PQ = f"""
 BUDGET_PCT = 50  # mixture_weights' budget (queries/corpus.py uses 50)
 
 
+def ann_topk_ivfpq(spark, sf_dir):
+    """IVF coarse cells x PQ compressed scoring (pq_topk_in_cells):
+    each query scores only its own cell's candidates, via the ADC
+    lookup table — the composition a billion-vector index runs."""
+    from hha_spark.operators.pq import pq_topk_in_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk_in_cells(
+        emb.where(F.col("vec_id") % 16 == 0), emb, k=3, coarse_bits=BITS
+    )
+
+
+ORACLE_ANN_IVFPQ = f"""
+    WITH el AS (
+      SELECT vec_id, i - 1 AS idx, (i - 1) // {{pq_d}} AS m,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {{q_comp}}) AS BIGINT) AS q
+      FROM embeddings, range(1, {{emb_dim}} + 1) t(i)),
+    codes AS (
+      SELECT vec_id, mm.m, ({{pq_cell}}) AS cell
+      FROM embeddings, (
+        SELECT unnest(generate_series(0, {{pq_m}} - 1)) AS m) mm),
+    coarse AS (
+      SELECT vec_id, CAST({{coarse_cell}} AS BIGINT) AS ccell FROM embeddings),
+    -- multi-probe: own cell + every hamming-1 neighbor (bit flips)
+    qprobe AS (
+      SELECT vec_id, unnest([ccell, xor(ccell, 1), xor(ccell, 2),
+                             xor(ccell, 4), xor(ccell, 8)]) AS pcell
+      FROM coarse),
+    cb AS (
+      SELECT e.m, c.cell, e.idx, SUM(e.q) AS s, COUNT(*) AS n
+      FROM el e JOIN codes c ON c.vec_id = e.vec_id AND c.m = e.m
+      GROUP BY e.m, c.cell, e.idx),
+    lut AS (
+      SELECT e.vec_id AS qid, cb.m, cb.cell,
+             SUM(e.q * cb.s) AS dot, MAX(cb.n) AS n
+      FROM el e JOIN cb ON cb.m = e.m AND cb.idx = e.idx
+      WHERE e.vec_id % 16 = 0
+      GROUP BY e.vec_id, cb.m, cb.cell),
+    term AS (
+      SELECT qid, m, cell,
+             (dot - ((dot % n + n) % n)) // n AS term
+      FROM lut),
+    scored AS (
+      SELECT t.qid, c.vec_id AS cid, CAST(SUM(t.term) AS BIGINT) AS score
+      FROM codes c
+      JOIN term t ON t.m = c.m AND t.cell = c.cell
+      JOIN qprobe cq ON cq.vec_id = t.qid
+      JOIN coarse cc ON cc.vec_id = c.vec_id AND cc.ccell = cq.pcell
+      WHERE t.qid <> c.vec_id
+      GROUP BY t.qid, c.vec_id),
+    ranked AS (
+      SELECT qid, cid, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, cid) AS BIGINT)
+                 AS rank
+      FROM scored)
+    SELECT qid, cid, score, rank FROM ranked WHERE rank <= 3
+""".format(
+    pq_d=_PQ_D, pq_m=_PQ_M, q_comp=Q_COMP, emb_dim=EMB_DIM,
+    pq_cell=_PQ_CELL_SQL, coarse_cell=_CELL_SQL,
+)
+
+
 def corpus_importance_resample(spark, sf_dir):
     """The downsampling ACT that `corpus_mixture_weights` only plans:
     every document of an over-budget source is kept with its source's
@@ -347,6 +410,7 @@ QUERIES = {
     "semantic_prune_cells": semantic_prune_cells,
     "corpus_boilerplate": corpus_boilerplate,
     "ann_topk_pq": ann_topk_pq,
+    "ann_topk_ivfpq": ann_topk_ivfpq,
     "corpus_importance_resample": corpus_importance_resample,
     "ann_hard_negatives": ann_hard_negatives,
 }
@@ -355,6 +419,7 @@ ORACLES = {
     "semantic_prune_cells": ORACLE_SEMANTIC_PRUNE,
     "corpus_boilerplate": ORACLE_BOILERPLATE,
     "ann_topk_pq": ORACLE_ANN_PQ,
+    "ann_topk_ivfpq": ORACLE_ANN_IVFPQ,
     "corpus_importance_resample": ORACLE_IMPORTANCE_RESAMPLE,
     "ann_hard_negatives": ORACLE_HARD_NEGATIVES,
 }

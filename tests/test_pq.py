@@ -77,3 +77,18 @@ def test_recall_floor_vs_brute_force(spark, emb):
     pq = {(r.qid, r.cid) for r in pq_topk(q, emb, k=5).collect()}
     bf = {(r.qid, r.cid) for r in cosine_topk(q, emb, k=5).collect()}
     assert len(pq & bf) / len(bf) >= 0.3
+
+
+def test_ivfpq_shape_and_recall(spark, emb):
+    """IVF x PQ composition: k rows per query, and the measured
+    recall floor for the double approximation (coarse cells cost
+    ~half the PQ-alone recall at 5/16 probe volume)."""
+    from hha_spark.operators.pq import pq_topk_in_cells
+
+    q = emb.where(F.col("vec_id") % 16 == 0)
+    pdf = pq_topk_in_cells(q, emb, k=3).toPandas()
+    assert (pdf.groupby("qid").size() <= 3).all()
+    assert (pdf["qid"] != pdf["cid"]).all()
+    ivfpq = set(zip(pdf["qid"], pdf["cid"]))
+    bf = {(r.qid, r.cid) for r in cosine_topk(q, emb, k=3).collect()}
+    assert len(ivfpq & bf) / len(bf) >= 0.1
