@@ -147,17 +147,25 @@ ORACLE_UNPIVOT = f"""
 
 # identical final-double arithmetic on both engines, over exact
 # decimal sums: cov_n = n*Sxy - Sx*Sy (doubles), corr = cov_n /
-# sqrt((n*Sxx - Sx*Sx) * (n*Syy - Sy*Sy))
+# sqrt((n*Sxx - Sx*Sx) * (n*Syy - Sy*Sy)).
+# The decimal -> double conversion goes THROUGH A STRING: when the
+# scaled integer exceeds 2^53 (syy's cent^2 units hit ~7e16 even at
+# sf0.001) a direct decimal->double cast double-rounds differently
+# per engine (observed 1-ulp syy divergence); decimal->string is
+# exact and string->double is a single correctly-rounded step in
+# both Spark (parseDouble) and DuckDB (strtod).
 _MOMENTS = {
     "n": "CAST(COUNT(*) AS BIGINT)",
-    "sx": "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)",
-    "sy": "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)",
-    "sxx": "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))"
-    " * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)",
-    "syy": "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)",
-    "sxy": "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))"
-    " * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)",
+    "sx": "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING)"
+    " AS DOUBLE)",
+    "sy": "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING)"
+    " AS DOUBLE)",
+    "sxx": "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))"
+    " * CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE)",
+    "syy": "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)",
+    "sxy": "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))"
+    " * CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)",
 }
 _FINAL = {
     "covar_pop_qty_price": "(n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n)",
