@@ -1,6 +1,8 @@
 """Driver-gate queries for the round-4 curation operators:
-semantic deduplication (operators/semantic.py) and boilerplate
-coverage (operators/corpus.py::boilerplate_coverage).
+semantic deduplication (operators/semantic.py), boilerplate coverage
+(operators/corpus.py::boilerplate_coverage), PQ/ADC and IVF x PQ
+similarity (operators/pq.py), mixture-weighted resampling, and
+hard-negative mining.
 
 Same determinism contract as queries/corpus.py: integer/md5 keys,
 exact integer accumulation, at most one IEEE-double division (or

@@ -85,6 +85,7 @@ def probes(spark, k: int):
         minhash_signatures,
         with_token_set,
     )
+    from hha_spark.operators.pq import pq_topk, pq_topk_in_cells
     from hha_spark.operators.semantic import semantic_prune
     from hha_spark.operators.spike import fused_window_compare
     from hha_spark.operators.text import quality_score
@@ -120,6 +121,18 @@ def probes(spark, k: int):
         "text_quality": lambda: quality_score(docs),
         "boilerplate": lambda: boilerplate_coverage(docs, k=3, min_docs_pct=1),
         "semantic_prune": lambda: semantic_prune(emb),
+        # FIXED query set (copy 0 only): pair scoring is inherently
+        # |Q|x|C|, so scaling the query side too would measure the
+        # data shape (k^2), not the operator. With |Q| fixed both
+        # should track candidate volume linearly.
+        "pq_adc_topk": lambda: pq_topk(
+            emb.where((F.col("vec_id") % 16 == 0)
+                      & (F.col("vec_id") < 1_000_000)), emb, k=5
+        ),
+        "ivfpq_topk": lambda: pq_topk_in_cells(
+            emb.where((F.col("vec_id") % 16 == 0)
+                      & (F.col("vec_id") < 1_000_000)), emb, k=3
+        ),
         "windowed_counts": lambda: windowed_counts(
             ev.select(
                 (F.col("ts_us") / 1_000_000).cast("long").alias("ts_s"),
