@@ -97,13 +97,23 @@ def cell_centroids(qframe: DataFrame) -> DataFrame:
         F.max("n").alias("n_cell"),
     )
     dec = "decimal(38,0)"
-    cent_norm = F.aggregate(
-        "cent",
-        F.lit(0).cast(dec),
-        lambda acc, x: (
-            acc + x.cast("decimal(19,0)") * x.cast("decimal(19,0)")
-        ).cast(dec),
-    ).cast("double")
+    cent_norm = (
+        F.aggregate(
+            "cent",
+            F.lit(0).cast(dec),
+            lambda acc, x: (
+                acc + x.cast("decimal(19,0)") * x.cast("decimal(19,0)")
+            ).cast(dec),
+        )
+        # through a STRING: the exact value exceeds 2^53, and a direct
+        # decimal->double (Spark) vs hugeint->double (DuckDB oracle)
+        # cast can double-round differently per engine (the 1-ulp bug
+        # class caught in queries/relational5.py); decimal->string is
+        # exact and string->double is one correctly-rounded step in
+        # both engines
+        .cast("string")
+        .cast("double")
+    )
     return packed.withColumn("cent_norm", cent_norm)
 
 

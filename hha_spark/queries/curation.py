@@ -57,7 +57,9 @@ ORACLE_SEMANTIC_PRUNE = f"""
       GROUP BY cell, idx),
     ncell AS (SELECT cell, COUNT(*) AS n_cell FROM cells GROUP BY cell),
     cnorm AS (
-      SELECT cell, CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE) AS cent_norm
+      SELECT cell,
+             CAST(CAST(SUM(CAST(s AS HUGEINT) * s) AS VARCHAR) AS DOUBLE)
+                 AS cent_norm
       FROM cent GROUP BY cell),
     dots AS (
       SELECT c.vec_id, c.cell,
