@@ -19,6 +19,21 @@ Another cross-engine trap handled by construction: DuckDB
 CAST(double AS INT) ROUNDS while Spark truncates — we never cast
 fractional values directly, always FLOOR first.
 
+Decimal -> double boundary (round-4 finding): the "exact decimal ->
+double conversion is deterministic" claim holds only while the
+SCALED integer fits in 2^53. Above that, Spark's BigDecimal
+.doubleValue() is correctly rounded but DuckDB converts scaled-int
+and 10^-scale separately (two roundings), so the engines can differ
+by 1 ulp — observed on a ~7e16 cent^2 second moment
+(queries/relational5.py) and possible on any >2^63 HUGEINT
+(operators/semantic.py cent_norm). The fix pattern is
+CAST(CAST(x AS STRING) AS DOUBLE): decimal->string is exact and
+string->double is one correctly-rounded step in both engines. The
+dec_sum helpers below are safe unchanged through the tested scales
+(scaled sums <= ~3e12 cents at sf0.1; the 2^53 envelope is reached
+around sf100 on the largest money sums — route through a string
+before running there).
+
 These are written as SQL expression strings (F.expr) so the Spark
 fragment and the oracle fragment are textually reviewable
 side-by-side.
