@@ -258,6 +258,56 @@ ORACLE_ANN_IVFPQ = f"""
 )
 
 
+def ann_pq_recall(spark, sf_dir):
+    """Measured PQ quality: of the exact brute-force top-5 pairs, how
+    many does ADC scoring recover? Same 'measure, don't guess'
+    contract as ann_ivf_recall / dedup_minhash_recall — the
+    probabilistic path is gated by a NUMBER the oracle reproduces
+    exactly, not by a hand-waved claim. One persisted embeddings
+    frame feeds both arms."""
+    from hha_spark.caching import tracked_persist
+    from hha_spark.operators.pq import pq_topk
+    from hha_spark.operators.similarity import cosine_topk
+
+    emb = tracked_persist(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") % 16 == 0)
+    exact = cosine_topk(queries, emb, k=5).select("qid", "cid")
+    pq = pq_topk(queries, emb, k=5).select(
+        "qid", "cid", F.lit(1).alias("found")
+    )
+    joined = exact.join(pq, on=["qid", "cid"], how="left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("found").alias("n_found"),
+        (F.count("found") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+# brute-force oracle fragment (same as llm_ops ORACLE_ANN, top-5)
+_ORACLE_EXACT5 = f"""
+    WITH el AS (
+      SELECT vec_id, i AS idx, embedding[i] AS v
+      FROM embeddings, range(1, {EMB_DIM} + 1) t(i)),
+    q_el AS (SELECT * FROM el WHERE vec_id % 16 = 0),
+    dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, {{dot}} AS dot
+      FROM q_el a JOIN el b USING (idx) GROUP BY a.vec_id, b.vec_id),
+    norms AS (SELECT vec_id, {{norm}} AS norm_sq FROM el GROUP BY vec_id),
+    sims AS (
+      SELECT qid, cid,
+             dot / NULLIF(sqrt(qn.norm_sq) * sqrt(cn.norm_sq), 0) AS cosine
+      FROM dots JOIN norms qn ON qn.vec_id = qid
+                JOIN norms cn ON cn.vec_id = cid
+      WHERE qid <> cid),
+    ranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid) AS rank
+      FROM sims)
+    SELECT qid, cid FROM ranked WHERE rank <= 5
+"""
+
+
 def corpus_importance_resample(spark, sf_dir):
     """The downsampling ACT that `corpus_mixture_weights` only plans:
     every document of an over-budget source is kept with its source's
@@ -410,11 +460,24 @@ ORACLE_HARD_NEGATIVES = f"""
 """
 
 
+ORACLE_PQ_RECALL = f"""
+    WITH exact5 AS (
+      SELECT qid, cid FROM (
+        {_ORACLE_EXACT5.format(dot=_DOT_SQL, norm=_NORM_SQL)})),
+    pq5 AS (SELECT qid, cid FROM ({ORACLE_ANN_PQ}))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(p.cid) AS BIGINT) AS n_found,
+           COUNT(p.cid) / COUNT(*) AS recall
+    FROM exact5 e LEFT JOIN pq5 p ON e.qid = p.qid AND e.cid = p.cid
+"""
+
+
 QUERIES = {
     "semantic_prune_cells": semantic_prune_cells,
     "corpus_boilerplate": corpus_boilerplate,
     "ann_topk_pq": ann_topk_pq,
     "ann_topk_ivfpq": ann_topk_ivfpq,
+    "ann_pq_recall": ann_pq_recall,
     "corpus_importance_resample": corpus_importance_resample,
     "ann_hard_negatives": ann_hard_negatives,
 }
@@ -424,6 +487,7 @@ ORACLES = {
     "corpus_boilerplate": ORACLE_BOILERPLATE,
     "ann_topk_pq": ORACLE_ANN_PQ,
     "ann_topk_ivfpq": ORACLE_ANN_IVFPQ,
+    "ann_pq_recall": ORACLE_PQ_RECALL,
     "corpus_importance_resample": ORACLE_IMPORTANCE_RESAMPLE,
     "ann_hard_negatives": ORACLE_HARD_NEGATIVES,
 }
