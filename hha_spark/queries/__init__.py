@@ -24,6 +24,7 @@ from hha_spark.queries import (
     relational5,
     relational6,
     relational7,
+    sketches,
     spike_events,
     streaming_gate,
     temporal,
@@ -44,10 +45,11 @@ _MODULES = (
     relational3,
     relational4,
     relational5,
-    # round-4 curation additions sit LAST: the driver's round-4
-    # window is reserved for the never-checked 50; these (plus
-    # dq_orders_report, position 51) rotate to the front in round 5
+    # round-4 additions sit LAST: the driver's round-4 window is
+    # reserved for the never-checked 50; these (plus dq_orders_report,
+    # position 51) rotate to the front in round 5
     curation,
+    sketches,
 )
 
 # Order is the driver's verification window: it oracle-checks the FIRST
