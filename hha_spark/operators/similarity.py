@@ -298,12 +298,121 @@ def cosine_topk(
     """Brute-force top-k neighbors per query by cosine similarity.
 
     Deterministic ranking: ties broken by candidate id. Output
-    (qid, cid, cosine, rank).
+    (qid, cid, cosine, rank). The pair kernel is the Arrow batch
+    form (cosine_pairs_arrow — bit-identical to the expression twin,
+    pinned by test_similarity.py) since top-k's bounded query side is
+    exactly the shape it wants.
     """
-    sims = cosine_pairs(queries, candidates, id_col=id_col, vec_col=vec_col)
+    sims = cosine_pairs_arrow(
+        queries, candidates, id_col=id_col, vec_col=vec_col
+    )
     if not include_self:
         sims = sims.where(F.col("qid") != F.col("cid"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return sims.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+MAX_ARROW_QUERIES = 65536  # collected query side must stay driver-sized
+
+
+def cosine_pairs_arrow(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Arrow-batched twin of :func:`cosine_pairs` — same output, same
+    bit-identical quantized arithmetic, ~10× less CPU.
+
+    The expression form evaluates three interpreted HOF folds PER PAIR
+    (dot + both norms: 3·dim lambda evals), so a q×n cross product
+    costs 3·q·n·dim evals. This kernel collects the bounded query
+    side once (like the SRP planes and the IVF codebook — MLlib's
+    broadcast-model shape), precomputes both norm tables, and runs
+    the per-element floor(a·b·Q) in numpy over Arrow batches: the
+    plan is ONE narrow mapInPandas over the candidate side — no
+    crossJoin node, no per-pair HOFs, no shuffle.
+
+    Exactness: numpy float64 elementwise (a·b)·Q then floor matches
+    the JVM expression order; int64 sums are associative; the final
+    divide/sqrt chain is correctly-rounded IEEE in both. Zero-norm
+    vectors yield NULL cosine (the nullif contract), emitted as
+    proper nulls via an object-dtype column.
+
+    `passthrough` names candidate-side columns copied onto every
+    output row (saves a re-join against a big candidate table).
+    Output: (qid, cid, cosine [, passthrough...]).
+    """
+    qrows = queries.select(id_col, vec_col).collect()
+    if len(qrows) > MAX_ARROW_QUERIES:
+        raise ValueError(
+            f"query side has {len(qrows)} rows; cosine_pairs_arrow "
+            f"broadcasts it via closure and caps at {MAX_ARROW_QUERIES} "
+            "— pre-prune with IVF/LSH first"
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)  # m×dim
+    qn = (
+        np.floor((Qm * Qm) * _Q).astype(np.int64).sum(axis=1).astype(np.float64)
+    )
+    qsqrt = np.sqrt(qn)
+    m = len(qids)
+
+    cand_fields = {f.name: f for f in candidates.schema.fields}
+    extra_ddl = "".join(
+        f", {n} {cand_fields[n].dataType.simpleString()}" for n in passthrough
+    )
+    out_schema = f"qid bigint, cid bigint, cosine double{extra_ddl}"
+    src = candidates.select(id_col, vec_col, *passthrough)
+
+    def gen(batches):
+        for pdf in batches:
+            vals = pdf[vec_col].tolist()
+            live = [i for i, x in enumerate(vals) if x is not None]
+            if not live or m == 0:
+                continue
+            C = np.array([vals[i] for i in live], dtype=np.float64)  # n×dim
+            cids = pdf[id_col].to_numpy()[live]
+            cn = (
+                np.floor((C * C) * _Q)
+                .astype(np.int64)
+                .sum(axis=1)
+                .astype(np.float64)
+            )
+            csqrt = np.sqrt(cn)
+            n = C.shape[0]
+            cos = np.empty((n, m), dtype=np.float64)
+            null_mask = np.zeros((n, m), dtype=bool)
+            # chunk the query axis so the n×chunk×dim temporary stays
+            # tens of MB regardless of m
+            chunk = max(1, min(m, (4 << 20) // max(1, n)))
+            for s in range(0, m, chunk):
+                e = min(m, s + chunk)
+                terms = np.floor(
+                    (C[:, None, :] * Qm[None, s:e, :]) * _Q
+                ).astype(np.int64)
+                dots = terms.sum(axis=2).astype(np.float64)  # n×(e-s)
+                denom = csqrt[:, None] * qsqrt[None, s:e]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos[:, s:e] = dots / denom
+                null_mask[:, s:e] = denom == 0.0
+            out = pd.DataFrame(
+                {
+                    "qid": np.repeat(qids[None, :], n, axis=0).ravel(),
+                    "cid": np.repeat(cids, m),
+                    "cosine": cos.ravel(),
+                }
+            )
+            if null_mask.any():
+                c = out["cosine"].astype(object)
+                c[null_mask.ravel()] = None
+                out["cosine"] = c
+            for name in passthrough:
+                out[name] = np.repeat(pdf[name].to_numpy()[live], m)
+            yield out
+
+    return src.mapInPandas(gen, schema=out_schema)

@@ -384,32 +384,26 @@ def ann_hard_negatives(spark, sf_dir):
     broadcast query side; the label inequality filters BEFORE ranking
     so the window sees only eligible pairs.
 
-    Scale: identical shape to ann_topk_cosine (broadcast nested-loop
-    over a bounded query set + per-query top-k); at 100 TB swap the
-    candidate set for the IVF/PQ-pruned one — the label filter and
-    ranking are unchanged.
+    Scale: the bounded query set closes over an Arrow kernel
+    (cosine_pairs_arrow — the MLlib broadcast-model shape, one narrow
+    mapInPandas over the candidate side, candidate label carried
+    through the kernel so only the tiny query-label join remains); at
+    100 TB swap the candidate set for the IVF/PQ-pruned one — the
+    label filter and ranking are unchanged.
     """
-    from hha_spark.operators.similarity import cosine_pairs
+    from hha_spark.operators.similarity import cosine_pairs_arrow
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 16 == 0)
-    sims = cosine_pairs(queries, emb)
-    labels = emb.select("vec_id", "label")
-    labeled = (
-        sims.join(
-            labels.select(
-                F.col("vec_id").alias("qid"), F.col("label").alias("label_q")
-            ),
-            on="qid",
-        )
-        .join(
-            labels.select(
-                F.col("vec_id").alias("cid"), F.col("label").alias("label_c")
-            ),
-            on="cid",
-        )
-        .where(F.col("label_q") != F.col("label_c"))
+    sims = cosine_pairs_arrow(
+        queries, emb, passthrough=("label",)
+    ).withColumnRenamed("label", "label_c")
+    qlabels = queries.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("label_q")
+    )
+    labeled = sims.join(F.broadcast(qlabels), on="qid").where(
+        F.col("label_q") != F.col("label_c")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (

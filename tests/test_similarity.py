@@ -158,3 +158,37 @@ def test_kernels_tolerate_null_vectors(spark):
         "vec_id", probe(F.col("embedding")).alias("cells")).collect()}
     assert rows[2] is None
     assert rows[1] is not None and len(rows[1]) == 2
+
+
+def test_arrow_pairs_bitwise_equal_expression_twin(spark):
+    """cosine_pairs_arrow must reproduce the HOF-expression kernel
+    EXACTLY (same quantized contract, same IEEE tail ops) — including
+    NULL cosine for zero-norm vectors and passthrough columns."""
+    from pyspark.sql import functions as F
+
+    from hha_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_arrow,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).union(
+        spark.createDataFrame(
+            [(90001, [0.0] * 64, 7)],
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    q = emb.where(F.col("vec_id") % 32 == 0)
+    a = {(r.qid, r.cid): r.cosine for r in cosine_pairs(q, emb).collect()}
+    b = {
+        (r.qid, r.cid): (r.cosine, r.label)
+        for r in cosine_pairs_arrow(q, emb, passthrough=("label",)).collect()
+    }
+    assert set(a) == set(b)
+    assert all(a[k] == b[k][0] or (a[k] is None and b[k][0] is None)
+               for k in a)
+    # zero-norm candidate -> NULL cosine via the arrow path too
+    assert all(b[(qid, 90001)][0] is None for qid, cid in b if cid == 90001)
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    assert all(b[k][1] == labels[k[1]] for k in b)
