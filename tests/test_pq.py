@@ -92,3 +92,18 @@ def test_ivfpq_shape_and_recall(spark, emb):
     ivfpq = set(zip(pdf["qid"], pdf["cid"]))
     bf = {(r.qid, r.cid) for r in cosine_topk(q, emb, k=3).collect()}
     assert len(ivfpq & bf) / len(bf) >= 0.1
+
+
+def test_trained_ivf_memo_is_idempotent(spark):
+    """A memo hit (second call in one session) must return the exact
+    same frame as the cold call — guards the codebook-memo path
+    against staleness/partial-state bugs."""
+    import hha_spark.queries.llm_ops as L
+    from hha_spark.caching import release_tracked
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, L.ann_topk_ivf_trained(spark, sf).collect()))
+    release_tracked()
+    b = sorted(map(tuple, L.ann_topk_ivf_trained(spark, sf).collect()))
+    release_tracked()
+    assert a == b and len(a) > 0

@@ -87,6 +87,14 @@ def probes(spark, k: int):
     )
     from hha_spark.operators.pq import pq_topk, pq_topk_in_cells
     from hha_spark.operators.semantic import semantic_prune
+    from hha_spark.operators.sketch import (
+        bloom_bits,
+        bloom_probe,
+        classifier_scores,
+        cms_counters,
+        cms_estimates,
+    )
+    from hha_spark.operators.similarity import cosine_pairs_arrow
     from hha_spark.operators.spike import fused_window_compare
     from hha_spark.operators.text import quality_score
     from hha_spark.streaming.windowed import windowed_counts
@@ -132,6 +140,30 @@ def probes(spark, k: int):
         "ivfpq_topk": lambda: pq_topk_in_cells(
             emb.where((F.col("vec_id") % 16 == 0)
                       & (F.col("vec_id") < 1_000_000)), emb, k=3
+        ),
+        # fixed 125-query side (copy 0), scaled candidate side: the
+        # Arrow pair kernel should track candidate volume linearly
+        "cosine_arrow": lambda: cosine_pairs_arrow(
+            emb.where((F.col("vec_id") % 16 == 0)
+                      & (F.col("vec_id") < 1_000_000)), emb
+        ),
+        "cms_heavy": lambda: (
+            lambda toks: cms_estimates(
+                toks.distinct(), cms_counters(toks)
+            )
+        )(docs.select(F.explode(F.split("text", " ")).alias("token"))),
+        "bloom_probe": lambda: bloom_probe(
+            docs.select("doc_id"),
+            bloom_bits(
+                docs.where(F.col("doc_id") % 7 == 0).select("doc_id"),
+                key_col="doc_id",
+            ),
+            key_col="doc_id",
+        ),
+        "classifier": lambda: classifier_scores(
+            docs.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("token")
+            )
         ),
         "windowed_counts": lambda: windowed_counts(
             ev.select(
