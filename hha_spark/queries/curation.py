@@ -485,3 +485,80 @@ ORACLES = {
     "corpus_importance_resample": ORACLE_IMPORTANCE_RESAMPLE,
     "ann_hard_negatives": ORACLE_HARD_NEGATIVES,
 }
+
+
+DRIFT_COS_T = "0.5"  # SQL literal; also used as the Python float below
+
+
+def dedup_text_embedding_drift(spark, sf_dir):
+    """Cross-modal consistency diagnostic: verified MinHash near-dup
+    TEXT pairs (Jaccard >= 0.7) scored with their embedding cosine —
+    pairs whose embeddings DISAGREE (cosine < 0.5) are flagged as
+    drift. In a real pipeline this catches a broken embedding run or
+    a stale index: text-identical docs with dissimilar vectors mean
+    one modality is lying, and downstream semantic dedup / ANN built
+    on those vectors silently diverges from the text-level truth.
+
+    Composes two verified stacks end-to-end: the LSH pair generator
+    (operators/dedup.py, candidate count linear via the bucket cap)
+    and the exact pair kernel (cosine_pairs_for — two equi-joins
+    attach vectors to the bounded pair set, cost tracks candidates).
+    The fixture's doc_id and vec_id share the 0..N id space
+    (TESTDATA.md), the same linkage a production corpus keeps between
+    a document store and its embedding table. On this synthetic
+    fixture the diagnostic fires on EVERY near-dup pair (cosines all
+    in [-0.42, 0.44] at sf0.01): the fixture's embeddings genuinely
+    do not encode text similarity, which is exactly the condition the
+    check exists to expose.
+    """
+    from hha_spark.operators.dedup import with_token_set
+    from hha_spark.operators.similarity import cosine_pairs_for
+    from hha_spark.queries.llm_ops import _minhash_lsh_from
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = _minhash_lsh_from(with_token_set(docs))
+    sims = cosine_pairs_for(
+        pairs, emb, a_col="doc_id_a", b_col="doc_id_b"
+    )
+    return sims.select(
+        "doc_id_a",
+        "doc_id_b",
+        "inter_size",
+        "union_size",
+        "cosine",
+        (F.col("cosine") < float(DRIFT_COS_T)).alias("drift"),
+    )
+
+
+def _oracle_drift() -> str:
+    from hha_spark.queries.llm_ops import ORACLE_MINHASH
+
+    return f"""
+    WITH p AS ({ORACLE_MINHASH}),
+    el AS (
+      SELECT vec_id, i AS idx, embedding[i] AS v
+      FROM embeddings, range(1, {EMB_DIM} + 1) t(i)),
+    norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq FROM el GROUP BY vec_id),
+    dots AS (
+      SELECT p.doc_id_a, p.doc_id_b, p.inter_size, p.union_size,
+             {_DOT_SQL} AS dot
+      FROM p
+      JOIN el a ON a.vec_id = p.doc_id_a
+      JOIN el b ON b.vec_id = p.doc_id_b AND b.idx = a.idx
+      GROUP BY 1, 2, 3, 4),
+    scored AS (
+      SELECT d.doc_id_a, d.doc_id_b, d.inter_size, d.union_size,
+             d.dot / NULLIF(sqrt(na.norm_sq) * sqrt(nb.norm_sq), 0)
+                 AS cosine
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.doc_id_a
+      JOIN norms nb ON nb.vec_id = d.doc_id_b)
+    SELECT doc_id_a, doc_id_b, inter_size, union_size, cosine,
+           cosine < {DRIFT_COS_T} AS drift
+    FROM scored
+"""
+
+
+QUERIES["dedup_text_embedding_drift"] = dedup_text_embedding_drift
+ORACLES["dedup_text_embedding_drift"] = _oracle_drift()

@@ -140,3 +140,34 @@ def test_importance_resample_deterministic(spark):
     a = set(corpus_importance_resample(spark, SF_DIR).toPandas()["doc_id"])
     b = set(corpus_importance_resample(spark, SF_DIR).toPandas()["doc_id"])
     assert a == b
+
+
+def test_drift_pairs_match_lsh_pairs_and_carry_exact_cosine(spark):
+    """dedup_text_embedding_drift = verified LSH pair set, each with
+    the exact-kernel cosine of its two embeddings."""
+    from pyspark.sql import functions as F
+
+    from hha_spark.queries.curation import dedup_text_embedding_drift
+    from hha_spark.queries.llm_ops import _minhash_lsh_from
+    from hha_spark.operators.dedup import with_token_set
+    from hha_spark.operators.similarity import cosine_pairs
+    from hha_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup_text_embedding_drift(spark, sf)
+    docs = load_table(spark, sf, "documents")
+    want_pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in _minhash_lsh_from(with_token_set(docs)).collect()
+    }
+    rows = out.collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in rows} == want_pairs
+    assert len(rows) == len(want_pairs)
+    # spot-verify one pair's cosine against the expression kernel
+    emb = load_table(spark, sf, "embeddings")
+    r0 = rows[0]
+    q = emb.where(F.col("vec_id") == r0.doc_id_a)
+    c = emb.where(F.col("vec_id") == r0.doc_id_b)
+    want = cosine_pairs(q, c).collect()[0].cosine
+    assert r0.cosine == want
+    assert r0.drift == (r0.cosine < 0.5)
