@@ -237,3 +237,73 @@ ORACLES = {
     "bloom_join_prune": ORACLE_BLOOM,
     "quality_classifier_keep": ORACLE_CLASSIFIER,
 }
+
+
+def events_zorder_keys(spark, sf_dir):
+    """The z-order clustering key (sinks/layout.py) as an oracle-
+    checked computation: every event's (user_id, event-time) pair
+    normalized to 16-bit cells against the global bounds and bit-
+    interleaved into the Morton key the clustered writer sorts by.
+    Gates the exact shift/mask cascade cross-engine, so the layout
+    produced at 100 TB is reproducible from the SQL definition.
+
+    Narrow plan: one 1-row bounds aggregate broadcast into a pure
+    bit-arithmetic projection — no shuffle of the fact table.
+    """
+    from hha_spark.sinks.layout import _normalize, zorder_key
+    from hha_spark.sources.tables import events_ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", events_ts_us(ev).alias("ts_us"))
+    bounds = base.agg(
+        F.min("user_id").alias("__ulo"), F.max("user_id").alias("__uhi"),
+        F.min("ts_us").alias("__tlo"), F.max("ts_us").alias("__thi"),
+    )
+    keyed = base.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        _normalize(F.col("user_id"), F.col("__ulo"), F.col("__uhi"))
+        .alias("cell_user"),
+        _normalize(F.col("ts_us"), F.col("__tlo"), F.col("__thi"))
+        .alias("cell_ts"),
+    )
+    return keyed.select(
+        "event_id",
+        "cell_user",
+        "cell_ts",
+        zorder_key(F.col("cell_user"), F.col("cell_ts")).alias("zkey"),
+    )
+
+
+def _spread_sql(col: str) -> str:
+    """DuckDB twin of sinks/layout.py::_spread_bits."""
+    a = f"({col} & 65535)"
+    a = f"(({a} | ({a} << 8)) & 16711935)"
+    a = f"(({a} | ({a} << 4)) & 252645135)"
+    a = f"(({a} | ({a} << 2)) & 858993459)"
+    a = f"(({a} | ({a} << 1)) & 1431655765)"
+    return a
+
+
+ORACLE_ZORDER = f"""
+    WITH base AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+    bounds AS (
+      SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+             MIN(ts_us) AS tlo, MAX(ts_us) AS thi
+      FROM base),
+    cells AS (
+      SELECT event_id,
+             CAST(FLOOR((user_id - ulo) * 65535
+                        / GREATEST(uhi - ulo, 1)) AS BIGINT) AS cell_user,
+             CAST(FLOOR((ts_us - tlo) * 65535
+                        / GREATEST(thi - tlo, 1)) AS BIGINT) AS cell_ts
+      FROM base, bounds)
+    SELECT event_id, cell_user, cell_ts,
+           ({_spread_sql("cell_user")}
+            | ({_spread_sql("cell_ts")} << 1)) AS zkey
+    FROM cells
+"""
+
+
+QUERIES["events_zorder_keys"] = events_zorder_keys
+ORACLES["events_zorder_keys"] = ORACLE_ZORDER
