@@ -243,3 +243,72 @@ def test_semantic_prune_matches_numpy(spark, vecs):
         for r in semantic_prune(sdf).collect()
     }
     assert got == expected_rank
+
+
+# --- sketch operators (operators/sketch.py) --------------------------------
+
+token_lists = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x24F
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(toks=token_lists)
+def test_cms_never_undercounts_any_input(spark, toks):
+    """CMS estimate >= exact count for EVERY token, on arbitrary
+    (unicode) token multisets — the one-sided error guarantee."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from hha_spark.operators.sketch import cms_counters, cms_estimates
+
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    counters = cms_counters(df, depth=2, width=8)  # tiny: force collisions
+    est = {
+        r.token: r.est
+        for r in cms_estimates(df.distinct(), counters, depth=2, width=8)
+        .collect()
+    }
+    truth = Counter(toks)
+    assert set(est) == set(truth)
+    assert all(est[t] >= truth[t] for t in truth)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    members=st.sets(st.integers(min_value=0, max_value=10_000), max_size=20),
+    probes=st.sets(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30
+    ),
+)
+def test_bloom_never_false_negative_any_input(spark, members, probes):
+    from hha_spark.operators.sketch import bloom_bits, bloom_probe
+
+    mdf = spark.createDataFrame([(m,) for m in members] or [(None,)], "k long")
+    mdf = mdf.where("k IS NOT NULL")
+    pdf = spark.createDataFrame([(p,) for p in probes], "k long")
+    bits = bloom_bits(mdf, key_col="k", m=64, k=3)  # tiny: force FPs
+    got = {
+        r.key: r["pass"]
+        for r in bloom_probe(pdf, bits, key_col="k", m=64, k=3).collect()
+    }
+    assert set(got) == probes
+    for p in probes & members:
+        assert got[p], f"false negative for member {p}"
