@@ -227,11 +227,13 @@ def test_cosine_kernel_is_narrow(spark):
     plan = plan_of(L.embedding_cosine_pairs(spark, "/root/testdata/sf0.01"))
     # posexplode of the embedding array would print as Generate
     assert "posexplode" not in plan
-    # brute-force all-pairs compare must ride a broadcast, never a
-    # shuffled cross product
+    # brute-force all-pairs compare: since the Arrow kernel switch
+    # (cosine_pairs_arrow) the query side is closed over by a
+    # mapInPandas — the candidate scan carries NO join node at all,
+    # and certainly no shuffled cross product
     p_topk = plan_of(L.ann_topk_cosine(spark, "/root/testdata/sf0.01"))
     assert "posexplode" not in p_topk
-    assert "BroadcastNestedLoopJoin" in p_topk
+    assert "MapInPandas" in p_topk
     assert "CartesianProduct" not in p_topk
 
 
