@@ -329,27 +329,36 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: docs sharing any band key become candidate pairs.
 
-    The self-equi-join on (band, key) is the only shuffle and touches
-    only genuine collisions — this is what makes near-dedup feasible
-    at 100 TB (vs the quadratic blocked join). Buckets larger than
-    `max_bucket` are skipped entirely (see MAX_LSH_BUCKET).
+    Shape: ONE shuffle. Each (band, key) bucket's member ids are
+    gathered with collect_list (memory bounded by the cap check
+    applied to the same list) and the bucket's pairs are generated
+    IN-ROW by a nested array transform — no ok-bucket count+join, no
+    self-join, no second exchange of the banded frame. Earlier form
+    (count → semi-join → self-equi-join) planned 6 exchanges with no
+    reuse; this one plans the groupBy plus the final cross-band
+    distinct. Buckets larger than `max_bucket` are skipped entirely
+    (see MAX_LSH_BUCKET) — the size gate also bounds the per-bucket
+    list at cap elements, so the wide row never exceeds
+    cap*(cap-1)/2 id pairs (~2k structs at 64).
     """
     banded = band_keys(
         sigs, bands=bands, rows_per_band=rows_per_band, id_col=id_col
     )
-    ok_buckets = (
-        banded.groupBy("band", "key")
-        .count()
-        .where(F.col("count") <= F.lit(max_bucket))
-        .select("band", "key")
+    buckets = banded.groupBy("band", "key").agg(
+        F.collect_list(id_col).alias("ids")
     )
-    banded = banded.join(ok_buckets, on=["band", "key"])
-    a = banded.select(F.col(id_col).alias("doc_id_a"), "band", "key")
-    b = banded.select(F.col(id_col).alias("doc_id_b"), "band", "key")
+    pair_gen = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+        "struct(least(x, y) AS a, greatest(x, y) AS b))))"
+    )
     return (
-        a.join(b, on=["band", "key"])
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
+        buckets.where(F.size("ids") <= F.lit(max_bucket))
+        .select(F.explode(pair_gen).alias("p"))
+        .select(
+            F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b")
+        )
+        .where(F.col("doc_id_a") != F.col("doc_id_b"))
         .distinct()
     )
 

@@ -268,20 +268,25 @@ def hyperplane_candidate_pairs(
     """LSH banding over SRP signatures: vectors sharing any
     (band, band_val) bucket become candidates; degenerate buckets
     above max_bucket are skipped (same rationale as dedup.MAX_LSH_BUCKET).
-    Returns distinct (vec_id_a < vec_id_b) pairs."""
-    ok = (
-        bands.groupBy("band", "band_val")
-        .count()
-        .where(F.col("count") <= F.lit(max_bucket))
-        .select("band", "band_val")
+    Returns distinct (vec_id_a < vec_id_b) pairs.
+
+    Single-shuffle shape (same restructure as dedup.lsh_candidate_pairs):
+    bucket members gather via collect_list — memory bounded by the cap
+    gate on the same list — and pairs generate in-row via a nested
+    transform, replacing the count+semi-join+self-join plan's three
+    exchanges of the banded frame with one."""
+    buckets = bands.groupBy("band", "band_val").agg(
+        F.collect_list(id_col).alias("ids")
     )
-    kept = bands.join(ok, on=["band", "band_val"])
-    a = kept.select(F.col(id_col).alias("vec_id_a"), "band", "band_val")
-    b = kept.select(F.col(id_col).alias("vec_id_b"), "band", "band_val")
+    pair_gen = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+        "struct(least(x, y) AS a, greatest(x, y) AS b))))"
+    )
     return (
-        a.join(b, on=["band", "band_val"])
-        .where(F.col("vec_id_a") < F.col("vec_id_b"))
-        .select("vec_id_a", "vec_id_b")
+        buckets.where(F.size("ids") <= F.lit(max_bucket))
+        .select(F.explode(pair_gen).alias("p"))
+        .select(F.col("p.a").alias("vec_id_a"), F.col("p.b").alias("vec_id_b"))
         .distinct()
     )
 
