@@ -466,10 +466,12 @@ def simhash_near_pairs(
     the popcount verification (bit_count(a XOR b) <= d).
 
     Scale shape at 100 TB: one narrow block explode (d+1 rows/doc),
-    a bucket-capped self-equi-join on the block key (template-heavy
-    buckets are noise, same rationale as MAX_LSH_BUCKET), one exact
-    verify per candidate. Returns (doc_id_a, doc_id_b, hamming),
-    a < b, distinct.
+    ONE shuffle gathering each capped (block, value) bucket's
+    (id, simhash) members, and the pair generation + popcount verify
+    run IN-ROW over the gathered list (same single-shuffle
+    restructure as lsh_candidate_pairs; template-heavy buckets are
+    dropped by the cap, which also bounds the gathered row). Returns
+    (doc_id_a, doc_id_b, hamming), a < b, distinct.
     """
     blocks = max_hamming + 1
     width = bits // blocks
@@ -484,27 +486,25 @@ def simhash_near_pairs(
     exploded = hashes.select(
         F.col(id_col), F.col(sim_col), F.explode(F.array(*block_structs)).alias("bk")
     ).select(id_col, sim_col, F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"))
-    ok = (
-        exploded.groupBy("blk", "val")
-        .count()
-        .where(F.col("count") <= F.lit(max_bucket))
-        .select("blk", "val")
+    buckets = exploded.groupBy("blk", "val").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("id"), F.col(sim_col).alias("sim"))
+        ).alias("ms")
     )
-    kept = exploded.join(ok, on=["blk", "val"])
-    a = kept.select(
-        F.col(id_col).alias("doc_id_a"), F.col(sim_col).alias("sim_a"), "blk", "val"
-    )
-    b = kept.select(
-        F.col(id_col).alias("doc_id_b"), F.col(sim_col).alias("sim_b"), "blk", "val"
+    pair_gen = F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms) - i - 1), y -> struct("
+        "least(x.id, y.id) AS a, greatest(x.id, y.id) AS b, "
+        "CAST(bit_count(x.sim ^ y.sim) AS BIGINT) AS hamming))))"
     )
     return (
-        a.join(b, on=["blk", "val"])
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        buckets.where(F.size("ms") <= F.lit(max_bucket))
+        .select(F.explode(pair_gen).alias("p"))
+        .where(F.col("p.hamming") <= F.lit(max_hamming))
         .select(
-            "doc_id_a",
-            "doc_id_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long").alias("hamming"),
+            F.col("p.a").alias("doc_id_a"),
+            F.col("p.b").alias("doc_id_b"),
+            F.col("p.hamming").alias("hamming"),
         )
-        .where(F.col("hamming") <= F.lit(max_hamming))
         .distinct()
     )
