@@ -99,3 +99,49 @@ def test_classifier_is_joinless_and_deterministic(spark):
         toks.repartition(7)
     ).collect()}
     assert a == b  # partition layout cannot change integer sums
+
+
+def test_cms_counters_are_streaming_maintainable(spark, tmp_path):
+    """The CMS build is an incrementally-maintainable aggregation: a
+    file stream of documents, token-exploded and hashed through the
+    SAME cms hash projection, aggregated by Structured Streaming in
+    complete mode, must reproduce the batch counters exactly — the
+    sketch a live ingest keeps is the sketch a batch rebuild gets."""
+    from pyspark.sql import functions as F
+
+    from hha_spark.operators.sketch import cms_counters
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.limit(40).write.mode("overwrite").parquet(src)
+
+    toks = lambda df: df.select(  # noqa: E731
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    want = {
+        (r.row, r.col): r.counter
+        for r in cms_counters(
+            toks(spark.read.parquet(src)), depth=4, width=64
+        ).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    agg = cms_counters(toks(stream), depth=4, width=64)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r.row, r.col): r.counter
+        for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    assert got == want and len(got) > 0
