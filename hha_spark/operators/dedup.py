@@ -378,29 +378,32 @@ def incremental_lsh_pairs(
     was built), so cost tracks |new| × bucket occupancy, not |corpus|².
 
     At 100 TB the corpus band table is a precomputed, (band, key)-
-    bucketed stored table; each incoming batch computes its own band
-    keys (a narrow map over the batch) and equi-joins against it.
-    The bucket cap is computed over CORPUS buckets — a boilerplate
-    bucket with thousands of corpus members signals template text,
-    not a meaningful duplicate of any specific new doc.
+    bucketed stored table — here materialized as one ROW PER BUCKET
+    with the member ids gathered (capped, so each row holds at most
+    `max_bucket` ids): the batch's band keys equi-join against it and
+    the matches explode in-row, so the corpus pays exactly one
+    aggregation and the join never re-shuffles bucket members. The
+    bucket cap is computed over CORPUS buckets — a boilerplate bucket
+    with thousands of corpus members signals template text, not a
+    meaningful duplicate of any specific new doc.
 
     Returns distinct (doc_id_new, doc_id_corpus).
     """
     newb = band_keys(
         new_sigs, bands=bands, rows_per_band=rows_per_band, id_col=id_col
     ).select(F.col(id_col).alias("doc_id_new"), "band", "key")
-    corpb = band_keys(
-        corpus_sigs, bands=bands, rows_per_band=rows_per_band, id_col=id_col
-    ).select(F.col(id_col).alias("doc_id_corpus"), "band", "key")
-    ok = (
-        corpb.groupBy("band", "key")
-        .count()
-        .where(F.col("count") <= F.lit(max_bucket))
-        .select("band", "key")
+    corp_buckets = (
+        band_keys(
+            corpus_sigs, bands=bands, rows_per_band=rows_per_band,
+            id_col=id_col,
+        )
+        .groupBy("band", "key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where(F.size("ids") <= F.lit(max_bucket))
     )
     return (
-        newb.join(corpb.join(ok, on=["band", "key"]), on=["band", "key"])
-        .select("doc_id_new", "doc_id_corpus")
+        newb.join(corp_buckets, on=["band", "key"])
+        .select("doc_id_new", F.explode("ids").alias("doc_id_corpus"))
         .distinct()
     )
 
