@@ -175,15 +175,19 @@ def bloom_probe(
     """
     probes = candidates.select(F.col(key_col).alias("key")).select(
         "key",
+        # two hashes may collide on one position; array_distinct
+        # counts it once IN-ROW — no dedup shuffle before the probe
         F.explode(
-            F.array(
-                *[
-                    md5_mod(f"bloom{j}|", F.col("key").cast("string"), m)
-                    for j in range(k)
-                ]
+            F.array_distinct(
+                F.array(
+                    *[
+                        md5_mod(f"bloom{j}|", F.col("key").cast("string"), m)
+                        for j in range(k)
+                    ]
+                )
             )
         ).alias("pos"),
-    ).distinct()  # two hashes may collide on one position; count it once
+    )
     marked = probes.join(
         F.broadcast(bits.withColumn("__set", F.lit(1))), on="pos", how="left"
     )
