@@ -108,21 +108,28 @@ def cms_estimates(
 ) -> DataFrame:
     """Point-query the sketch for each distinct token.
 
-    Returns (token, est). The counter table is tiny (<= depth*width
-    rows) and broadcasts; the probe is a per-token narrow hash + a
-    broadcast join + a min — the token side never reshuffles the
-    sketch. est >= true count always (CMS never undercounts).
+    Returns (token, est). Zero shuffles on the probe side: each of
+    the depth hash rows is its own (<= width)-row broadcast join —
+    counters are unique per (row, col), so no row multiplication —
+    and est = least() across the depth matches, computed in-row. The
+    token frame streams straight through; nothing explodes, nothing
+    re-aggregates. est >= true count always (CMS never undercounts).
     """
-    probes = distinct_tokens.select(F.col(token_col).alias("token")).select(
+    est = distinct_tokens.select(F.col(token_col).alias("token"))
+    hashes = _cms_hashes(F.col("token"), depth, width)
+    for j in range(depth):
+        cj = counters.where(F.col("row") == j).select(
+            F.col("col").alias(f"__c{j}"),
+            F.col("counter").alias(f"__n{j}"),
+        )
+        est = est.join(
+            F.broadcast(cj), hashes[j] == F.col(f"__c{j}"), "left"
+        ).drop(f"__c{j}")
+    return est.select(
         "token",
-        F.posexplode(
-            F.array(*_cms_hashes(F.col("token"), depth, width))
-        ).alias("row", "col"),
-    ).select("token", F.col("row").cast("long").alias("row"), "col")
-    return (
-        probes.join(F.broadcast(counters), on=["row", "col"], how="left")
-        .groupBy("token")
-        .agg(F.min(F.coalesce("counter", F.lit(0))).alias("est"))
+        F.least(
+            *[F.coalesce(f"__n{j}", F.lit(0)) for j in range(depth)]
+        ).alias("est"),
     )
 
 
