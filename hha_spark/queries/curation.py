@@ -562,3 +562,86 @@ def _oracle_drift() -> str:
 
 QUERIES["dedup_text_embedding_drift"] = dedup_text_embedding_drift
 ORACLES["dedup_text_embedding_drift"] = _oracle_drift()
+
+
+def pretraining_corpus_selection(spark, sf_dir):
+    """The capstone keep/drop decision: one row per document with the
+    verdict of each curation stage and the final selection —
+
+      nd_keep  : exact/near-dup survivorship (MinHash-LSH pairs ->
+                 connected components; survivor = the cluster's
+                 min-id member, singletons keep themselves)
+      clf_keep : hashed linear quality classifier score > 0
+      rs_keep  : mixture-weighted importance resampling membership
+      selected : all three
+
+    This is the query a user runs to materialize a pretraining corpus
+    and to audit WHY any document was dropped. Every stage is the
+    already-verified operator (dedup_clusters, quality_classifier_keep,
+    corpus_importance_resample); the composition is three doc-keyed
+    left joins onto the document scan — no new shuffle shapes, so the
+    100 TB cost is the sum of the parts.
+    """
+    from hha_spark.operators.cluster import cluster_members
+    from hha_spark.operators.dedup import with_token_set
+    from hha_spark.operators.sketch import classifier_scores
+    from hha_spark.queries.llm_ops import _minhash_lsh_from
+
+    docs = _docs(spark, sf_dir)
+    pairs = _minhash_lsh_from(with_token_set(docs)).select(
+        "doc_id_a", "doc_id_b"
+    )
+    members = cluster_members(pairs).select("doc_id", "cluster_id")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    clf = classifier_scores(toks).select("doc_id", "keep")
+    rs = corpus_importance_resample(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("__rs")
+    )
+    out = (
+        docs.select("doc_id", "source")
+        .join(members, on="doc_id", how="left")
+        .join(clf, on="doc_id", how="left")
+        .join(rs, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col("doc_id"))
+            ).alias("nd_keep"),
+            F.coalesce("keep", F.lit(False)).alias("clf_keep"),
+            F.coalesce("__rs", F.lit(False)).alias("rs_keep"),
+        )
+    )
+    return out.withColumn(
+        "selected",
+        F.col("nd_keep") & F.col("clf_keep") & F.col("rs_keep"),
+    )
+
+
+def _oracle_selection() -> str:
+    from hha_spark.queries.llm_ops import ORACLE_CLUSTERS
+    from hha_spark.queries.sketches import ORACLE_CLASSIFIER
+
+    return f"""
+    WITH clustered AS ({ORACLE_CLUSTERS}),
+    clf AS ({ORACLE_CLASSIFIER}),
+    rs AS ({ORACLE_IMPORTANCE_RESAMPLE})
+    SELECT d.doc_id, d.source,
+           (c.doc_id IS NULL OR c.cluster_id = d.doc_id) AS nd_keep,
+           COALESCE(clf.keep, FALSE) AS clf_keep,
+           (r.doc_id IS NOT NULL) AS rs_keep,
+           ((c.doc_id IS NULL OR c.cluster_id = d.doc_id)
+            AND COALESCE(clf.keep, FALSE)
+            AND r.doc_id IS NOT NULL) AS selected
+    FROM documents d
+    LEFT JOIN clustered c ON c.doc_id = d.doc_id
+    LEFT JOIN clf ON clf.doc_id = d.doc_id
+    LEFT JOIN rs r ON r.doc_id = d.doc_id
+"""
+
+
+QUERIES["pretraining_corpus_selection"] = pretraining_corpus_selection
+ORACLES["pretraining_corpus_selection"] = _oracle_selection()
