@@ -77,3 +77,34 @@ def test_zorder_still_prunes_user_ranges(spark, layouts):
     lo, hi = b.ulo, b.ulo + span // 16
     z_cand, z_total = candidate_files(zpath, "user_id", lo, hi)
     assert z_cand <= z_total // 2
+
+
+def test_dynamic_partition_pruning_reaches_partitioned_fact(
+    spark, tmp_path
+):
+    """A day-partitioned fact joined to a filtered dim must carry a
+    dynamicpruning PartitionFilter — the runtime analogue of the
+    reference's hour-file selection (hha.py:293-301): at 100 TB the
+    fact scan reads only the partitions the dim's surviving keys name,
+    decided at execution time, not plan time."""
+    raw = load_table(spark, SF, "events")
+    ev = raw.select(
+        "event_id", "user_id", "value",
+        (events_ts_us(raw) / 86_400_000_000).cast("long").alias("day"),
+    )
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    ev.write.partitionBy("day").mode("overwrite").parquet(fact_path)
+    ev.groupBy("day").agg(F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where("n > 300")
+    j = fact.join(dim, on="day")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    # and the join result is correct: only the selective days survive
+    days = {r.day for r in dim.collect()}
+    got = {r.day for r in j.select("day").distinct().collect()}
+    assert got == days and len(days) > 0
