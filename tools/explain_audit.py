@@ -37,6 +37,8 @@ HEADLINE = [
     "events_zorder_keys",        # clustering key arithmetic
     "corpus_pii_scrub",          # shuffle-free narrow map
     "events_asof_last_purchase", # as-of join composition
+    "dedup_text_embedding_drift",    # cross-modal composition
+    "pretraining_corpus_selection",  # the capstone keep/drop decision
 ]
 
 
