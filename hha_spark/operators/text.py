@@ -112,6 +112,123 @@ def fingerprint(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def unigram_lm_scores(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    head_k: int = 1024,
+) -> DataFrame:
+    """Corpus-unigram-LM document scoring — the KenLM-perplexity-filter
+    shape (CCNet / Gopher pipelines) with an integer-exact surrogate:
+    each document is scored by the corpus-wide frequency of its own
+    tokens (sum / floor-mean / min). Rare-token documents (low avg_tf,
+    min_tf) are the high-perplexity tail a quality filter drops;
+    min_tf=1 flags docs containing corpus-hapax garbage.
+
+    Integer counts stand in for log-probabilities so the score is
+    bit-identical cross-engine (ln() is not); the ORDERING of docs is
+    what the filter consumes, and tf-order equals (-log p)-reverse-
+    order exactly.
+
+    Scale shape: the token->count join is the classic skew trap — a
+    stopword head token can carry 5%+ of ALL rows. Mitigation here is
+    the standard head/tail split: the top `head_k` vocabulary entries
+    (which cover most row mass) broadcast and join map-side with no
+    shuffle of their rows; only the long tail — whose per-key
+    cardinality is by construction below the head cutoff — takes the
+    shuffle join, so no reducer sees a hot key. The vocab aggregate
+    itself is map-side combinable (partial counts per token per
+    partition), never skewed.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # TakeOrdered top-k — vocab-sized sort, never data-sized
+    head = vocab.orderBy(F.desc("tf"), F.asc("token")).limit(head_k)
+    tagged = toks.join(F.broadcast(head), on="token", how="left")
+    tail_scored = (
+        tagged.where(F.col("tf").isNull())
+        .drop("tf")
+        .join(vocab, on="token")  # head keys removed -> no hot reducer
+    )
+    scored = tagged.where(F.col("tf").isNotNull()).unionByName(tail_scored)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+        F.min("tf").cast("long").alias("min_tf"),
+        F.expr("sum(tf) div count(1)").alias("avg_tf"),
+    )
+
+
+def source_token_divergence(
+    df: DataFrame, *, text_col: str = "text", group_col: str = "source",
+) -> DataFrame:
+    """Exact L1 divergence between each group's token distribution and
+    the whole corpus's — the domain-mixing QA check ("is src7 even the
+    same kind of text?") behind mixture-weight decisions.
+
+    true L1 = sum_t |P_grp(t) - P_corpus(t)|
+            = sum_t |obs*T - s*t| / (s*T)
+
+    with obs = group's count of token t, s = group total, t = corpus
+    count, T = corpus total. Tokens ABSENT from the group contribute
+    s*t/(s*T); rather than materializing the group x vocab cross
+    product, that absent mass folds in algebraically:
+
+        sum_absent s*t = s*T - sum_present s*t
+
+    so only OBSERVED (group, token) pairs are ever shuffled. Numerator
+    and denominator are exact BIGINTs; the single final division is a
+    correctly-rounded double (house determinism rule). Overflow
+    envelope: |obs*T| <= s*T <= T^2 — safe through ~3e9 total tokens;
+    beyond that, pre-scale counts to per-million before the cross
+    multiply (same ordering, documented loss of exactness).
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    obs = toks.groupBy("grp", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    s_tot = obs.groupBy("grp").agg(F.sum("obs").cast("long").alias("s_cnt"))
+    t_tot = obs.groupBy("token").agg(
+        F.sum("obs").cast("long").alias("t_cnt")
+    )
+    total = t_tot.agg(F.sum("t_cnt").cast("long").alias("tot_cnt"))
+    joined = (
+        obs.join(F.broadcast(t_tot), on="token")
+        .join(F.broadcast(s_tot), on="grp")
+        .join(F.broadcast(total))
+    )
+    per = joined.groupBy("grp").agg(
+        F.min("s_cnt").alias("grp_tokens"),
+        F.min("tot_cnt").alias("corpus_tokens"),
+        F.sum(
+            F.abs(
+                F.col("obs") * F.col("tot_cnt")
+                - F.col("s_cnt") * F.col("t_cnt")
+            )
+        ).cast("long").alias("present_num"),
+        F.sum(F.col("s_cnt") * F.col("t_cnt")).cast("long")
+        .alias("present_st"),
+    )
+    l1_num = (
+        F.col("present_num")
+        + (F.col("grp_tokens") * F.col("corpus_tokens") - F.col("present_st"))
+    )
+    l1_den = F.col("grp_tokens") * F.col("corpus_tokens")
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.col("grp_tokens"),
+        l1_num.cast("long").alias("l1_num"),
+        l1_den.cast("long").alias("l1_den"),
+        (l1_num / l1_den).alias("l1"),
+    )
+
+
 def token_count_regex(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

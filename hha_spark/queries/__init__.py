@@ -24,6 +24,7 @@ from hha_spark.queries import (
     relational5,
     relational6,
     relational7,
+    scoring,
     sketches,
     spike_events,
     streaming_gate,
@@ -50,6 +51,7 @@ _MODULES = (
     # position 51) rotate to the front in round 5
     curation,
     sketches,
+    scoring,
 )
 
 # Order is the driver's verification window: it oracle-checks the FIRST

@@ -140,7 +140,9 @@ def ann_topk_pq(spark, sf_dir):
     from hha_spark.operators.pq import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_topk(emb.where(F.col("vec_id") % 16 == 0), emb, k=5)
+    return pq_topk(
+        emb.where(F.col("vec_id") % 16 == 0), emb, k=5, train_key=sf_dir
+    )
 
 
 # mirrors operators/pq.py: micro-unit quantization, (m, cell, idx)
@@ -203,7 +205,8 @@ def ann_topk_ivfpq(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk_in_cells(
-        emb.where(F.col("vec_id") % 16 == 0), emb, k=3, coarse_bits=BITS
+        emb.where(F.col("vec_id") % 16 == 0), emb, k=3, coarse_bits=BITS,
+        train_key=sf_dir,
     )
 
 
@@ -272,7 +275,7 @@ def ann_pq_recall(spark, sf_dir):
     emb = tracked_persist(load_table(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") % 16 == 0)
     exact = cosine_topk(queries, emb, k=5).select("qid", "cid")
-    pq = pq_topk(queries, emb, k=5).select(
+    pq = pq_topk(queries, emb, k=5, train_key=sf_dir).select(
         "qid", "cid", F.lit(1).alias("found")
     )
     joined = exact.join(pq, on=["qid", "cid"], how="left")

@@ -1,0 +1,140 @@
+"""Driver-gate queries for corpus-LM scoring, distribution-shift QA,
+and robust anomaly accounting (operators/text.py, operators/dq.py).
+
+These are the "statistical gate" tier of a training-data pipeline:
+after dedup/PII/quality-rules have run, a corpus still needs (a) a
+perplexity-style per-document score to drop the rare-token tail,
+(b) a per-source distribution-shift check before mixture weighting,
+and (c) a robust outlier monitor over the operational event stream.
+
+Same determinism contract as the rest of the registry: BIGINT
+accumulation, integer floor-division, single final divisions of exact
+integers; the one interpolated quantity (exact median) uses the
+expression both engines evaluate identically (see
+operators/dq.py::robust_outlier_report docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hha_spark.operators.dq import robust_outlier_report
+from hha_spark.operators.text import source_token_divergence, unigram_lm_scores
+from hha_spark.sources.tables import load_table
+
+HEAD_K = 1024
+MAD_K = 3
+
+
+def text_unigram_lm_score(spark, sf_dir):
+    """Per-document corpus-frequency score (integer perplexity
+    surrogate) with the head/tail skew-split vocabulary join — see
+    operators/text.py::unigram_lm_scores for the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs, head_k=HEAD_K)
+
+
+ORACLE_UNIGRAM = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY token),
+    j AS (SELECT t.doc_id, v.tf FROM toks t JOIN vocab v USING (token))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf) AS BIGINT) AS sum_tf,
+           CAST(MIN(tf) AS BIGINT) AS min_tf,
+           CAST(SUM(tf) // COUNT(*) AS BIGINT) AS avg_tf
+    FROM j GROUP BY doc_id
+"""
+
+
+def corpus_source_token_divergence(spark, sf_dir):
+    """Exact L1 distance between each source's unigram distribution
+    and the corpus's — the pre-mixing drift gate. Absent-token mass is
+    folded in algebraically (no source x vocab cross product); see
+    operators/text.py::source_token_divergence."""
+    docs = load_table(spark, sf_dir, "documents")
+    return source_token_divergence(docs, group_col="source")
+
+
+ORACLE_DIVERGENCE = """
+    WITH toks AS (
+      SELECT source AS grp, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    obs AS (
+      SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM toks GROUP BY grp, token),
+    s_tot AS (SELECT grp, CAST(SUM(obs) AS BIGINT) AS s FROM obs GROUP BY grp),
+    t_tot AS (
+      SELECT token, CAST(SUM(obs) AS BIGINT) AS t FROM obs GROUP BY token),
+    tot AS (SELECT CAST(SUM(t) AS BIGINT) AS T FROM t_tot),
+    per AS (
+      SELECT o.grp,
+             MIN(s.s) AS grp_tokens,
+             MIN(tot.T) AS corpus_tokens,
+             CAST(SUM(ABS(o.obs * tot.T - s.s * t.t)) AS BIGINT)
+                 AS present_num,
+             CAST(SUM(s.s * t.t) AS BIGINT) AS present_st
+      FROM obs o
+      JOIN t_tot t USING (token)
+      JOIN s_tot s USING (grp), tot
+      GROUP BY o.grp)
+    SELECT grp AS source, grp_tokens,
+           CAST(present_num + (grp_tokens * corpus_tokens - present_st)
+                AS BIGINT) AS l1_num,
+           CAST(grp_tokens * corpus_tokens AS BIGINT) AS l1_den,
+           CAST(present_num + (grp_tokens * corpus_tokens - present_st)
+                AS DOUBLE)
+             / CAST(grp_tokens * corpus_tokens AS DOUBLE) AS l1
+    FROM per
+"""
+
+
+def events_value_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outlier report per event_type over the event
+    stream — the monitoring gate that a corrupt 1e12 reading cannot
+    blind (operators/dq.py::robust_outlier_report)."""
+    ev = load_table(spark, sf_dir, "events")
+    return robust_outlier_report(
+        ev.select("event_type", "value"),
+        group_col="event_type", value_col="value", k=MAD_K,
+    )
+
+
+ORACLE_MAD = f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS absdev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(absdev, 0.5) AS mad,
+             MIN(med) AS med
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(m.med) AS med_value,
+           MIN(m.mad) AS mad_value,
+           CAST(SUM(CASE WHEN d.absdev > {MAD_K} * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+"""
+
+
+QUERIES = {
+    "text_unigram_lm_score": text_unigram_lm_score,
+    "corpus_source_token_divergence": corpus_source_token_divergence,
+    "events_value_mad_outliers": events_value_mad_outliers,
+}
+
+ORACLES = {
+    "text_unigram_lm_score": ORACLE_UNIGRAM,
+    "corpus_source_token_divergence": ORACLE_DIVERGENCE,
+    "events_value_mad_outliers": ORACLE_MAD,
+}
