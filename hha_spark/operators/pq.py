@@ -80,14 +80,25 @@ def pq_codebook(emb: DataFrame, *, id_col: str = "vec_id",
     partial aggregation). 32 cells x D_SUB rows total — broadcastable
     regardless of corpus size.
     """
-    codes = emb.select(
-        F.col(id_col).alias("vec_id"), subspace_codes(vec_col).alias("codes")
+    base = emb.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(Q_COMP)).cast("long"),
+        ).alias("qs"),
+        subspace_codes(vec_col).alias("codes"),
     )
-    el = _quantized_el(emb, id_col=id_col, vec_col=vec_col)
-    coded = el.join(codes, "vec_id").withColumn(
-        "cell", F.expr("codes[m]")
+    # single pass: the row's own code array supplies cell for every
+    # exploded component — no self-join (an earlier join-on-vec_id
+    # variant shuffled the exploded side; this is a narrow map into a
+    # map-side-combinable 16 Ki-key aggregate)
+    el = base.select(
+        F.posexplode("qs").alias("idx", "q"), F.col("codes")
+    ).select(
+        "idx", "q",
+        (F.col("idx") / F.lit(D_SUB)).cast("int").alias("m"),
+        F.expr(f"codes[CAST(idx / {D_SUB} AS INT)]").alias("cell"),
     )
-    return coded.groupBy("m", "cell", "idx").agg(
+    return el.groupBy("m", "cell", "idx").agg(
         F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
     )
 
@@ -167,20 +178,73 @@ def trained_query_lut(
     Hit or miss, the returned frame is a LocalTableScan of collected
     exact-integer rows — the ideal broadcast side (no shuffle subplan
     re-executed per consumer). With train_key=None behaves like the
-    raw pipeline (no collect), which is what unit tests exercise.
+    raw distributed pipeline (no collect), which is what unit tests
+    exercise (including the numpy/JVM equivalence pin in
+    tests/test_pq.py).
+
+    Training shape on a miss (the MLlib fit() discipline): the
+    CANDIDATE side — the 100 TB side — is reduced by the distributed
+    `pq_codebook` aggregate to 16 Ki exact-integer rows, which are
+    collected like any trained model. The per-QUERY lookup table is
+    then pure int64 einsum over (collected queries x codebook) —
+    query-side state that never scales with the corpus, so computing
+    it driver-side removes three shuffles (query explode/join/densify)
+    from the hot path.
     """
     spark = queries.sparkSession
     key = (train_key, M_SUB, CELLS, D_SUB) if train_key is not None else None
     if key is not None and key in _LUT_MEMO:
         return spark.createDataFrame(_LUT_MEMO[key], _LUT_SCHEMA)
     cb = pq_codebook(candidates, id_col=id_col, vec_col=vec_col)
-    lut = pq_query_lut(queries, cb, id_col=id_col, vec_col=vec_col)
     if key is None:
-        return lut
-    tbl = lut.toArrow()
-    rows = list(zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()))
+        return pq_query_lut(queries, cb, id_col=id_col, vec_col=vec_col)
+    rows = _train_lut_rows(
+        queries, cb, id_col=id_col, vec_col=vec_col
+    )
     _LUT_MEMO[key] = rows
     return spark.createDataFrame(rows, _LUT_SCHEMA)
+
+
+def _train_lut_rows(queries: DataFrame, codebook: DataFrame, *,
+                    id_col: str, vec_col: str) -> list[tuple]:
+    """Collect codebook + queries and compute the ADC table with exact
+    int64 numpy — bit-identical to pq_query_lut (numpy's % and // are
+    Python-style floor ops, so the divisibility trick reduces to plain
+    floor division; the pipeline's ((dot % n + n) % n) exists only to
+    reconcile Spark's truncating div with flooring engines)."""
+    import numpy as np
+
+    cb_tbl = codebook.toArrow()
+    cb_m = np.asarray(cb_tbl.column("m").to_pylist(), dtype=np.int64)
+    cb_cell = np.asarray(cb_tbl.column("cell").to_pylist(), dtype=np.int64)
+    cb_idx = np.asarray(cb_tbl.column("idx").to_pylist(), dtype=np.int64)
+    cb_s = np.asarray(cb_tbl.column("s").to_pylist(), dtype=np.int64)
+    cb_n = np.asarray(cb_tbl.column("n").to_pylist(), dtype=np.int64)
+
+    q_tbl = queries.select(
+        F.col(id_col).alias("qid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(Q_COMP)).cast("long"),
+        ).alias("q"),
+    ).toArrow()
+    qids = q_tbl.column("qid").to_pylist()
+    qmat = np.asarray(q_tbl.column("q").to_pylist(), dtype=np.int64)
+    qmat = qmat.reshape(len(qids), M_SUB, D_SUB)
+
+    # dense [M, CELLS, D_SUB] sums and [M, CELLS] sizes (0 = absent)
+    s_dense = np.zeros((M_SUB, CELLS, D_SUB), dtype=np.int64)
+    n_dense = np.zeros((M_SUB, CELLS), dtype=np.int64)
+    sub_idx = cb_idx - cb_m * D_SUB
+    s_dense[cb_m, cb_cell, sub_idx] = cb_s
+    n_dense[cb_m, cb_cell] = cb_n
+
+    # dot[q, m, cell] = sum_j qmat[q, m, j] * s_dense[m, cell, j]
+    dots = np.einsum("qmj,mcj->qmc", qmat, s_dense)
+    safe_n = np.maximum(n_dense, 1)
+    terms = np.where(n_dense > 0, dots // safe_n, 0)
+    flat = terms.reshape(len(qids), M_SUB * CELLS)
+    return [(int(qid), row.tolist()) for qid, row in zip(qids, flat)]
 
 
 def pq_topk(queries: DataFrame, candidates: DataFrame, *, k: int = 5,

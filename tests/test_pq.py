@@ -107,3 +107,43 @@ def test_trained_ivf_memo_is_idempotent(spark):
     b = sorted(map(tuple, L.ann_topk_ivf_trained(spark, sf).collect()))
     release_tracked()
     assert a == b and len(a) > 0
+
+
+def test_trained_lut_numpy_matches_pipeline(spark):
+    """The driver-side numpy training path (memo miss with train_key)
+    must be bit-identical to the distributed pq_query_lut pipeline —
+    the JVM-twin equivalence pin for _train_lut_rows."""
+    import hha_spark.operators.pq as pq
+    from hha_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") % 16 == 0)
+    pipeline = {
+        r["qid"]: list(r["lut"])
+        for r in pq.trained_query_lut(q, emb).collect()
+    }
+    pq._LUT_MEMO.clear()
+    trained = {
+        r["qid"]: list(r["lut"])
+        for r in pq.trained_query_lut(q, emb, train_key=sf).collect()
+    }
+    pq._LUT_MEMO.clear()
+    assert trained == pipeline and len(trained) > 0
+
+
+def test_trained_pq_memo_is_idempotent(spark):
+    """Memo hit == cold call for the full pq_topk result."""
+    import hha_spark.operators.pq as pq
+    from hha_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") % 16 == 0)
+    pq._LUT_MEMO.clear()
+    a = sorted(map(tuple, pq.pq_topk(q, emb, k=5, train_key=sf).collect()))
+    b = sorted(map(tuple, pq.pq_topk(q, emb, k=5, train_key=sf).collect()))
+    pq._LUT_MEMO.clear()
+    assert a == b and len(a) > 0
