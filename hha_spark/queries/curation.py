@@ -648,3 +648,120 @@ def _oracle_selection() -> str:
 
 QUERIES["pretraining_corpus_selection"] = pretraining_corpus_selection
 ORACLES["pretraining_corpus_selection"] = _oracle_selection()
+
+
+# --- corpus lifecycle: deterministic shuffle-shard and snapshot diff -----
+
+N_SHARDS = 16
+
+
+def corpus_global_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle + shard assignment — the
+    last step before a corpus ships to the trainer. Order must be (a)
+    uniformly random w.r.t. any curation key and (b) REPRODUCIBLE
+    across reruns/partitionings, so the shuffle key is a salted md5 of
+    doc_id (the same uniform used by `corpus_importance_resample`),
+    never an RNG. shard = key mod N_SHARDS balances output files;
+    pos_in_shard is a row_number per shard ordered by (key, doc_id).
+
+    100 TB shape: one hash-partition on shard (bounded fan-in: shards
+    >= output files, each a single writer's worth) with a WITHIN-SHARD
+    sort — there is no global total order anywhere, so no
+    rangepartition/global sort bottleneck; this is exactly how
+    training shards are materialized in practice.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    keyed = docs.select(
+        "doc_id", "source", key.alias("shuffle_key")
+    ).withColumn("shard", F.col("shuffle_key") % N_SHARDS)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.withColumn(
+        "pos_in_shard", F.row_number().over(w).cast("long")
+    )
+
+
+ORACLE_GLOBAL_SHUFFLE = f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             CAST(CAST('0x' || substr(
+                 md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) AS BIGINT) AS shuffle_key
+      FROM documents)
+    SELECT doc_id, source, shuffle_key,
+           shuffle_key % {N_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shuffle_key % {N_SHARDS}
+               ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard
+    FROM keyed
+"""
+
+
+def corpus_snapshot_diff(spark, sf_dir):
+    """Incremental-recrawl ingest diff: classify every document as
+    added / removed / changed / unchanged between two corpus
+    snapshots by comparing content fingerprints (md5 of text) under a
+    full outer join on doc_id. This is the op that decides how much
+    of a re-crawl actually needs re-processing — at 100 TB you dedup/
+    score only `added` + `changed`, never the unchanged bulk.
+
+    The two snapshots derive deterministically from the fixture (no
+    second table exists): `prev` drops every 20th doc (docs that will
+    appear "added") and `cur` revises every 7th doc's text (docs that
+    read "changed"). The derivation is synthetic; the join/compare
+    shape is the production one — one full outer equi-join on the id,
+    fingerprint comparison in-row, no data-sized state anywhere else.
+    """
+    docs = _docs(spark, sf_dir)
+    prev = docs.where(F.col("doc_id") % 20 != 0).select(
+        "doc_id", F.md5("text").alias("fp_prev")
+    )
+    cur = docs.select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text"))
+        ).alias("fp_cur"),
+    )
+    joined = prev.join(cur, on="doc_id", how="full_outer")
+    status = (
+        F.when(F.col("fp_prev").isNull(), "added")
+        .when(F.col("fp_cur").isNull(), "removed")
+        .when(F.col("fp_prev") != F.col("fp_cur"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select("doc_id", status.alias("status"))
+
+
+ORACLE_SNAPSHOT_DIFF = """
+    WITH prev AS (
+      SELECT doc_id, md5(text) AS fp_prev FROM documents
+      WHERE doc_id % 20 <> 0),
+    cur AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                      ELSE text END) AS fp_cur
+      FROM documents)
+    SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+           CASE WHEN p.fp_prev IS NULL THEN 'added'
+                WHEN c.fp_cur IS NULL THEN 'removed'
+                WHEN p.fp_prev <> c.fp_cur THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+"""
+
+
+QUERIES["corpus_global_shuffle"] = corpus_global_shuffle
+ORACLES["corpus_global_shuffle"] = ORACLE_GLOBAL_SHUFFLE
+QUERIES["corpus_snapshot_diff"] = corpus_snapshot_diff
+ORACLES["corpus_snapshot_diff"] = ORACLE_SNAPSHOT_DIFF

@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 from hha_spark.functions.exact import dec_sum_mul
 from hha_spark.sources.tables import load_table
 
-from hha_spark.caching import tracked_persist
 
 
 def _t(spark, sf_dir, name) -> DataFrame:
@@ -425,30 +424,35 @@ COPURCHASE_MIN = 3
 
 
 def copurchase_part_pairs(spark, sf_dir):
-    """Part pairs bought together in >= 3 orders — the market-basket
-    self-join. The quadratic danger is basket size: a degenerate
+    """Part pairs bought together in >= 3 orders — market-basket
+    co-occurrence. The quadratic danger is basket size: a degenerate
     order with 10k parts emits 50M pairs, so baskets above BASKET_CAP
     distinct parts are dropped BEFORE pairing (the standard cap in
     co-occurrence mining; at 100 TB the cap is what turns a worst-case
-    quadratic blowup into |orders| x cap²). Pairing itself is one
-    self-join co-partitioned on l_orderkey — the distinct-parts frame
-    shuffles once and joins itself in place; pairs then aggregate on
-    the (a, b) key.
+    quadratic blowup into |orders| x cap²).
+
+    Single-shuffle-per-stage shape (same restructure as the LSH band
+    pairing): one combinable collect_set gathers each basket, the cap
+    filters ON the gathered array, and pairs generate IN-ROW with a
+    sorted slice/transform — no distinct pre-shuffle, no self-join
+    re-shuffle, no persisted intermediate. Two exchanges total
+    (basket gather, pair aggregate), each on a bounded-width key.
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_parts"))
-    # persisted: the capped frame feeds both sides of the self-join,
-    # and without persist each side would recompute the distinct +
-    # size-filter pipeline from the raw scan
-    small = li.join(
-        F.broadcast(sizes.where(F.col("n_parts") <= BASKET_CAP)),
-        on="l_orderkey",
-        how="left_semi",
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts") <= BASKET_CAP)
     )
-    small = tracked_persist(small)
-    a = small.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = small.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = a.join(b, on="l_orderkey").where(F.col("part_a") < F.col("part_b"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))

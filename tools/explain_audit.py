@@ -39,6 +39,8 @@ HEADLINE = [
     "events_asof_last_purchase", # as-of join composition
     "dedup_text_embedding_drift",    # cross-modal composition
     "pretraining_corpus_selection",  # the capstone keep/drop decision
+    "text_unigram_lm_score",         # head/tail skew-split vocab join
+    "events_value_mad_outliers",     # median/MAD broadcast-stats joins
 ]
 
 

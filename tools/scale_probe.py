@@ -94,9 +94,14 @@ def probes(spark, k: int):
         cms_counters,
         cms_estimates,
     )
+    from hha_spark.operators.dq import robust_outlier_report
     from hha_spark.operators.similarity import cosine_pairs_arrow
     from hha_spark.operators.spike import fused_window_compare
-    from hha_spark.operators.text import quality_score
+    from hha_spark.operators.text import (
+        quality_score,
+        source_token_divergence,
+        unigram_lm_scores,
+    )
     from hha_spark.streaming.windowed import windowed_counts
 
     ev = scaled_events(spark, k).persist()
@@ -164,6 +169,15 @@ def probes(spark, k: int):
             docs.select(
                 "doc_id", F.explode(F.split("text", " ")).alias("token")
             )
+        ),
+        # vocab grows with K (per-copy token suffixes), so this
+        # exercises the head/tail split with a k-times vocabulary AND
+        # k-times rows — the true weak-scaling shape for the LM join
+        "unigram_lm": lambda: unigram_lm_scores(docs),
+        "source_divergence": lambda: source_token_divergence(docs),
+        "mad_outliers": lambda: robust_outlier_report(
+            ev.select("event_type", "value"),
+            group_col="event_type", value_col="value",
         ),
         "windowed_counts": lambda: windowed_counts(
             ev.select(
