@@ -138,3 +138,56 @@ ORACLES = {
     "corpus_source_token_divergence": ORACLE_DIVERGENCE,
     "events_value_mad_outliers": ORACLE_MAD,
 }
+
+
+BPE_TOP_K = 20
+
+
+def bpe_merge_candidates(spark, sf_dir):
+    """The first iteration of BPE/WordPiece vocabulary training at
+    corpus scale: count every ADJACENT token pair and return the top
+    merge candidates. The real trainer loops this; one distributed
+    iteration is the expensive step (the rest is a driver-side loop
+    over a shrinking pair table, exactly the IVF/k-means discipline).
+
+    Shape: pairs generate IN-ROW (indexed transform over the token
+    array — no explode-then-self-join), then one map-side-combinable
+    groupBy; the global top-k is TakeOrdered over the (bounded) pair
+    vocabulary, never a data-sized sort. Ties break on the pair text
+    so the result set is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1, "
+                "size(split(text, ' ')) - 1), "
+                "(t, i) -> struct(t AS a, split(text, ' ')[i + 1] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(BPE_TOP_K)
+    )
+
+
+ORACLE_BPE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(ts)),
+                    i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS p
+      FROM toks),
+    counted AS (
+      SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY p.a, p.b)
+    SELECT a, b, cnt FROM counted
+    ORDER BY cnt DESC, a, b LIMIT {BPE_TOP_K}
+"""
+
+
+QUERIES["bpe_merge_candidates"] = bpe_merge_candidates
+ORACLES["bpe_merge_candidates"] = ORACLE_BPE
