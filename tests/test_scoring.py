@@ -101,3 +101,51 @@ def test_mad_report_never_shuffles_fact_on_data_key(spark):
     plan = report._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bpe_merge_candidates_hand_computed(spark, tmp_path):
+    """Adjacent-pair counting on a 2-doc corpus with a known answer."""
+    import os
+    from hha_spark.queries.scoring import bpe_merge_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = {
+        (r["a"], r["b"]): r["cnt"]
+        for r in bpe_merge_candidates(spark, str(tmp_path)).collect()
+    }
+    # doc1 pairs: (a,b) (b,a) (a,b) (b,c); doc2: (a,b) (b,x)
+    assert out[("a", "b")] == 3
+    assert out[("b", "a")] == 1
+    assert out[("b", "c")] == 1
+    assert out[("b", "x")] == 1
+    assert len(out) == 4
+
+
+def test_snapshot_diff_statuses(spark):
+    """The diff classification over the real fixture: every status
+    consistent with the deterministic derivation rules."""
+    from hha_spark.queries.curation import corpus_snapshot_diff
+
+    sf = "/root/testdata/sf0.001"
+    rows = corpus_snapshot_diff(spark, sf).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r["doc_id"])
+    # every 20th doc is absent from prev -> added (none are removed:
+    # cur contains all docs)
+    assert by_status["added"] and all(
+        d % 20 == 0 for d in by_status["added"]
+    )
+    assert "removed" not in by_status
+    # changed docs are exactly the revised ones not already 'added'
+    assert by_status["changed"] and all(
+        d % 7 == 0 and d % 20 != 0 for d in by_status["changed"]
+    )
+    n = len(rows)
+    assert n == len(set(r["doc_id"] for r in rows))  # one row per doc
