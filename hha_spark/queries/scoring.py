@@ -191,3 +191,65 @@ ORACLE_BPE = f"""
 
 QUERIES["bpe_merge_candidates"] = bpe_merge_candidates
 ORACLES["bpe_merge_candidates"] = ORACLE_BPE
+
+
+KEEP_PCT_NUM, KEEP_PCT_DEN = 1, 2  # keep the top half per source
+
+
+def quality_percentile_by_source(spark, sf_dir):
+    """Percentile-based curation gate, normalized PER SOURCE: rank
+    every document inside its source by a quality proxy (content
+    length), emit its percent_rank, and keep the top half of EACH
+    source. Normalizing per domain is the standard fix for the
+    cross-domain bias of a single global threshold (a p50 cutoff on
+    raw score would eject entire low-scoring-but-wanted domains).
+
+    percent_rank is RANK-based — (rank-1)/(n-1), no interpolation —
+    so the value is the same exact double in any engine; the keep
+    test uses integer cross-multiplication on rank/count, never the
+    double. One shuffle: the per-source window sort. At 100 TB each
+    source partitions further by a salted sub-key and the rank
+    becomes a two-pass (per-salt rank + offset) — same output, same
+    single logical shuffle class.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    ).select(
+        "doc_id", "source", "n_chars",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("source")
+        ).cast("long").alias("n_src"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+    keep = (
+        (F.col("rnk") - 1) * KEEP_PCT_DEN
+        >= F.col("n_src") * (KEEP_PCT_DEN - KEEP_PCT_NUM)
+    )
+    return ranked.select(
+        "doc_id", "source", "n_chars", "pct_rank", keep.alias("keep")
+    )
+
+
+ORACLE_QUALITY_PCTL = f"""
+    WITH ranked AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(RANK() OVER (PARTITION BY source
+                               ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS pct_rank
+      FROM documents)
+    SELECT doc_id, source, n_chars, pct_rank,
+           (rnk - 1) * {KEEP_PCT_DEN}
+               >= n_src * ({KEEP_PCT_DEN} - {KEEP_PCT_NUM}) AS keep
+    FROM ranked
+"""
+
+
+QUERIES["quality_percentile_by_source"] = quality_percentile_by_source
+ORACLES["quality_percentile_by_source"] = ORACLE_QUALITY_PCTL
