@@ -8,7 +8,10 @@ release_tracked(), no RDD registered by the library remains pinned.
 Queries built on localCheckpoint (the connected-components family)
 are exempt by design — checkpoint storage is the result's lineage
 root, owned by Spark's ContextCleaner — so the pins asserted here use
-only persist-based queries.
+only persist-based queries. Because OTHER test files in a shared
+session may have built those checkpointing queries (their pins live
+until the ContextCleaner GCs them), every assertion is on the NET
+delta against the test-start baseline, not an absolute zero.
 """
 
 from __future__ import annotations
@@ -35,19 +38,21 @@ def _clean_registry(spark):
 
 
 def test_tracked_persist_registers_and_releases(spark):
+    base = pinned_rdd_count(spark)
     df = tracked_persist(spark.range(1000))
     df.count()
     assert pinned_rdd_count(spark) >= 1
     assert release_tracked() == 1
-    assert pinned_rdd_count(spark) == 0
+    assert pinned_rdd_count(spark) <= base
 
 
 def test_track_existing_persist(spark):
+    base = pinned_rdd_count(spark)
     df = spark.range(100).persist()
     df.count()
     track(df)
     release_tracked()
-    assert pinned_rdd_count(spark) == 0
+    assert pinned_rdd_count(spark) <= base
 
 
 def test_release_is_idempotent(spark):
@@ -75,9 +80,10 @@ def test_no_pinned_rdds_after_release(spark, qname):
     the block manager holds nothing — the VERDICT r3 item 4 contract."""
     import __spark_entry__ as entry
 
+    base = pinned_rdd_count(spark)
     fn = entry.queries()[qname]
     fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     assert pinned_rdd_count(spark) >= 1, "query no longer persists; update test"
     release_tracked()
     spark.catalog.clearCache()  # backstop parity with bench.force
-    assert pinned_rdd_count(spark) == 0
+    assert pinned_rdd_count(spark) <= base
