@@ -312,3 +312,63 @@ def test_bloom_never_false_negative_any_input(spark, members, probes):
     assert set(got) == probes
     for p in probes & members:
         assert got[p], f"false negative for member {p}"
+
+
+# --- scoring-tier invariants (queries/scoring.py operators) ---------------
+
+doc_corpora = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "eee"]),
+        min_size=1, max_size=8,
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc_corpora)
+def test_unigram_lm_invariants(spark, corpora):
+    """For every document: n_tokens >= 1, min_tf <= avg_tf <= max
+    possible tf, sum_tf >= n_tokens (every token occurs at least
+    once), and the sum over docs of n_tokens equals the corpus token
+    count — the head/tail split must lose or duplicate nothing."""
+    from hha_spark.operators.text import unigram_lm_scores
+
+    rows = [(i, "s", " ".join(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # head_k=1 forces both the broadcast head AND the shuffle tail
+    out = unigram_lm_scores(df, head_k=1).collect()
+    assert len(out) == len(corpora)
+    total = sum(len(t) for t in corpora)
+    assert sum(r["n_tokens"] for r in out) == total
+    for r in out:
+        assert 1 <= r["min_tf"] <= r["avg_tf"] <= total
+        assert r["sum_tf"] >= r["n_tokens"]
+        assert r["avg_tf"] == r["sum_tf"] // r["n_tokens"]
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc_corpora, doc_corpora)
+def test_divergence_bounds_and_zero_identity(spark, corp_a, corp_b):
+    """L1 divergence lies in [0, 2] scaled (num <= 2*den); a source
+    identical to the whole corpus (single source) is exactly 0."""
+    from hha_spark.operators.text import source_token_divergence
+
+    rows = [(i, "A", " ".join(t)) for i, t in enumerate(corp_a)] + [
+        (1000 + i, "B", " ".join(t)) for i, t in enumerate(corp_b)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    for r in source_token_divergence(df).collect():
+        assert 0 <= r["l1_num"] <= 2 * r["l1_den"]
+    solo = spark.createDataFrame(
+        [(i, "only", " ".join(t)) for i, t in enumerate(corp_a)],
+        "doc_id long, source string, text string",
+    )
+    for r in source_token_divergence(solo).collect():
+        assert r["l1_num"] == 0
