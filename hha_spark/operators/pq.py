@@ -336,3 +336,126 @@ def pq_topk_in_cells(queries: DataFrame, candidates: DataFrame, *, k: int = 3,
         .where(F.col("rank") <= k)
         .select("qid", "cid", F.col("score").cast("long").alias("score"), "rank")
     )
+
+
+def pq_topk_in_cells_residual(
+    queries: DataFrame, candidates: DataFrame, *, k: int = 3,
+    coarse_bits: int = 4, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF x PQ WITH residual encoding — the full billion-scale
+    layout (Jégou et al. §V: IVFADC). pq_topk_in_cells quantizes raw
+    vectors, wasting codebook resolution on the coarse offset every
+    cell-mate shares; here each candidate stores codes of its RESIDUAL
+    v - centroid(cell), and the pair score decomposes exactly:
+
+        dot(q, c) = dot(q, centroid(cell_c)) + dot(q, residual_c)
+
+    The first term is one exact integer per (query, probed cell); the
+    second is the same M-lookup ADC as before, but against codebooks
+    trained on residuals — the distribution PQ actually compresses
+    well. Everything stays in the micro-unit integer domain: centroid
+    means are exact floor-divisions (pymod-adjusted so Spark's
+    truncating div and flooring engines agree), residuals are integer
+    differences, so the ranking replays bit-for-bit in the oracle.
+
+    Plan shape: centroid means are a 2^bits x D broadcast (collapsed
+    to per-cell arrays); candidates compute residual + codes IN-ROW
+    off that broadcast (single pass, like pq_codebook); the residual
+    codebook is one skinny aggregate; scoring joins the candidate scan
+    against a broadcast (LUT x probe-cells x centroid-term) frame on
+    the coarse cell — identical join topology to the non-residual
+    variant, so the 100 TB story carries over unchanged.
+    """
+    from hha_spark.operators.semantic import signbit_cell
+
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(Q_COMP)).cast("long"),
+    )
+
+    # --- coarse centroids: exact integer means per (cell, idx) -----
+    cand_base = candidates.select(
+        F.col(id_col).alias("cid"),
+        signbit_cell(vec_col, bits=coarse_bits).alias("cell"),
+        quant.alias("qs"),
+    )
+    cent = (
+        cand_base.select("cell", F.posexplode("qs").alias("idx", "q"))
+        .groupBy("cell", "idx")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cell", "idx",
+            F.expr("(s - ((s % n + n) % n)) div n").alias("cm"),
+        )
+    )
+    # collapse to (cell, cm_arr) for in-row residual computation
+    cent_arr = cent.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "cm"))),
+            lambda st: st["cm"],
+        ).alias("cm_arr")
+    )
+
+    # --- candidate residuals + residual subspace codes, in-row -----
+    rbits = " + ".join(
+        f"{1 << j} * CAST(rs[m * {D_SUB} + {j}] >= 0 AS INT)"
+        for j in range(D_SUB)
+    )
+    cand_res = cand_base.join(F.broadcast(cent_arr), on="cell").select(
+        "cid", "cell",
+        F.expr("zip_with(qs, cm_arr, (q, c) -> q - c)").alias("rs"),
+    ).select(
+        "cid", "cell", "rs",
+        F.expr(f"transform(sequence(0, {M_SUB - 1}), m -> {rbits})")
+        .alias("rcodes"),
+    )
+
+    # --- residual codebook: skinny combinable aggregate ------------
+    rcb = (
+        cand_res.select(
+            F.posexplode("rs").alias("idx", "r"), F.col("rcodes")
+        )
+        .select(
+            "idx", "r",
+            (F.col("idx") / F.lit(D_SUB)).cast("int").alias("m"),
+            F.expr(f"rcodes[CAST(idx / {D_SUB} AS INT)]").alias("cell"),
+        )
+        .groupBy("m", "cell", "idx")
+        .agg(F.sum("r").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+
+    # --- per-query state: residual ADC LUT + centroid dot terms ----
+    lut = pq_query_lut(queries, rcb, id_col=id_col, vec_col=vec_col)
+    q_el = _quantized_el(queries, id_col=id_col, vec_col=vec_col)
+    qcent = (
+        q_el.join(F.broadcast(cent), on="idx")
+        .groupBy(F.col("vec_id").alias("qid"), "cell")
+        .agg(F.sum(F.col("q") * F.col("cm")).alias("qc"))
+    )
+    base_cell = signbit_cell(vec_col, bits=coarse_bits)
+    probes = F.array(
+        base_cell,
+        *[base_cell.bitwiseXOR(F.lit(1 << j)) for j in range(coarse_bits)],
+    )
+    qcells = queries.select(
+        F.col(id_col).alias("qid"), F.explode(probes).alias("cell")
+    )
+    qside = lut.join(qcells, on="qid").join(qcent, on=["qid", "cell"])
+
+    # --- scoring: centroid term + M residual lookups ---------------
+    score = F.expr(
+        f"qc + aggregate(sequence(0, {M_SUB - 1}), CAST(0 AS BIGINT), "
+        f"(acc, m) -> acc + lut[m * {CELLS} + rcodes[m]])"
+    )
+    pairs = (
+        cand_res.join(F.broadcast(qside), on="cell")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", score.alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", F.col("score").cast("long").alias("score"), "rank")
+    )

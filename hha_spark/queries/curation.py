@@ -765,3 +765,92 @@ QUERIES["corpus_global_shuffle"] = corpus_global_shuffle
 ORACLES["corpus_global_shuffle"] = ORACLE_GLOBAL_SHUFFLE
 QUERIES["corpus_snapshot_diff"] = corpus_snapshot_diff
 ORACLES["corpus_snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
+
+
+def ann_topk_ivfpq_residual(spark, sf_dir):
+    """IVF x PQ with residual encoding (IVFADC, Jégou et al. §V):
+    candidates store codes of v - centroid(cell); pair score = exact
+    centroid dot + residual ADC. See
+    operators/pq.py::pq_topk_in_cells_residual for the decomposition
+    and the broadcast-only join topology."""
+    from hha_spark.operators.pq import pq_topk_in_cells_residual
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk_in_cells_residual(
+        emb.where(F.col("vec_id") % 16 == 0), emb, k=3, coarse_bits=BITS
+    )
+
+
+ORACLE_ANN_IVFPQ_RESIDUAL = f"""
+    WITH el AS (
+      SELECT vec_id, i - 1 AS idx, (i - 1) // {_PQ_D} AS m,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {Q_COMP}) AS BIGINT)
+                 AS q
+      FROM embeddings, range(1, {EMB_DIM} + 1) t(i)),
+    coarse AS (
+      SELECT vec_id, CAST({_CELL_SQL} AS BIGINT) AS ccell FROM embeddings),
+    centsum AS (
+      SELECT c.ccell, e.idx, SUM(e.q) AS s, COUNT(*) AS n
+      FROM el e JOIN coarse c USING (vec_id)
+      GROUP BY c.ccell, e.idx),
+    -- exact floor-div centroid means (pymod trick: same value under
+    -- truncating and flooring division)
+    cent AS (
+      SELECT ccell, idx, (s - ((s % n + n) % n)) // n AS cm FROM centsum),
+    rel AS (
+      SELECT e.vec_id, e.idx, e.m, e.q - ct.cm AS r, c.ccell
+      FROM el e
+      JOIN coarse c USING (vec_id)
+      JOIN cent ct ON ct.ccell = c.ccell AND ct.idx = e.idx),
+    rcodes AS (
+      SELECT vec_id, m,
+             CAST(SUM((CASE WHEN r >= 0 THEN 1 ELSE 0 END)
+                      * (1 << (idx % {_PQ_D}))) AS BIGINT) AS rcell
+      FROM rel GROUP BY vec_id, m),
+    rcb AS (
+      SELECT rl.m, rc.rcell AS cell, rl.idx,
+             SUM(rl.r) AS s, COUNT(*) AS n
+      FROM rel rl
+      JOIN rcodes rc ON rc.vec_id = rl.vec_id AND rc.m = rl.m
+      GROUP BY rl.m, rc.rcell, rl.idx),
+    lut AS (
+      SELECT e.vec_id AS qid, cb.m, cb.cell,
+             SUM(e.q * cb.s) AS dot, MAX(cb.n) AS n
+      FROM el e JOIN rcb cb ON cb.m = e.m AND cb.idx = e.idx
+      WHERE e.vec_id % 16 = 0
+      GROUP BY e.vec_id, cb.m, cb.cell),
+    term AS (
+      SELECT qid, m, cell,
+             (dot - ((dot % n + n) % n)) // n AS term
+      FROM lut),
+    qcent AS (
+      SELECT e.vec_id AS qid, ct.ccell AS cell, SUM(e.q * ct.cm) AS qc
+      FROM el e JOIN cent ct ON ct.idx = e.idx
+      WHERE e.vec_id % 16 = 0
+      GROUP BY e.vec_id, ct.ccell),
+    qprobe AS (
+      SELECT vec_id, unnest([ccell, xor(ccell, 1), xor(ccell, 2),
+                             xor(ccell, 4), xor(ccell, 8)]) AS pcell
+      FROM coarse WHERE vec_id % 16 = 0),
+    scored AS (
+      SELECT t.qid, rc.vec_id AS cid,
+             CAST(SUM(t.term) + MIN(qc.qc) AS BIGINT) AS score
+      FROM rcodes rc
+      JOIN coarse cc ON cc.vec_id = rc.vec_id
+      JOIN qprobe qp ON qp.pcell = cc.ccell
+      JOIN term t ON t.qid = qp.vec_id AND t.m = rc.m AND t.cell = rc.rcell
+      JOIN qcent qc ON qc.qid = qp.vec_id AND qc.cell = cc.ccell
+      WHERE qp.vec_id <> rc.vec_id
+      GROUP BY t.qid, rc.vec_id),
+    ranked AS (
+      SELECT qid, cid, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, cid) AS BIGINT)
+                 AS rank
+      FROM scored)
+    SELECT qid, cid, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES["ann_topk_ivfpq_residual"] = ann_topk_ivfpq_residual
+ORACLES["ann_topk_ivfpq_residual"] = ORACLE_ANN_IVFPQ_RESIDUAL

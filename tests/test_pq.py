@@ -147,3 +147,32 @@ def test_trained_pq_memo_is_idempotent(spark):
     b = sorted(map(tuple, pq.pq_topk(q, emb, k=5, train_key=sf).collect()))
     pq._LUT_MEMO.clear()
     assert a == b and len(a) > 0
+
+
+def test_residual_ivfpq_beats_plain_on_fixture(spark):
+    """Residual encoding exists to claw back the resolution raw-vector
+    PQ wastes on the shared coarse offset; measured on the fixture it
+    must (a) at least match the non-residual variant's brute-force
+    recall and (b) clear an absolute floor. (0.26 vs 0.312 at last
+    measurement, sf0.01, k=3, same hamming-1 probes.)"""
+    from hha_spark.operators.pq import (
+        pq_topk_in_cells,
+        pq_topk_in_cells_residual,
+    )
+    from hha_spark.operators.similarity import cosine_topk
+    from hha_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") % 16 == 0)
+    bf = {(r.qid, r.cid) for r in cosine_topk(q, emb, k=3).collect()}
+    plain = {(r.qid, r.cid) for r in pq_topk_in_cells(q, emb, k=3).collect()}
+    res = {
+        (r.qid, r.cid)
+        for r in pq_topk_in_cells_residual(q, emb, k=3).collect()
+    }
+    r_plain = len(plain & bf) / len(bf)
+    r_res = len(res & bf) / len(bf)
+    assert r_res >= r_plain
+    assert r_res >= 0.25
