@@ -441,7 +441,11 @@ def pq_topk_in_cells_residual(
     qcells = queries.select(
         F.col(id_col).alias("qid"), F.explode(probes).alias("cell")
     )
-    qside = lut.join(qcells, on="qid").join(qcent, on=["qid", "cell"])
+    # every factor is |Q|-scale; broadcast the two smaller ones so the
+    # query-side assembly never sort-merges (plan-audited)
+    qside = lut.join(F.broadcast(qcells), on="qid").join(
+        F.broadcast(qcent), on=["qid", "cell"]
+    )
 
     # --- scoring: centroid term + M residual lookups ---------------
     score = F.expr(

@@ -41,6 +41,7 @@ HEADLINE = [
     "pretraining_corpus_selection",  # the capstone keep/drop decision
     "text_unigram_lm_score",         # head/tail skew-split vocab join
     "events_value_mad_outliers",     # median/MAD broadcast-stats joins
+    "ann_topk_ivfpq_residual",       # IVFADC: centroid dot + residual ADC
 ]
 
 

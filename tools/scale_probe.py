@@ -85,7 +85,11 @@ def probes(spark, k: int):
         minhash_signatures,
         with_token_set,
     )
-    from hha_spark.operators.pq import pq_topk, pq_topk_in_cells
+    from hha_spark.operators.pq import (
+        pq_topk,
+        pq_topk_in_cells,
+        pq_topk_in_cells_residual,
+    )
     from hha_spark.operators.semantic import semantic_prune
     from hha_spark.operators.sketch import (
         bloom_bits,
@@ -143,6 +147,10 @@ def probes(spark, k: int):
                       & (F.col("vec_id") < 1_000_000)), emb, k=5
         ),
         "ivfpq_topk": lambda: pq_topk_in_cells(
+            emb.where((F.col("vec_id") % 16 == 0)
+                      & (F.col("vec_id") < 1_000_000)), emb, k=3
+        ),
+        "ivfpq_residual": lambda: pq_topk_in_cells_residual(
             emb.where((F.col("vec_id") % 16 == 0)
                       & (F.col("vec_id") < 1_000_000)), emb, k=3
         ),
