@@ -854,3 +854,77 @@ ORACLE_ANN_IVFPQ_RESIDUAL = f"""
 
 QUERIES["ann_topk_ivfpq_residual"] = ann_topk_ivfpq_residual
 ORACLES["ann_topk_ivfpq_residual"] = ORACLE_ANN_IVFPQ_RESIDUAL
+
+
+RERANK_SHORTLIST = 8
+
+
+def ann_two_stage_rerank(spark, sf_dir):
+    """Two-stage retrieval — THE production ANN serving shape: the
+    compressed index (residual IVFADC) proposes a cheap shortlist of
+    8 candidates per query, then ONLY those pairs are re-scored with
+    the exact cosine kernel and cut to the final top-3. The expensive
+    exact math runs on |Q| x 8 pairs instead of |Q| x |corpus| — the
+    rerank cost is independent of corpus size, which is what makes
+    exact-quality results affordable behind a billion-vector index.
+
+    Plan: the shortlist plumbing is pq_topk_in_cells_residual
+    unchanged; rerank is two equi-joins attaching vectors to the
+    bounded pair set (cosine_pairs_for) + one per-query window.
+    """
+    from pyspark.sql import Window
+
+    from hha_spark.operators.pq import pq_topk_in_cells_residual
+    from hha_spark.operators.similarity import cosine_pairs_for
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 16 == 0)
+    shortlist = pq_topk_in_cells_residual(
+        q, emb, k=RERANK_SHORTLIST, coarse_bits=BITS
+    ).select("qid", "cid")
+    scored = cosine_pairs_for(shortlist, emb, a_col="qid", b_col="cid")
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
+# the shortlist oracle is the residual-IVFADC oracle with its final
+# cut widened from 3 to the shortlist size (single final WHERE)
+_SHORTLIST_SQL = ORACLE_ANN_IVFPQ_RESIDUAL.replace(
+    "WHERE rank <= 3", f"WHERE rank <= {RERANK_SHORTLIST}"
+)
+
+ORACLE_TWO_STAGE = f"""
+    WITH short AS (SELECT qid, cid FROM ({_SHORTLIST_SQL})),
+    el AS (
+      SELECT vec_id, i AS idx, embedding[i] AS v
+      FROM embeddings, range(1, {EMB_DIM} + 1) t(i)),
+    dots AS (
+      SELECT s.qid, s.cid, {{dot}} AS dot
+      FROM short s
+      JOIN el a ON a.vec_id = s.qid
+      JOIN el b ON b.vec_id = s.cid AND b.idx = a.idx
+      GROUP BY s.qid, s.cid),
+    norms AS (SELECT vec_id, {{norm}} AS norm_sq FROM el GROUP BY vec_id),
+    sims AS (
+      SELECT qid, cid,
+             dot / NULLIF(sqrt(qn.norm_sq) * sqrt(cn.norm_sq), 0) AS cosine
+      FROM dots JOIN norms qn ON qn.vec_id = qid
+                JOIN norms cn ON cn.vec_id = cid),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, cid) AS BIGINT)
+                 AS rank
+      FROM sims)
+    SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES["ann_two_stage_rerank"] = ann_two_stage_rerank
+ORACLES["ann_two_stage_rerank"] = ORACLE_TWO_STAGE.format(
+    dot=_DOT_SQL, norm=_NORM_SQL
+)

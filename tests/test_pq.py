@@ -176,3 +176,30 @@ def test_residual_ivfpq_beats_plain_on_fixture(spark):
     r_res = len(res & bf) / len(bf)
     assert r_res >= r_plain
     assert r_res >= 0.25
+
+
+def test_two_stage_rerank_beats_single_stage(spark):
+    """Exact rerank of the IVFADC shortlist must dominate the raw
+    IVFADC cut (it re-orders with exact math over a superset) —
+    measured 0.469 vs 0.312 vs 0.26 (two-stage / residual / plain)
+    at sf0.01, k=3."""
+    import __spark_entry__ as e
+    from hha_spark.operators.pq import pq_topk_in_cells_residual
+    from hha_spark.operators.similarity import cosine_topk
+    from hha_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") % 16 == 0)
+    bf = {(r.qid, r.cid) for r in cosine_topk(q, emb, k=3).collect()}
+    res = {
+        (r.qid, r.cid)
+        for r in pq_topk_in_cells_residual(q, emb, k=3).collect()
+    }
+    two = {
+        (r.qid, r.cid)
+        for r in e.queries()["ann_two_stage_rerank"](spark, sf).collect()
+    }
+    assert len(two & bf) / len(bf) >= len(res & bf) / len(bf)
+    assert len(two & bf) / len(bf) >= 0.4
