@@ -13,20 +13,21 @@ O(M).
 Deterministic decomposition (same discipline as operators/semantic.py
 — no reference analogue; the reference engine has no embedding ops):
 
-  * codebook cells: sign bits of each subspace's first two components
-    (4 cells/subspace) — the reproducible stand-in for per-subspace
-    k-means (the trained path lives in operators/ivf.py);
+  * codebook cells: sign bits of all D_SUB subspace components
+    (256 cells/subspace = the canonical 1-byte PQ code) — the
+    reproducible stand-in for per-subspace k-means (the trained path
+    lives in operators/ivf.py);
   * codebook vectors: per-(subspace, cell) element-wise sums of
     micro-unit-quantized components (one skinny BIGINT shuffle);
   * per-query lookup table: dot(query_sub, cell_sum) // cell_count —
     an EXACT integer floor-division (divisibility forced by
     subtracting the Python-style modulus first, so Spark's truncating
     `div` and DuckDB's flooring `//` agree on any sign);
-  * pair scoring: broadcast the |Q| x (M*4) LUT, fold M array lookups
-    per candidate — a narrow codegen'd map over the candidate scan,
-    no per-pair shuffle.
+  * pair scoring: broadcast the |Q| x (M*CELLS) LUT, fold M array
+    lookups per candidate — a narrow codegen'd map over the candidate
+    scan, no per-pair shuffle.
 
-Scale: the LUT is |queries| x M x 4 longs and broadcasts; candidates
+Scale: the LUT is |queries| x M x CELLS longs and broadcasts; candidates
 stream through one projection. At 100 TB compose with the IVF coarse
 quantizer (operators/ivf.py) so each query scores only its probed
 cells' candidates — PQ compresses the residual scoring, IVF bounds
