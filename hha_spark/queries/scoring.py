@@ -253,3 +253,51 @@ ORACLE_QUALITY_PCTL = f"""
 
 QUERIES["quality_percentile_by_source"] = quality_percentile_by_source
 ORACLES["quality_percentile_by_source"] = ORACLE_QUALITY_PCTL
+
+
+def corpus_dedup_rate_by_source(spark, sf_dir):
+    """Per-source duplication dashboard — the number every crawl
+    triage meeting asks for: how many of each source's documents are
+    exact duplicates (corpus-wide, by content fingerprint), and how
+    many distinct contents the source actually contributes. High dup
+    rate -> fix the crawler or drop the source before paying for
+    near-dup passes.
+
+    One shuffle for the fingerprint group size (window over the md5
+    key), one map-side-combinable rollup per source. Group size is
+    corpus-wide on purpose: a doc duplicated ACROSS sources counts as
+    duplicated in both — that is what the downstream keep-one pass
+    will see.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    ).withColumn(
+        "grp_size", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("grp_size") > 1).cast("long")).cast("long")
+        .alias("n_dup_docs"),
+        F.countDistinct("fp").cast("long").alias("n_unique_fp"),
+    )
+
+
+ORACLE_DEDUP_RATE = """
+    WITH fp AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS grp_size
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN grp_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fp
+    FROM fp GROUP BY source
+"""
+
+
+QUERIES["corpus_dedup_rate_by_source"] = corpus_dedup_rate_by_source
+ORACLES["corpus_dedup_rate_by_source"] = ORACLE_DEDUP_RATE
