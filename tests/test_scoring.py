@@ -149,3 +149,33 @@ def test_snapshot_diff_statuses(spark):
     )
     n = len(rows)
     assert n == len(set(r["doc_id"] for r in rows))  # one row per doc
+
+
+def test_dedup_rate_by_source_hand_computed(spark, tmp_path):
+    """Corpus-wide group sizes attributed per source: a dup spanning
+    two sources counts as duplicated in both."""
+    import os
+    from hha_spark.queries.scoring import corpus_dedup_rate_by_source
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "same text"),
+            (2, "s1", "same text"),
+            (3, "s2", "same text"),
+            (4, "s2", "unique a"),
+            (5, "s2", "unique b"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    docs.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = {
+        r["source"]: r
+        for r in corpus_dedup_rate_by_source(spark, str(tmp_path)).collect()
+    }
+    assert (out["s1"]["n_docs"], out["s1"]["n_dup_docs"],
+            out["s1"]["n_unique_fp"]) == (2, 2, 1)
+    # doc 3 duplicates s1's content -> counted duplicated in s2 too
+    assert (out["s2"]["n_docs"], out["s2"]["n_dup_docs"],
+            out["s2"]["n_unique_fp"]) == (3, 1, 3)
