@@ -301,3 +301,87 @@ ORACLE_DEDUP_RATE = """
 
 QUERIES["corpus_dedup_rate_by_source"] = corpus_dedup_rate_by_source
 ORACLES["corpus_dedup_rate_by_source"] = ORACLE_DEDUP_RATE
+
+
+DOD_NUM, DOD_DEN = 3, 2  # day-over-day spike: today >= 1.5x yesterday
+DOC_BIN = 50
+
+
+def events_day_over_day(spark, sf_dir):
+    """Day-over-day volume monitoring per event type: daily counts,
+    yesterday's count alongside (LAG over the per-type day series),
+    and an integer cross-multiplied spike flag (today*2 >= prev*3,
+    i.e. >= 1.5x growth) — the trend gate a pipeline dashboard pages
+    on. Event days come from the TZ-independent epoch-microsecond
+    extraction (sources/tables.py::events_ts_us), so the day boundary
+    is identical on any host timezone.
+
+    Shape: one map-side-combinable (type, day) count, then a window
+    over the tiny per-type day series — the wide work is one
+    aggregate of the fact scan; the LAG runs on aggregated rows.
+    """
+    from pyspark.sql import Window
+
+    from hha_spark.sources.tables import events_ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        (events_ts_us(ev) / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type", "day", "n",
+        F.lag("n").over(w).alias("prev_n"),
+    ).withColumn(
+        "spike",
+        F.coalesce(
+            F.col("n") * F.lit(DOD_DEN) >= F.col("prev_n") * F.lit(DOD_NUM),
+            F.lit(False),
+        ),
+    )
+
+
+ORACLE_DAY_OVER_DAY = f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, day, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+      FROM daily)
+    SELECT event_type, day, n, prev_n,
+           COALESCE(n * {DOD_DEN} >= prev_n * {DOD_NUM}, FALSE) AS spike
+    FROM lagged
+"""
+
+
+def doc_length_histogram(spark, sf_dir):
+    """Fixed-width document-length histogram per source — the
+    at-a-glance distribution check behind every length-filter
+    decision (truncation cliffs, bot-generated spikes, empty-doc
+    pileups all show up as bin anomalies). FLOOR bin edges are
+    cross-engine deterministic; one combinable aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "source",
+        F.expr(f"CAST(FLOOR(n_chars / {DOC_BIN}) AS BIGINT)").alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+ORACLE_DOC_LENGTH_HIST = f"""
+    SELECT source,
+           CAST(FLOOR(n_chars / {DOC_BIN}) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+"""
+
+
+QUERIES["events_day_over_day"] = events_day_over_day
+ORACLES["events_day_over_day"] = ORACLE_DAY_OVER_DAY
+QUERIES["doc_length_histogram"] = doc_length_histogram
+ORACLES["doc_length_histogram"] = ORACLE_DOC_LENGTH_HIST
