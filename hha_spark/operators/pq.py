@@ -78,8 +78,8 @@ def pq_codebook(emb: DataFrame, *, id_col: str = "vec_id",
     """(m, cell, idx, s, n): per-subspace-cell component sums + sizes.
 
     One narrow explode -> one skinny groupBy (BIGINT keys/values,
-    partial aggregation). 32 cells x D_SUB rows total — broadcastable
-    regardless of corpus size.
+    partial aggregation). At most M_SUB x CELLS x D_SUB = 16 Ki rows
+    total — broadcastable regardless of corpus size.
     """
     base = emb.select(
         F.transform(
@@ -172,9 +172,16 @@ def trained_query_lut(
     queries: DataFrame, candidates: DataFrame, *,
     id_col: str = "vec_id", vec_col: str = "embedding",
     train_key: str | None = None,
+    query_key: str | None = None,
 ) -> DataFrame:
     """(qid, lut) ADC table, memoized across queries when `train_key`
-    (an identifier for the input data, e.g. the sf_dir) is given.
+    (an identifier for the CANDIDATE data, e.g. the sf_dir) AND
+    `query_key` (an identifier for the QUERY set, e.g. the predicate
+    string) are both given. The cached rows depend on both inputs, so
+    both must be in the memo key — a train_key alone would silently
+    serve one call's LUT to a caller with a different query predicate
+    or columns. Passing train_key without query_key disables the memo
+    (trains fresh every call) rather than risking a stale hit.
 
     Hit or miss, the returned frame is a LocalTableScan of collected
     exact-integer rows — the ideal broadcast side (no shuffle subplan
@@ -193,7 +200,11 @@ def trained_query_lut(
     from the hot path.
     """
     spark = queries.sparkSession
-    key = (train_key, M_SUB, CELLS, D_SUB) if train_key is not None else None
+    key = (
+        (train_key, query_key, id_col, vec_col, M_SUB, CELLS, D_SUB)
+        if train_key is not None and query_key is not None
+        else None
+    )
     if key is not None and key in _LUT_MEMO:
         return spark.createDataFrame(_LUT_MEMO[key], _LUT_SCHEMA)
     cb = pq_codebook(candidates, id_col=id_col, vec_col=vec_col)
@@ -250,7 +261,8 @@ def _train_lut_rows(queries: DataFrame, codebook: DataFrame, *,
 
 def pq_topk(queries: DataFrame, candidates: DataFrame, *, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            train_key: str | None = None) -> DataFrame:
+            train_key: str | None = None,
+            query_key: str | None = None) -> DataFrame:
     """(qid, cid, score, rank): ADC top-k per query.
 
     Candidates carry only their M codes; the broadcast LUT turns pair
@@ -261,7 +273,7 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, *, k: int = 5,
     """
     lut = trained_query_lut(
         queries, candidates, id_col=id_col, vec_col=vec_col,
-        train_key=train_key,
+        train_key=train_key, query_key=query_key,
     )
     cand = candidates.select(
         F.col(id_col).alias("cid"), subspace_codes(vec_col).alias("codes")
@@ -286,7 +298,8 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, *, k: int = 5,
 def pq_topk_in_cells(queries: DataFrame, candidates: DataFrame, *, k: int = 3,
                      coarse_bits: int = 4, id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     train_key: str | None = None) -> DataFrame:
+                     train_key: str | None = None,
+                     query_key: str | None = None) -> DataFrame:
     """IVF x PQ: the billion-scale composition.
 
     The coarse quantizer (sign-bit cells, operators/semantic.py —
@@ -303,7 +316,7 @@ def pq_topk_in_cells(queries: DataFrame, candidates: DataFrame, *, k: int = 3,
 
     lut = trained_query_lut(
         queries, candidates, id_col=id_col, vec_col=vec_col,
-        train_key=train_key,
+        train_key=train_key, query_key=query_key,
     )
     # multi-probe: each query searches its own cell plus every
     # hamming-1 neighbor (flip one coarse bit) — the standard IVF

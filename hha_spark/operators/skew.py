@@ -62,40 +62,6 @@ def salted_join(
     salt_buckets: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-resistant equi-join: salt the big side, replicate the
-    small side across every salt bucket, join on (keys + salt).
-
-    A hot join key concentrates all its probe rows in one reducer
-    under a plain shuffle join; AQE's skew splitting handles most
-    cases at runtime, but when the small side fits in memory per
-    bucket and the hot keys are not known in advance, explicit
-    salting gives a deterministic plan with per-reducer load bounded
-    by 1/salt_buckets of the hot key. Row-identical to the plain
-    join (each big row meets each matching small row exactly once —
-    the replica with its own salt value).
-
-    The replicated small side costs |small| × salt_buckets rows;
-    keep it for genuinely small dimensions (the broadcast-join
-    alternative needs the whole small side per executor; salting
-    needs it only per shuffle partition, spread across the cluster).
-    """
-    salted_big = big.withColumn(
-        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), salt_buckets)
-    )
-    replicated = small.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
-    )
-    return salted_big.join(replicated, on=[*on, "_salt"], how=how).drop("_salt")
-
-
-def salted_join(
-    big: DataFrame,
-    small: DataFrame,
-    *,
-    on: Sequence[str],
-    salt_buckets: int = 16,
-    how: str = "inner",
-) -> DataFrame:
     """Skew-proof equi-join: salt the big side, replicate the small.
 
     A hot join key sends its whole volume to one task in a plain

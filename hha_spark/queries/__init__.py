@@ -55,33 +55,41 @@ _MODULES = (
 )
 
 # Order is the driver's verification window: it oracle-checks the FIRST
-# 50 names yielded. Rounds 1-3 checked 71 of the registry
-# (CORRECTNESS_r01-03); this list front-loads every query that has
-# NEVER had a driver correctness row (union of those files, registry
-# order — flagship llm_ops first, then temporal/corpus/relational6-7)
-# so round 4 converts them to driver-verified. Names here that fall
-# out of the registry are ignored defensively; queries not listed
-# follow in module order. Policy: COVERAGE.md "Registry rotation".
+# 50 names yielded. Round-5 rotation (cumulative after r1-r4: 121/149
+# checked, 118 green): positions 1-28 are the 28 queries that have
+# NEVER earned a driver correctness row; 29-31 are the three round-4
+# reds whose oracles were HUGEINT-typed (fixed this round — CAST AS
+# BIGINT, see VERDICT r4 "What's wrong #1"); 32-33 are this round's new
+# gates (stream-stream attribution join, salted skew join); 34-50 are
+# high-value re-confirmations last verified in r1-r3 (reference spike
+# core + flagship dedup/text). Names here that fall out of the registry
+# are ignored defensively; queries not listed follow in module order.
+# Policy: COVERAGE.md "Registry rotation".
 _NEVER_CHECKED_FIRST = (
-    "dedup_incremental", "dedup_simhash_pairs", "dedup_graph_pagerank",
-    "dedup_quality_survivors", "dedup_clusters", "dedup_clusters_star",
-    "dedup_graph_triangles", "doc_token_count_map", "text_normalize",
-    "doc_chunking", "doc_packing_bins", "ann_topk_ivf_trained",
-    "ann_ivf_recall", "dedup_embedding_lsh", "embedding_hof_features",
-    "benchmark_contamination", "text_repetition", "stream_dedup_incremental",
-    "events_decayed_activity", "events_resample_daily", "events_funnel",
-    "scd2_user_event_history", "hll_daily_users_merge",
-    "events_hourly_to_daily", "events_sliding_7day", "user_retention_cohorts",
-    "weekly_revenue_growth", "user_activity_streaks", "corpus_dup_spans",
-    "corpus_source_overlap", "corpus_pii_scrub", "corpus_mixture_weights",
-    "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q13_order_distribution", "q15_top_supplier",
-    "q19_disjunctive_revenue", "copurchase_part_pairs",
-    "nation_revenue_share", "null_semantics_suite", "top_status_per_flag",
-    "q2_min_cost_supplier", "q11_important_stock",
-    "q16_supplier_relationship", "q20_promotion_suppliers",
-    "region_pair_matrix", "part_name_fuzzy_pairs", "lineitem_price_deciles",
-    "dq_orders_report",
+    # -- 28 never driver-checked --
+    "stream_spike_alerts", "stream_events_windowed", "dq_orders_report",
+    "semantic_prune_cells", "corpus_boilerplate", "ann_topk_pq",
+    "ann_topk_ivfpq", "ann_pq_recall", "corpus_importance_resample",
+    "ann_hard_negatives", "dedup_text_embedding_drift",
+    "pretraining_corpus_selection", "corpus_global_shuffle",
+    "corpus_snapshot_diff", "ann_topk_ivfpq_residual", "ann_two_stage_rerank",
+    "cms_heavy_tokens", "bloom_join_prune", "quality_classifier_keep",
+    "events_zorder_keys", "text_unigram_lm_score",
+    "corpus_source_token_divergence", "events_value_mad_outliers",
+    "bpe_merge_candidates", "quality_percentile_by_source",
+    "corpus_dedup_rate_by_source", "events_day_over_day",
+    "doc_length_histogram",
+    # -- 3 round-4 reds, oracle CASTs fixed this round --
+    "doc_packing_bins", "embedding_hof_features", "events_decayed_activity",
+    # -- round-5 new gates --
+    "stream_attribution_join", "events_salted_join",
+    # -- 17 re-confirmations (r1-r3 greens worth a fresh row) --
+    "spike_events_compare", "spike_events_alerts", "spike_events_net_rollup",
+    "spike_events_gated", "q1_pricing_summary", "dedup_exact_docs",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_minhash_recall",
+    "multimodal_blob_stats", "text_langid", "text_quality",
+    "text_stats_docs", "doc_fingerprint", "text_token_count",
+    "ann_topk_cosine", "corpus_vocabulary",
 )
 
 

@@ -141,7 +141,8 @@ def ann_topk_pq(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(
-        emb.where(F.col("vec_id") % 16 == 0), emb, k=5, train_key=sf_dir
+        emb.where(F.col("vec_id") % 16 == 0), emb, k=5, train_key=sf_dir,
+        query_key="vec_id%16==0",
     )
 
 
@@ -206,7 +207,7 @@ def ann_topk_ivfpq(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk_in_cells(
         emb.where(F.col("vec_id") % 16 == 0), emb, k=3, coarse_bits=BITS,
-        train_key=sf_dir,
+        train_key=sf_dir, query_key="vec_id%16==0",
     )
 
 
@@ -275,7 +276,9 @@ def ann_pq_recall(spark, sf_dir):
     emb = tracked_persist(load_table(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") % 16 == 0)
     exact = cosine_topk(queries, emb, k=5).select("qid", "cid")
-    pq = pq_topk(queries, emb, k=5, train_key=sf_dir).select(
+    pq = pq_topk(
+        queries, emb, k=5, train_key=sf_dir, query_key="vec_id%16==0"
+    ).select(
         "qid", "cid", F.lit(1).alias("found")
     )
     joined = exact.join(pq, on=["qid", "cid"], how="left")

@@ -1117,12 +1117,12 @@ def embedding_hof_features(spark, sf_dir):
 
 ORACLE_HOF = f"""
     SELECT vec_id,
-           list_aggregate(list_transform(embedding, v ->
+           CAST(list_aggregate(list_transform(embedding, v ->
              CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
-                        * {_Q}) AS BIGINT)), 'sum') AS self_dot_q,
-           list_aggregate(list_transform(embedding, v ->
+                        * {_Q}) AS BIGINT)), 'sum') AS BIGINT) AS self_dot_q,
+           CAST(list_aggregate(list_transform(embedding, v ->
              CAST(FLOOR(ABS(CAST(v AS DOUBLE)) * {_Q}) AS BIGINT)), 'sum')
-               AS l1_q,
+               AS BIGINT) AS l1_q,
            CAST(len(list_filter(embedding, v -> v > 0)) AS BIGINT) AS n_pos,
            len(list_filter(embedding, v -> ABS(v) > 0.3)) > 0 AS has_big,
            array_to_string(list_transform(embedding[1:3], v ->
@@ -1543,10 +1543,10 @@ ORACLE_PACKING = f"""
       FROM documents),
     binned AS (
       SELECT source, n_tokens,
-             (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW) - n_tokens)
-               // {PACK_CAPACITY} AS bin_id
+             CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) - n_tokens)
+                  // {PACK_CAPACITY} AS BIGINT) AS bin_id
       FROM toks)
     SELECT source, bin_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

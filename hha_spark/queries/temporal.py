@@ -571,7 +571,7 @@ ORACLE_DECAYED = f"""
                         * POW({DECAY_NUM / DECAY_DEN}, k.k)
                         * {DECAY_Q}) AS BIGINT) AS term_q
       FROM daily, (SELECT unnest(range({DECAY_HORIZON_DAYS})) AS k) k)
-    SELECT user_id, day_idx, SUM(term_q) AS decayed_q
+    SELECT user_id, day_idx, CAST(SUM(term_q) AS BIGINT) AS decayed_q
     FROM scattered GROUP BY user_id, day_idx
 """
 

@@ -127,10 +127,38 @@ def test_trained_lut_numpy_matches_pipeline(spark):
     pq._LUT_MEMO.clear()
     trained = {
         r["qid"]: list(r["lut"])
-        for r in pq.trained_query_lut(q, emb, train_key=sf).collect()
+        for r in pq.trained_query_lut(
+            q, emb, train_key=sf, query_key="mod16"
+        ).collect()
     }
     pq._LUT_MEMO.clear()
     assert trained == pipeline and len(trained) > 0
+
+
+def test_trained_lut_memo_keyed_by_query_set(spark):
+    """Regression for the round-4 ADVICE: the memo must never serve
+    one query set's LUT to a caller with a different query predicate.
+    Same train_key + different query_key => different (correct) LUTs;
+    train_key without query_key must not memoize at all."""
+    import hha_spark.operators.pq as pq
+    from hha_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q16 = emb.where(F.col("vec_id") % 16 == 0)
+    q7 = emb.where(F.col("vec_id") % 16 == 7)
+    pq._LUT_MEMO.clear()
+    a = {r["qid"] for r in pq.trained_query_lut(
+        q16, emb, train_key=sf, query_key="mod16=0").collect()}
+    b = {r["qid"] for r in pq.trained_query_lut(
+        q7, emb, train_key=sf, query_key="mod16=7").collect()}
+    assert len(pq._LUT_MEMO) == 2  # distinct entries, no collision
+    assert a and b and a.isdisjoint(b)  # second call trained fresh
+    n_before = len(pq._LUT_MEMO)
+    pq.trained_query_lut(q16, emb, train_key=sf)  # no query_key
+    assert len(pq._LUT_MEMO) == n_before  # memo untouched
+    pq._LUT_MEMO.clear()
 
 
 def test_trained_pq_memo_is_idempotent(spark):
@@ -143,8 +171,10 @@ def test_trained_pq_memo_is_idempotent(spark):
     emb = load_table(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") % 16 == 0)
     pq._LUT_MEMO.clear()
-    a = sorted(map(tuple, pq.pq_topk(q, emb, k=5, train_key=sf).collect()))
-    b = sorted(map(tuple, pq.pq_topk(q, emb, k=5, train_key=sf).collect()))
+    a = sorted(map(tuple, pq.pq_topk(
+        q, emb, k=5, train_key=sf, query_key="mod16").collect()))
+    b = sorted(map(tuple, pq.pq_topk(
+        q, emb, k=5, train_key=sf, query_key="mod16").collect()))
     pq._LUT_MEMO.clear()
     assert a == b and len(a) > 0
 

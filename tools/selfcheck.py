@@ -55,6 +55,68 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+# DuckDB result types the driver's pandas bridge handles identically to
+# Spark's toPandas(). Anything else (HUGEINT, DECIMAL, UBIGINT, ...) can
+# materialize as a different pandas dtype than the Spark side (e.g.
+# HUGEINT -> float64 vs Spark int64), which passes a value-normalized
+# compare but fails the driver's raw value hash — the exact class behind
+# the three round-4 reds. Fail loudly here instead.
+_ALLOWED_DUCK_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "DOUBLE",
+    "FLOAT",
+    "VARCHAR",
+    "BOOLEAN",
+    "DATE",
+    "TIMESTAMP",
+    "TIMESTAMP WITH TIME ZONE",
+}
+
+
+def _dtype_kind(dtype) -> str:
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "object"
+
+
+def strictness_problems(
+    duck_types: list[tuple[str, str]],
+    spark_pdf: pd.DataFrame,
+    duck_pdf: pd.DataFrame,
+) -> list[str]:
+    """Driver-replica strictness: (1) every oracle column's DuckDB type
+    must be in the allowed set, (2) the pandas dtype KIND of each column
+    must agree between the Spark and DuckDB frames. Either violation
+    means the driver's value-hash can diverge on equal values."""
+    problems = []
+    for col, t in duck_types:
+        if t.upper() not in _ALLOWED_DUCK_TYPES:
+            problems.append(
+                f"oracle column {col!r} has DuckDB type {t} — "
+                f"CAST it to one of {sorted(_ALLOWED_DUCK_TYPES)}"
+            )
+    for c in spark_pdf.columns:
+        if c not in duck_pdf.columns:
+            continue
+        ka, kb = _dtype_kind(spark_pdf[c].dtype), _dtype_kind(duck_pdf[c].dtype)
+        if ka != kb:
+            problems.append(
+                f"dtype kind mismatch on {c!r}: spark={spark_pdf[c].dtype} "
+                f"({ka}) vs duck={duck_pdf[c].dtype} ({kb}) — driver hash "
+                f"would diverge on equal values"
+            )
+    return problems
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
@@ -126,12 +188,15 @@ def main() -> int:
             print(f"SKIP  {name}: no oracle (rows-only check: {len(spark_pdf)} rows)")
             continue
         try:
-            duck_pdf = con.execute(oracles[name]).fetchdf()
+            rel = con.sql(oracles[name])
+            duck_types = list(zip(rel.columns, [str(t) for t in rel.types]))
+            duck_pdf = rel.fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             failures += 1
             continue
-        problems = compare(name, spark_pdf, duck_pdf)
+        problems = strictness_problems(duck_types, spark_pdf, duck_pdf)
+        problems += compare(name, spark_pdf, duck_pdf)
         if problems:
             print(f"FAIL  {name} ({len(spark_pdf)} rows):")
             for p in problems:
