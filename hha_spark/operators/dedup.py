@@ -330,22 +330,27 @@ def lsh_candidate_pairs(
     """LSH banding: docs sharing any band key become candidate pairs.
 
     Shape: ONE shuffle. Each (band, key) bucket's member ids are
-    gathered with collect_list (memory bounded by the cap check
-    applied to the same list) and the bucket's pairs are generated
-    IN-ROW by a nested array transform — no ok-bucket count+join, no
-    self-join, no second exchange of the banded frame. Earlier form
-    (count → semi-join → self-equi-join) planned 6 exchanges with no
-    reuse; this one plans the groupBy plus the final cross-band
-    distinct. Buckets larger than `max_bucket` are skipped entirely
-    (see MAX_LSH_BUCKET) — the size gate also bounds the per-bucket
-    list at cap elements, so the wide row never exceeds
+    gathered BOUNDED (operators/buckets.py: a pre-gather row_number
+    prune caps every aggregation buffer at max_bucket + 1 elements, so
+    a degenerate boilerplate bucket spills sort I/O instead of
+    materializing a multi-million-id array in one buffer row) and the
+    bucket's pairs are generated IN-ROW by a nested array transform —
+    no ok-bucket count+join, no self-join, no second exchange of the
+    banded frame (the groupBy reuses the window's hash partitioning).
+    Earlier form (count → semi-join → self-equi-join) planned 6
+    exchanges with no reuse. Buckets larger than `max_bucket` gather
+    exactly max_bucket + 1 ids and are skipped by the size gate
+    (see MAX_LSH_BUCKET), so the wide row never exceeds
     cap*(cap-1)/2 id pairs (~2k structs at 64).
     """
+    from hha_spark.operators.buckets import capped_bucket_gather
+
     banded = band_keys(
         sigs, bands=bands, rows_per_band=rows_per_band, id_col=id_col
     )
-    buckets = banded.groupBy("band", "key").agg(
-        F.collect_list(id_col).alias("ids")
+    buckets = capped_bucket_gather(
+        banded, keys=("band", "key"), order_col=id_col, payload=id_col,
+        cap=max_bucket,
     )
     pair_gen = F.expr(
         "flatten(transform(ids, (x, i) -> "
@@ -379,8 +384,9 @@ def incremental_lsh_pairs(
 
     At 100 TB the corpus band table is a precomputed, (band, key)-
     bucketed stored table — here materialized as one ROW PER BUCKET
-    with the member ids gathered (capped, so each row holds at most
-    `max_bucket` ids): the batch's band keys equi-join against it and
+    with the member ids gathered bounded (operators/buckets.py caps
+    the aggregation buffer itself at max_bucket + 1 ids, not just the
+    emitted row): the batch's band keys equi-join against it and
     the matches explode in-row, so the corpus pays exactly one
     aggregation and the join never re-shuffles bucket members. The
     bucket cap is computed over CORPUS buckets — a boilerplate bucket
@@ -392,15 +398,16 @@ def incremental_lsh_pairs(
     newb = band_keys(
         new_sigs, bands=bands, rows_per_band=rows_per_band, id_col=id_col
     ).select(F.col(id_col).alias("doc_id_new"), "band", "key")
-    corp_buckets = (
+    from hha_spark.operators.buckets import capped_bucket_gather
+
+    corp_buckets = capped_bucket_gather(
         band_keys(
             corpus_sigs, bands=bands, rows_per_band=rows_per_band,
             id_col=id_col,
-        )
-        .groupBy("band", "key")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .where(F.size("ids") <= F.lit(max_bucket))
-    )
+        ),
+        keys=("band", "key"), order_col=id_col, payload=id_col,
+        cap=max_bucket,
+    ).where(F.size("ids") <= F.lit(max_bucket))
     return (
         newb.join(corp_buckets, on=["band", "key"])
         .select("doc_id_new", F.explode("ids").alias("doc_id_corpus"))
@@ -473,9 +480,12 @@ def simhash_near_pairs(
     (id, simhash) members, and the pair generation + popcount verify
     run IN-ROW over the gathered list (same single-shuffle
     restructure as lsh_candidate_pairs; template-heavy buckets are
-    dropped by the cap, which also bounds the gathered row). Returns
+    dropped by the cap, and the gather itself is buffer-bounded at
+    max_bucket + 1 members via operators/buckets.py). Returns
     (doc_id_a, doc_id_b, hamming), a < b, distinct.
     """
+    from hha_spark.operators.buckets import capped_bucket_gather
+
     blocks = max_hamming + 1
     width = bits // blocks
     mask = (1 << width) - 1
@@ -489,10 +499,10 @@ def simhash_near_pairs(
     exploded = hashes.select(
         F.col(id_col), F.col(sim_col), F.explode(F.array(*block_structs)).alias("bk")
     ).select(id_col, sim_col, F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"))
-    buckets = exploded.groupBy("blk", "val").agg(
-        F.collect_list(
-            F.struct(F.col(id_col).alias("id"), F.col(sim_col).alias("sim"))
-        ).alias("ms")
+    buckets = capped_bucket_gather(
+        exploded, keys=("blk", "val"), order_col=id_col,
+        payload=F.struct(F.col(id_col).alias("id"), F.col(sim_col).alias("sim")),
+        cap=max_bucket, out_col="ms",
     )
     pair_gen = F.expr(
         "flatten(transform(ms, (x, i) -> "

@@ -271,12 +271,17 @@ def hyperplane_candidate_pairs(
     Returns distinct (vec_id_a < vec_id_b) pairs.
 
     Single-shuffle shape (same restructure as dedup.lsh_candidate_pairs):
-    bucket members gather via collect_list — memory bounded by the cap
-    gate on the same list — and pairs generate in-row via a nested
+    bucket members gather BOUNDED via operators/buckets.py — the
+    aggregation buffer itself never exceeds max_bucket + 1 ids, so a
+    degenerate bucket spills sort I/O rather than materializing its
+    full membership — and pairs generate in-row via a nested
     transform, replacing the count+semi-join+self-join plan's three
     exchanges of the banded frame with one."""
-    buckets = bands.groupBy("band", "band_val").agg(
-        F.collect_list(id_col).alias("ids")
+    from hha_spark.operators.buckets import capped_bucket_gather
+
+    buckets = capped_bucket_gather(
+        bands, keys=("band", "band_val"), order_col=id_col,
+        payload=id_col, cap=max_bucket,
     )
     pair_gen = F.expr(
         "flatten(transform(ids, (x, i) -> "

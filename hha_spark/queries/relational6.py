@@ -432,16 +432,26 @@ def copurchase_part_pairs(spark, sf_dir):
     quadratic blowup into |orders| x cap²).
 
     Single-shuffle-per-stage shape (same restructure as the LSH band
-    pairing): one combinable collect_set gathers each basket, the cap
-    filters ON the gathered array, and pairs generate IN-ROW with a
-    sorted slice/transform — no distinct pre-shuffle, no self-join
-    re-shuffle, no persisted intermediate. Two exchanges total
-    (basket gather, pair aggregate), each on a bounded-width key.
+    pairing): one bounded collect_set gathers each basket
+    (operators/buckets.py dense_rank prune — the set buffer never
+    holds more than BASKET_CAP + 1 distinct parts, so a degenerate
+    mega-order spills sort I/O instead of materializing its part
+    array), the cap filters the gathered array, and pairs generate
+    IN-ROW with a sorted slice/transform — no distinct pre-shuffle,
+    no self-join re-shuffle, no persisted intermediate. Two exchanges
+    total (basket gather, pair aggregate), each on a bounded-width
+    key.
     """
+    from hha_spark.operators.buckets import capped_bucket_gather
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        capped_bucket_gather(
+            li, keys=("l_orderkey",), order_col="l_partkey",
+            payload="l_partkey", cap=BASKET_CAP, out_col="parts",
+            distinct=True,
+        )
+        .select("l_orderkey", F.array_sort("parts").alias("parts"))
         .where(F.size("parts") <= BASKET_CAP)
     )
     pairs = baskets.select(
