@@ -312,6 +312,12 @@ def cosine_topk(
     form (cosine_pairs_arrow — bit-identical to the expression twin,
     pinned by test_similarity.py) since top-k's bounded query side is
     exactly the shape it wants.
+
+    EAGER-COLLECT CONTRACT (inherited from cosine_pairs_arrow):
+    constructing this DataFrame runs a distributed job collecting the
+    query side to the driver — plan building is not free. Query sides
+    above MAX_ARROW_QUERIES automatically fall back to the fully lazy
+    expression kernel instead.
     """
     sims = cosine_pairs_arrow(
         queries, candidates, id_col=id_col, vec_col=vec_col
@@ -325,6 +331,44 @@ def cosine_topk(
 
 
 MAX_ARROW_QUERIES = 65536  # collected query side must stay driver-sized
+
+
+def _cosine_pairs_fallback(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    passthrough: tuple[str, ...],
+) -> DataFrame:
+    """Lazy expression-kernel twin of cosine_pairs_arrow's output
+    (same columns incl. passthrough) for query sides above the Arrow
+    cap. Bit-identical arithmetic (test_similarity.py pins the two
+    kernels equal), fully lazy, no driver matrix."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv"),
+        *passthrough,
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "qid",
+            "cid",
+            (
+                dot_scaled(F.col("__qv"), F.col("__cv"))
+                / F.nullif(
+                    F.sqrt(norm_sq_scaled(F.col("__qv")))
+                    * F.sqrt(norm_sq_scaled(F.col("__cv"))),
+                    F.lit(0.0),
+                )
+            ).alias("cosine"),
+            *passthrough,
+        )
+    )
 
 
 def cosine_pairs_arrow(
@@ -353,16 +397,27 @@ def cosine_pairs_arrow(
     vectors yield NULL cosine (the nullif contract), emitted as
     proper nulls via an object-dtype column.
 
+    EAGER-COLLECT CONTRACT: the query side is collected at
+    DataFrame-CONSTRUCTION time (the closure must hold the matrix when
+    mapInPandas pickles it), so building this plan triggers a
+    distributed job — unlike every other operator in this package.
+    Callers that only want a plan (explain/audit tooling) should use
+    cosine_pairs. If the query side exceeds MAX_ARROW_QUERIES the
+    function FALLS BACK to the bit-identical lazy expression kernel
+    (cosine_pairs) rather than raising — oversized query sets lose the
+    Arrow speedup, never the answer.
+
     `passthrough` names candidate-side columns copied onto every
     output row (saves a re-join against a big candidate table).
     Output: (qid, cid, cosine [, passthrough...]).
     """
-    qrows = queries.select(id_col, vec_col).collect()
+    # limit cap+1: detects overflow without materializing an unbounded
+    # query set on the driver
+    qrows = queries.select(id_col, vec_col).limit(MAX_ARROW_QUERIES + 1).collect()
     if len(qrows) > MAX_ARROW_QUERIES:
-        raise ValueError(
-            f"query side has {len(qrows)} rows; cosine_pairs_arrow "
-            f"broadcasts it via closure and caps at {MAX_ARROW_QUERIES} "
-            "— pre-prune with IVF/LSH first"
+        return _cosine_pairs_fallback(
+            queries, candidates, id_col=id_col, vec_col=vec_col,
+            passthrough=passthrough,
         )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)  # m×dim

@@ -192,3 +192,27 @@ def test_arrow_pairs_bitwise_equal_expression_twin(spark):
     assert all(b[(qid, 90001)][0] is None for qid, cid in b if cid == 90001)
     labels = {r.vec_id: r.label for r in emb.collect()}
     assert all(b[k][1] == labels[k[1]] for k in b)
+
+
+def test_arrow_kernel_falls_back_above_query_cap(spark, monkeypatch):
+    """Round-4 ADVICE: a query side above MAX_ARROW_QUERIES must fall
+    back to the lazy expression kernel (identical rows incl.
+    passthrough), not raise."""
+    import hha_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 8 == 0)
+    n_q = q.count()
+    arrow = sorted(
+        (r.qid, r.cid, r.cosine, r.label)
+        for r in sim.cosine_pairs_arrow(q, emb, passthrough=("label",))
+        .collect()
+    )
+    monkeypatch.setattr(sim, "MAX_ARROW_QUERIES", n_q - 1)
+    fb_df = sim.cosine_pairs_arrow(q, emb, passthrough=("label",))
+    assert "mapInPandas" not in fb_df._jdf.queryExecution().analyzed().toString()
+    fb = sorted(
+        (r.qid, r.cid, r.cosine, r.label) for r in fb_df.collect()
+    )
+    assert fb == arrow and len(fb) > 0
