@@ -23,6 +23,7 @@ LSH-pruned collisions.
 from __future__ import annotations
 
 import itertools
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +37,25 @@ from hha_spark.queries.llm_ops import (
 from hha_spark.sources.tables import events_ts_us, load_table
 
 _QUERY_SEQ = itertools.count()
+
+# The driver session runs 200 shuffle partitions; a streaming query
+# pins that as its state-store/shuffle width at START and every
+# micro-batch then schedules 200 tasks per exchange — pure fixed cost
+# on a gate-sized replay (and a real knob in production too: size
+# state width to keys, not to the batch-analytics default). Scoped so
+# batch queries running after the gate see the session default again.
+GATE_SHUFFLE_PARTITIONS = "8"
+
+
+@contextmanager
+def _gate_shuffle(spark: SparkSession):
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, GATE_SHUFFLE_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,13 +95,14 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory-sink table name is unique per invocation so repeated
     # gate runs in one session never collide.
     qname = f"_stream_dedup_inc_{next(_QUERY_SEQ)}"
-    q = (
-        collisions.writeStream.format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _gate_shuffle(spark):
+        q = (
+            collisions.writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     cand = (
         spark.table(qname)
@@ -180,30 +201,37 @@ def stream_spike_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="hha_stream_spike_gate_")
     try:
-        hist.repartition(4).write.parquet(f"{tmp}/in")
-        q = run_streaming_detector(
-            spark,
-            data_root=f"{tmp}/in",
-            samples_root=f"{tmp}/state",
-            alerts_path=f"{tmp}/alerts",
-            checkpoint=f"{tmp}/ckpt",
-            params=params,
-            zones=zones,
-            now_fn=lambda: now,
-            # retention must cover the whole fixture span: the gate
-            # replays history in one shot, so nothing may be evicted
-            # and the unbounded-below prev window must see every row
-            retention_sec=10 * 365 * 86_400,
-            available_now=True,
-        )
-        q.awaitTermination()
-        rows = (
-            spark.read.parquet(f"{tmp}/alerts")
-            .select("num_protocol", "type_proto", "dst_ip", "sum_val", "scope")
-            .collect()
-        )
+        with _gate_shuffle(spark):
+            return _spike_gate_body(spark, tmp, hist, now, zones, params)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _spike_gate_body(spark, tmp, hist, now, zones, params):
+    from hha_spark.streaming.spike_stream import run_streaming_detector
+
+    hist.repartition(4).write.parquet(f"{tmp}/in")
+    q = run_streaming_detector(
+        spark,
+        data_root=f"{tmp}/in",
+        samples_root=f"{tmp}/state",
+        alerts_path=f"{tmp}/alerts",
+        checkpoint=f"{tmp}/ckpt",
+        params=params,
+        zones=zones,
+        now_fn=lambda: now,
+        # retention must cover the whole fixture span: the gate
+        # replays history in one shot, so nothing may be evicted
+        # and the unbounded-below prev window must see every row
+        retention_sec=10 * 365 * 86_400,
+        available_now=True,
+    )
+    q.awaitTermination()
+    rows = (
+        spark.read.parquet(f"{tmp}/alerts")
+        .select("num_protocol", "type_proto", "dst_ip", "sum_val", "scope")
+        .collect()
+    )
     return spark.createDataFrame(
         rows,
         "num_protocol int, type_proto int, dst_ip long, sum_val long, scope string",
@@ -312,14 +340,15 @@ def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_sec=WIN_SEC,
     )
     qname = f"_stream_windowed_{next(_QUERY_SEQ)}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _gate_shuffle(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(qname).select(
         F.col("window_start").cast("long").alias("window_start"),
         "event_type",
@@ -339,10 +368,92 @@ ORACLE_STREAM_WINDOWED = f"""
 """
 
 
+ATTR_MAX_DELAY_SEC = 14_400  # purchase within 4h of the click
+ATTR_WATERMARK_SEC = 3_600
+
+
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth streaming topology under the oracle gate: a
+    watermarked STREAM-STREAM interval join (streaming/joins.py::
+    attribution_join — symmetric hash join with state-store eviction
+    bounds derived from the watermark + time-range condition). Clicks
+    and purchases are two readStream sources over the events table;
+    the inner interval join emits each matched (click, purchase) pair
+    exactly once; the memory sink's append output is then aggregated
+    per user. Inner stream-stream joins emit on match (the watermark
+    only bounds state, it never holds back inner matches), so one
+    availableNow replay equals the batch interval join the DuckDB
+    oracle expresses — the same batch≡stream invariant the other
+    three streaming gates pin, now for dual-unbounded-input state.
+
+    Scale: state is keyed by user_id and bounded to watermark +
+    max_delay per side; the join is one exchange per side. Output is
+    an aggregate over attributed pairs, so the sink stays tiny.
+    """
+    from hha_spark.streaming.joins import attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(event_type: str, ts_name: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(ev.schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        return s.where(F.col("event_type") == event_type).select(
+            "user_id",
+            (events_ts_us(s) / F.lit(1_000_000)).cast("long").alias(ts_name),
+        )
+
+    joined = attribution_join(
+        side("click", "click_ts"),
+        side("purchase", "purchase_ts"),
+        max_delay_sec=ATTR_MAX_DELAY_SEC,
+        watermark_sec=ATTR_WATERMARK_SEC,
+    )
+    qname = f"_stream_attr_{next(_QUERY_SEQ)}"
+    with _gate_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attr"),
+            F.sum("delay_sec").cast("long").alias("sum_delay"),
+            F.min("delay_sec").cast("long").alias("min_delay"),
+        )
+    )
+
+
+ORACLE_STREAM_ATTRIBUTION = f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS ts_s, event_type
+      FROM events),
+    pairs AS (
+      SELECT c.user_id, p.ts_s - c.ts_s AS delay_sec
+      FROM ev c JOIN ev p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts_s >= c.ts_s AND p.ts_s <= c.ts_s + {ATTR_MAX_DELAY_SEC})
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_attr,
+           CAST(SUM(delay_sec) AS BIGINT) AS sum_delay,
+           CAST(MIN(delay_sec) AS BIGINT) AS min_delay
+    FROM pairs GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_dedup_incremental": stream_dedup_incremental,
     "stream_spike_alerts": stream_spike_alerts,
     "stream_events_windowed": stream_events_windowed,
+    "stream_attribution_join": stream_attribution_join,
 }
 
 # the batch oracle IS the stream oracle — that equality is the point
@@ -350,4 +461,5 @@ ORACLES = {
     "stream_dedup_incremental": ORACLE_INCREMENTAL,
     "stream_spike_alerts": ORACLE_STREAM_SPIKE,
     "stream_events_windowed": ORACLE_STREAM_WINDOWED,
+    "stream_attribution_join": ORACLE_STREAM_ATTRIBUTION,
 }

@@ -576,8 +576,58 @@ ORACLE_DECAYED = f"""
 """
 
 
+def events_salted_join(spark, sf_dir):
+    """Skew-proof equi-join under the oracle gate: events joined to a
+    tiny per-event_type dimension on a GENUINELY hot key — event_type
+    has 5 distinct values, so every key holds ~20% of the fact table
+    and a plain shuffled join would send each key's full volume to one
+    reducer. operators/skew.py::salted_join spreads each key over 16
+    salt buckets (big side salted per-row, dimension replicated
+    per-bucket, join on key+salt), bounding per-reducer load at ~1/16
+    of the hot key; the aggregate then combines the buckets. Result is
+    row-identical to the plain join (each fact row meets its dimension
+    row exactly once), which is exactly what the DuckDB oracle
+    expresses as a plain join — the gate pins that equivalence.
+    test_plans.py pins the salted shape itself (explode + key,salt
+    join) so this can't silently regress to a plain join.
+    """
+    from hha_spark.operators.skew import salted_join
+    from hha_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor("value").cast("long").alias("val")
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .select(
+            "event_type", F.length("event_type").cast("long").alias("weight")
+        )
+    )
+    joined = salted_join(ev, dim, on=("event_type",), salt_buckets=16)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val") * F.col("weight")).cast("long").alias("weighted_total"),
+    )
+
+
+ORACLE_SALTED_JOIN = """
+    WITH ev AS (
+      SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS val FROM events),
+    dim AS (
+      SELECT event_type, CAST(length(event_type) AS BIGINT) AS weight
+      FROM (SELECT DISTINCT event_type FROM events))
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(e.val * d.weight) AS BIGINT) AS weighted_total
+    FROM ev e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+"""
+
+
 QUERIES = {
     "events_asof_last_purchase": events_asof_last_purchase,
+    "events_salted_join": events_salted_join,
     "events_decayed_activity": events_decayed_activity,
     "events_pairs_within_30min": events_pairs_within_30min,
     "events_resample_daily": events_resample_daily,
@@ -593,6 +643,7 @@ QUERIES = {
 
 ORACLES = {
     "events_asof_last_purchase": ORACLE_ASOF,
+    "events_salted_join": ORACLE_SALTED_JOIN,
     "events_decayed_activity": ORACLE_DECAYED,
     "events_pairs_within_30min": ORACLE_RANGE,
     "events_resample_daily": ORACLE_RESAMPLE,

@@ -50,7 +50,21 @@ def with_partition_cols(df: DataFrame) -> DataFrame:
 
 
 def write_partitioned(df: DataFrame, root: str, mode: str = "append") -> None:
-    with_partition_cols(df).write.mode(mode).partitionBy("date", "hour").parquet(root)
+    """Append into the date=/hour= layout, one file per hour partition
+    per batch: without the repartition every upstream task writes its
+    own file into every hour it touches (tasks x hours small files —
+    120 on the gate fixture, an fsync storm that dominated the
+    streaming gate's micro-batch cost and at scale degrades every
+    downstream listing). One keyed shuffle per batch buys
+    file-per-partition-per-batch, the standard dynamic-partition
+    insert shape."""
+    (
+        with_partition_cols(df)
+        .repartition("date", "hour")
+        .write.mode(mode)
+        .partitionBy("date", "hour")
+        .parquet(root)
+    )
 
 
 def read_window(

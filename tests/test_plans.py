@@ -320,3 +320,16 @@ def test_boilerplate_semi_join_and_broadcast_total(spark):
     assert "LeftSemi" in plan
     assert "Expand" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_events_salted_join_plan_shows_salted_shape(spark):
+    """The events_salted_join gate must actually run the salted plan:
+    the join condition carries the _salt column (key+salt equi-join),
+    the dimension side is replicated via an explode Generate, and no
+    plain single-key join sneaks in."""
+    from hha_spark.queries.temporal import events_salted_join
+
+    plan = plan_of(events_salted_join(spark, "/root/testdata/sf0.001"))
+    assert "_salt" in plan  # salt participates in the join keys
+    assert "Generate explode" in plan  # replicated small side
+    assert "CartesianProduct" not in plan
