@@ -1,0 +1,192 @@
+"""Distributed lexical retrieval (BM25-family) over the corpus.
+
+A training-data pipeline needs search over its own corpus: finding
+documents matching curation probes, mining retrieval training pairs,
+benchmark-decontamination by query. This module scores documents
+against small keyword queries with the BM25 shape — tf saturation
+(k1), length normalization (b), rarity weighting (idf) — entirely in
+DataFrame operators:
+
+    tf  = per-(doc, term) counts        one keyed aggregate
+    dl  = per-doc token counts          narrow map
+    df  = per-term doc frequencies      aggregate over the (tiny)
+                                        query-term subset only
+    N, avgdl                            one global aggregate row,
+                                        broadcast
+    score terms                         broadcast joins + narrow math
+    top-k                               per-query rank window
+
+Cross-engine determinism (the oracle-gate contract): the classic
+ln-based idf is replaced by its argument, the RAW ODDS RATIO
+(N - df + 0.5)/(df + 0.5), quantized to micro-units — ln is monotone,
+so rankings are IDENTICAL to classic BM25 rankings per term; only the
+absolute scale differs (documented deviation, same spirit as the
+repo-wide no-raw-float-SUM rule). Every division/multiply is a single
+correctly-rounded IEEE double op with the same literal structure on
+both engines, and the only SUM over per-term contributions happens
+AFTER floor-quantization to BIGINT micro-units, so partition order
+can never change a score.
+
+Scale: df/idf are computed only for the query terms (a broadcast
+semi-join prunes the tf table first), so the expensive side is one
+(doc_id, term) aggregate over the corpus — map-side combinable,
+keyed by doc — and the final rank window partitions by query id.
+No all-pairs anything; memory per task is O(terms per doc).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+_QI = 1_000_000  # micro-unit quantization for idf and contributions
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, Sequence[str]]],
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents per keyword query by quantized-BM25.
+
+    `queries` is [(query_id, [term, ...]), ...] — driver-side constant
+    probe sets (the serving shape: queries are user input, never
+    data-sized). Returns (query_id, doc_id, score_q, rank) with
+    score_q the exact BIGINT micro-unit sum of per-term
+    odds-ratio-idf x tf-saturation contributions.
+    """
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(int(qid), t) for qid, terms in queries for t in set(terms)],
+        "query_id long, tok string",
+    )
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl"),
+    )
+    consts = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+
+    # prune tf to query terms FIRST (broadcast semi-join), then df over
+    # the pruned set — document frequency is only ever needed for the
+    # handful of probe terms, never the whole vocabulary
+    tfq = tf.join(
+        F.broadcast(qterms.select("tok").distinct()), on="tok", how="left_semi"
+    )
+    df_ = tfq.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    # identical literal structure to the oracle SQL: each op is one
+    # correctly-rounded IEEE double step, so the floor() below sees
+    # bit-identical inputs on both engines
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf_q = F.floor(
+        F.lit(float(_QI))
+        * (
+            (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+    ).cast("long")
+    tfnorm = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(BM25_K1)
+        * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+    )
+
+    contrib = (
+        tfq.join(F.broadcast(qterms), on="tok")
+        .join(F.broadcast(df_), on="tok")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(idf_q.cast("double") * tfnorm).cast("long").alias("term_q"),
+        )
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("term_q").cast("long").alias("score_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def bm25_oracle_sql(
+    queries: Sequence[tuple[int, Sequence[str]]], *, k: int = 5
+) -> str:
+    """DuckDB twin of bm25_topk over the `documents` view — same
+    literal arithmetic structure, same quantization points."""
+    qvals = ", ".join(
+        f"({int(qid)}, '{t}')"
+        for qid, terms in queries
+        for t in sorted(set(terms))
+    )
+    return f"""
+    WITH qterms(query_id, tok) AS (VALUES {qvals}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents),
+    consts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+    tfq AS (
+      SELECT tf.* FROM tf
+      WHERE tok IN (SELECT DISTINCT tok FROM qterms)),
+    dfreq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY tok),
+    contrib AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(FLOOR(
+               CAST(CAST(FLOOR({float(_QI)} *
+                 ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5))) AS BIGINT) AS DOUBLE)
+               * ((CAST(tf AS DOUBLE) * {BM25_K1 + 1.0})
+                  / (CAST(tf AS DOUBLE) + {BM25_K1}
+                     * ({1.0 - BM25_B} + {BM25_B}
+                        * (CAST(dl AS DOUBLE)
+                           / (CAST(total_dl AS DOUBLE)
+                              / CAST(n_docs AS DOUBLE))))))
+             ) AS BIGINT) AS term_q
+      FROM tfq t
+      JOIN qterms q USING (tok)
+      JOIN dfreq USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN consts),
+    scores AS (
+      SELECT query_id, doc_id, CAST(SUM(term_q) AS BIGINT) AS score_q
+      FROM contrib GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, score_q,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank
+      FROM scores)
+    SELECT query_id, doc_id, score_q, rank FROM ranked WHERE rank <= {k}
+    """

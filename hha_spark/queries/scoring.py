@@ -127,16 +127,47 @@ ORACLE_MAD = f"""
 """
 
 
+# Fixed keyword probes over the fixture vocabulary — the serving
+# shape: queries are user/curation input, never data-sized.
+BM25_QUERIES = (
+    (1, ("spark", "join", "hash")),
+    (2, ("stream", "window")),
+    (3, ("vector", "scan", "filter", "slow")),
+)
+BM25_K = 10
+
+
+def text_bm25_topk(spark, sf_dir):
+    """Lexical retrieval under the oracle gate: quantized-BM25 top-10
+    per keyword probe (operators/retrieval.py — odds-ratio idf in
+    exact micro-units, tf saturation + length normalization with
+    bit-identical IEEE structure on both engines, BIGINT contribution
+    sums). The curation use cases: corpus search, retrieval-pair
+    mining, query-driven decontamination."""
+    from hha_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERIES, k=BM25_K)
+
+
+def _bm25_oracle() -> str:
+    from hha_spark.operators.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(BM25_QUERIES, k=BM25_K)
+
+
 QUERIES = {
     "text_unigram_lm_score": text_unigram_lm_score,
     "corpus_source_token_divergence": corpus_source_token_divergence,
     "events_value_mad_outliers": events_value_mad_outliers,
+    "text_bm25_topk": text_bm25_topk,
 }
 
 ORACLES = {
     "text_unigram_lm_score": ORACLE_UNIGRAM,
     "corpus_source_token_divergence": ORACLE_DIVERGENCE,
     "events_value_mad_outliers": ORACLE_MAD,
+    "text_bm25_topk": _bm25_oracle(),
 }
 
 
