@@ -171,6 +171,103 @@ def prefix_candidate_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup join: ordered pairs (a, b) with
+    |tokens(a) ∩ tokens(b)| >= t·|tokens(a)| — "a is mostly inside b".
+
+    Jaccard misses subset duplicates by construction (a quote, a
+    boilerplate block, or a doc wholly embedded in a longer one has
+    low |∩|/|∪| but containment ~1), and containment is the standard
+    complement in crawl dedup. EXACT, via ONE-SIDED prefix filtering:
+    only the contained side prunes to its |a| - ceil(t·|a|) + 1
+    globally-rarest tokens (if c(a→b) >= t then a has at most
+    |a| - ceil(t·|a|) tokens outside b, so any larger subset of a's
+    tokens intersects b — no qualifying pair is lost), while the
+    container side posts ALL tokens (b's rare tokens prove nothing
+    about a's coverage, so no symmetric prefix exists — the
+    asymmetry is inherent to the predicate, cf. Bayardo et al.'s
+    one-sided bounds). A hot token therefore enters the candidate
+    join only when it lands in some contained-side prefix, i.e. only
+    for docs so small the prefix covers them — the quadratic
+    hot-token blowup needs BOTH sides hot and cannot happen.
+
+    Shuffle shape: one global token-df aggregate, one per-doc rank
+    window, one (tok) equi-join of prefixes against postings, then
+    exact verification by array_intersect over candidates only.
+    Output: (doc_id_a, doc_id_b, inter_size, n_a, containment) with
+    the threshold test in exact integer cross-multiplication;
+    `containment` is one correctly-rounded double division.
+    """
+    from pyspark.sql import Window
+
+    post = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.col(tokens_col)).alias("n"),
+        F.explode(F.col(tokens_col)).alias("tok"),
+    )
+    df_tok = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    plen = F.col("n") - F.expr(
+        f"({threshold_num} * n + {threshold_den - 1}) DIV {threshold_den}"
+    ) + F.lit(1)
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pref = (
+        post.join(df_tok, on="tok")
+        .withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= plen)
+        .select(
+            F.col("doc_id").alias("doc_id_a"), F.col("n").alias("n_a"), "tok"
+        )
+    )
+    # size bound: |A∩B| <= |B|, so containment needs den·|B| >= num·|A| —
+    # prunes candidates whose container is smaller than the threshold
+    # allows (on heavy-tailed real corpora this removes most of the
+    # short-container false candidates; exactness unaffected)
+    cand = (
+        pref.join(
+            post.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("n").alias("n_b"),
+                "tok",
+            ),
+            on="tok",
+        )
+        .where(
+            (F.col("doc_id_a") != F.col("doc_id_b"))
+            & (F.col("n_b") * threshold_den >= F.col("n_a") * threshold_num)
+        )
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    ta = docs.select(
+        F.col(id_col).alias("doc_id_a"), F.col(tokens_col).alias("_ta")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("doc_id_b"), F.col(tokens_col).alias("_tb")
+    )
+    verified = (
+        cand.join(ta, on="doc_id_a")
+        .join(tb, on="doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("_ta", "_tb"))
+            .cast("long")
+            .alias("inter_size"),
+            F.size("_ta").cast("long").alias("n_a"),
+        )
+    )
+    return verified.where(
+        F.lit(threshold_den) * F.col("inter_size")
+        >= F.lit(threshold_num) * F.col("n_a")
+    ).withColumn("containment", F.col("inter_size") / F.col("n_a"))
+
+
 def jaccard_pairs(
     left: DataFrame,
     right: DataFrame,

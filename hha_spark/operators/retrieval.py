@@ -134,6 +134,55 @@ def bm25_topk(
     )
 
 
+RRF_K0 = 60  # standard reciprocal-rank-fusion damping constant
+_RRF_Q = 1_000_000  # integer micro-units: points = 1e6 DIV (k0 + rank)
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    *,
+    k0: int = RRF_K0,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N per-query
+    rankings into one: each system contributes 1/(k0 + rank) points to
+    every (query, candidate) it ranked; candidates missing from a
+    system simply contribute nothing (the union-then-sum IS the outer
+    join). Hybrid lexical+semantic retrieval is the canonical caller.
+
+    Cross-engine determinism: points are quantized FIRST —
+    `1_000_000 DIV (k0 + rank)` is exact BIGINT integer division on
+    both engines — and only then summed, so the fused score is an
+    exact integer no matter the partition order.
+
+    Inputs are (qid, cid, rank) frames (extra columns ignored). Output
+    (qid, cid, rrf_q, n_systems, fused_rank), top-k per query, ties by
+    candidate id. Shuffle shape: one union (no shuffle), one keyed
+    aggregate, one per-query rank window over <= N*k_in rows per query
+    — the fused table is bounded by the input rankings, never by the
+    corpus.
+    """
+    from functools import reduce
+
+    pts = F.expr(f"{_RRF_Q} DIV ({k0} + rank)").cast("long")
+    scored = [
+        r.select("qid", "cid", pts.alias("pts")) for r in rankings
+    ]
+    fused = (
+        reduce(DataFrame.unionByName, scored)
+        .groupBy("qid", "cid")
+        .agg(
+            F.sum("pts").cast("long").alias("rrf_q"),
+            F.count(F.lit(1)).cast("long").alias("n_systems"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_q"), F.asc("cid"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= k)
+    )
+
+
 def bm25_oracle_sql(
     queries: Sequence[tuple[int, Sequence[str]]], *, k: int = 5
 ) -> str:

@@ -108,6 +108,54 @@ ORACLE_NGRAM = """
 """
 
 
+CONTAIN_NUM, CONTAIN_DEN = 8, 10  # containment threshold 0.8
+
+_SHINGLES = """
+      CASE WHEN len(toks) >= 3 THEN
+        list_distinct(list_transform(generate_series(1, len(toks) - 2),
+          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+      ELSE [] END
+"""
+
+
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs over word TRIGRAM
+    shingles: ordered (a, b) where >= 80% of a's shingles appear in
+    b — the subset-duplicate mode (quotes, boilerplate inclusion,
+    doc-embedded-in-doc) that symmetric Jaccard structurally misses.
+    Order-sensitive shingles keep the predicate about shared PASSAGES,
+    not shared vocabulary (the unigram form qualifies most of a
+    small-vocab corpus and is output-bound at scale). Exact one-sided
+    prefix filtering; the DuckDB oracle is the NAIVE all-pairs
+    predicate, so a green row proves the prefix filter lossless on
+    real data (operators/dedup.py::containment_pairs)."""
+    from hha_spark.operators.dedup import containment_pairs
+
+    docs = tracked_persist(with_shingle_set(_docs(spark, sf_dir), n=3))
+    out = containment_pairs(
+        docs, tokens_col="shingles",
+        threshold_num=CONTAIN_NUM, threshold_den=CONTAIN_DEN,
+    )
+    return _cast_longs(out, ["inter_size", "n_a"])
+
+
+ORACLE_CONTAINMENT = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM t)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+               AS inter_size,
+           CAST(len(a.shingles) AS BIGINT) AS n_a,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+             / CAST(len(a.shingles) AS BIGINT) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(a.shingles) > 0
+      AND {CONTAIN_DEN} * len(list_intersect(a.shingles, b.shingles))
+          >= {CONTAIN_NUM} * len(a.shingles)
+"""
+
+
 def dedup_trigram_jaccard(spark, sf_dir):
     """Near-dup pairs over word TRIGRAM shingles (order-sensitive,
     unlike the unigram token-set variant), source-blocked, via the
@@ -122,12 +170,6 @@ def dedup_trigram_jaccard(spark, sf_dir):
     return _cast_longs(out, ["inter_size", "union_size"])
 
 
-_SHINGLES = """
-      CASE WHEN len(toks) >= 3 THEN
-        list_distinct(list_transform(generate_series(1, len(toks) - 2),
-          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
-      ELSE [] END
-"""
 
 ORACLE_TRIGRAM = f"""
     WITH t AS (
@@ -1641,6 +1683,7 @@ ORACLE_NORMALIZE = """
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_trigram_jaccard": dedup_trigram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental": dedup_incremental,
@@ -1679,6 +1722,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact_docs": ORACLE_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM,
+    "dedup_containment": ORACLE_CONTAINMENT,
     "dedup_trigram_jaccard": ORACLE_TRIGRAM,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_incremental": ORACLE_INCREMENTAL,

@@ -416,3 +416,120 @@ QUERIES["events_day_over_day"] = events_day_over_day
 ORACLES["events_day_over_day"] = ORACLE_DAY_OVER_DAY
 QUERIES["doc_length_histogram"] = doc_length_histogram
 ORACLES["doc_length_histogram"] = ORACLE_DOC_LENGTH_HIST
+
+
+RRF_PROBE_MOD = 97  # query-by-example probes: every 97th document
+RRF_SYSTEM_K = 20  # depth of each per-system ranking fed to fusion
+RRF_FUSED_K = 10
+
+
+def retrieval_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of a SEMANTIC ranking
+    (exact cosine over the embedding column) and a LEXICAL ranking
+    (distinct-token overlap, the set-intersection core of BM25)
+    for query-by-example probes — "find more documents like this one",
+    the curation loop behind targeted corpus expansion and
+    retrieval-pair mining. doc_id and vec_id are 1:1 aligned in this
+    dataset (FIXTURES.md; same contract dedup_text_embedding_drift
+    relies on).
+
+    Shapes: the semantic side is the Arrow cosine kernel on a
+    %97-sampled probe set; the lexical side broadcasts the probe
+    token sets against the corpus token postings (one keyed count);
+    fusion is operators/retrieval.py::rrf_fuse — union + one keyed
+    BIGINT sum + one per-query rank window, all over ranking-bounded
+    (never corpus-bounded) rows.
+    """
+    from pyspark.sql import Window
+
+    from hha_spark.operators.retrieval import rrf_fuse
+    from hha_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = cosine_topk(
+        emb.where(F.col("vec_id") % RRF_PROBE_MOD == 0), emb, k=RRF_SYSTEM_K
+    )
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    probe_toks = toks.where(F.col("doc_id") % RRF_PROBE_MOD == 0).select(
+        F.col("doc_id").alias("qid"), "tok"
+    )
+    overlap = (
+        F.broadcast(probe_toks)
+        .join(toks.select(F.col("doc_id").alias("cid"), "tok"), on="tok")
+        .where(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("overlap"), F.asc("cid"))
+    lex = overlap.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= RRF_SYSTEM_K
+    )
+    return rrf_fuse(
+        [sem.select("qid", "cid", "rank"), lex.select("qid", "cid", "rank")],
+        k=RRF_FUSED_K,
+    )
+
+
+def _rrf_oracle() -> str:
+    from hha_spark.operators.retrieval import RRF_K0, _RRF_Q
+    from hha_spark.queries.llm_ops import _DOT_SQL, _EMB_EL, _NORM_SQL
+
+    return f"""
+    WITH el AS ({_EMB_EL}),
+    q_el AS (SELECT * FROM el WHERE vec_id % {RRF_PROBE_MOD} = 0),
+    dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, {_DOT_SQL} AS dot
+      FROM q_el a JOIN el b USING (idx) GROUP BY a.vec_id, b.vec_id),
+    norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq FROM el GROUP BY vec_id),
+    sims AS (
+      SELECT qid, cid,
+             dot / NULLIF(sqrt(qn.norm_sq) * sqrt(cn.norm_sq), 0) AS cosine
+      FROM dots JOIN norms qn ON qn.vec_id = qid
+                JOIN norms cn ON cn.vec_id = cid
+      WHERE qid <> cid),
+    sem AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid) AS rank
+      FROM sims),
+    toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    ov AS (
+      SELECT p.doc_id AS qid, t.doc_id AS cid,
+             CAST(COUNT(*) AS BIGINT) AS overlap
+      FROM toks p JOIN toks t USING (tok)
+      WHERE p.doc_id % {RRF_PROBE_MOD} = 0 AND p.doc_id <> t.doc_id
+      GROUP BY 1, 2),
+    lex AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY overlap DESC, cid) AS rank
+      FROM ov),
+    unioned AS (
+      SELECT qid, cid, {_RRF_Q} // ({RRF_K0} + rank) AS pts
+      FROM sem WHERE rank <= {RRF_SYSTEM_K}
+      UNION ALL
+      SELECT qid, cid, {_RRF_Q} // ({RRF_K0} + rank) AS pts
+      FROM lex WHERE rank <= {RRF_SYSTEM_K}),
+    fused AS (
+      SELECT qid, cid, CAST(SUM(pts) AS BIGINT) AS rrf_q,
+             CAST(COUNT(*) AS BIGINT) AS n_systems
+      FROM unioned GROUP BY qid, cid),
+    ranked AS (
+      SELECT qid, cid, rrf_q, n_systems,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY rrf_q DESC, cid) AS BIGINT) AS fused_rank
+      FROM fused)
+    SELECT qid, cid, rrf_q, n_systems, fused_rank
+    FROM ranked WHERE fused_rank <= {RRF_FUSED_K}
+    """
+
+
+QUERIES["retrieval_rrf_fusion"] = retrieval_rrf_fusion
+ORACLES["retrieval_rrf_fusion"] = _rrf_oracle()

@@ -273,3 +273,58 @@ def test_incremental_pairs_match_full_lsh_cross_side(spark, texts):
         elif b % 2 == 0 and a % 2 != 0:
             want.add((b, a))
     assert inc == want
+
+
+def test_containment_pairs_asymmetric(spark):
+    """Doc 1's tokens are a strict subset of doc 2's: containment
+    holds 1->2 (4/4) but not 2->1 (4/7 < 0.8). Unrelated doc 3
+    pairs with nobody. Threshold 8/10."""
+    from hha_spark.operators.dedup import containment_pairs
+
+    docs = with_token_set(
+        spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "alpha beta gamma delta epsilon zeta eta"),
+                (3, "totally unrelated words here"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    out = {
+        (r.doc_id_a, r.doc_id_b): r
+        for r in containment_pairs(docs).collect()
+    }
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r.inter_size == 4 and r.n_a == 4 and r.containment == 1.0
+
+
+def test_containment_pairs_match_naive_all_pairs(spark):
+    """The one-sided prefix filter is LOSSLESS: compare against the
+    naive all-ordered-pairs predicate on a fixture with partial
+    overlaps around the 0.8 boundary."""
+    from hha_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e f g h i j"),   # contains 1 fully
+        (3, "a b c d x"),             # 4/5 of 1 -> qualifies at 0.8
+        (4, "a b x y z"),             # 2/5 of 1 -> no
+        (5, "f g h i j k l m n o p q r s t"),
+        (6, "a b c d e"),             # exact dup of 1, both directions
+    ]
+    docs = with_token_set(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in containment_pairs(docs).collect()
+    }
+    toks = {i: set(t.split()) for i, t in rows}
+    want = {
+        (a, b)
+        for a in toks for b in toks if a != b
+        and 10 * len(toks[a] & toks[b]) >= 8 * len(toks[a])
+    }
+    assert got == want and (1, 2) in got and (6, 1) in got
