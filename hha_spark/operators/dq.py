@@ -102,3 +102,49 @@ def robust_outlier_report(
             F.when(F.col("absdev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
         ).cast("long").alias("n_outliers"),
     )
+
+
+def join_key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_k: int = 10,
+    factor_num: int = 3,
+    factor_den: int = 1,
+) -> DataFrame:
+    """Join-key skew diagnostics: the report you run BEFORE deciding
+    whether a 100 TB join needs salting (operators/skew.py), AQE skew
+    splitting, or a broadcast. Emits the top_k hottest keys with
+    their row counts and a `skewed` flag — key hotter than
+    (factor_num/factor_den) x the per-key mean — in exact integer
+    cross-multiplication (cnt * n_keys * den > num * total), so the
+    boundary is engine-independent.
+
+    Shape: one map-side-combinable count per key, a one-row global
+    summary broadcast onto the winners, and the global top-k via
+    orderBy+limit (TakeOrdered — a per-partition heap then a k-row
+    driver merge, never a full sort); the rank window runs on the
+    <= top_k surviving rows. Nothing is ever data-sized on one node.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc(key_col)).limit(top_k)
+    w = Window.orderBy(F.desc("cnt"), F.asc(key_col))
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            key_col, "cnt", "rnk", "total_rows", "n_keys",
+            (
+                F.col("cnt") * F.col("n_keys") * F.lit(factor_den)
+                > F.lit(factor_num) * F.col("total_rows")
+            ).alias("skewed"),
+        )
+    )

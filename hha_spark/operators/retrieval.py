@@ -27,11 +27,11 @@ both engines, and the only SUM over per-term contributions happens
 AFTER floor-quantization to BIGINT micro-units, so partition order
 can never change a score.
 
-Scale: df/idf are computed only for the query terms (a broadcast
-semi-join prunes the tf table first), so the expensive side is one
-(doc_id, term) aggregate over the corpus — map-side combinable,
-keyed by doc — and the final rank window partitions by query id.
-No all-pairs anything; memory per task is O(terms per doc).
+Scale: the broadcast semi-join on query terms runs BELOW the tf
+aggregate, so the only full-corpus work is the narrow dl map — the
+(doc_id, term) aggregate sees matching postings only, map-side
+combinable, keyed by doc — and the final rank window partitions by
+query id. No all-pairs anything; memory per task is O(terms per doc).
 """
 
 from __future__ import annotations
@@ -72,9 +72,6 @@ def bm25_topk(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
-    tf = toks.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
     dl = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl"),
@@ -83,12 +80,15 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )
 
-    # prune tf to query terms FIRST (broadcast semi-join), then df over
-    # the pruned set — document frequency is only ever needed for the
-    # handful of probe terms, never the whole vocabulary
-    tfq = tf.join(
+    # prune postings to query terms BEFORE the tf aggregate (broadcast
+    # semi-join below the groupBy — Catalyst won't reorder an
+    # aggregate past a join on its own): tf and df are only ever
+    # needed for the handful of probe terms, so the wide (doc, term)
+    # aggregate shrinks to matching postings only; the sole full-scan
+    # work left is dl, a narrow map
+    tfq = toks.join(
         F.broadcast(qterms.select("tok").distinct()), on="tok", how="left_semi"
-    )
+    ).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tfq.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
     # identical literal structure to the oracle SQL: each op is one

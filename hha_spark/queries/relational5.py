@@ -461,6 +461,48 @@ ORACLE_DQ = """
 """
 
 
+SKEW_TOP_K = 10
+SKEW_NUM, SKEW_DEN = 3, 1  # flag keys hotter than 3x the per-key mean
+
+
+def dq_events_key_skew(spark, sf_dir):
+    """Join-key skew diagnostics over the event stream's user_id —
+    the pre-flight report for the 100 TB join-strategy decision
+    (salt? AQE skew split? broadcast the other side?): top-10 hottest
+    keys, their share context (total rows, key cardinality), and an
+    exact integer-arithmetic skew flag at 3x the per-key mean
+    (operators/dq.py::join_key_skew_report)."""
+    from hha_spark.operators.dq import join_key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return join_key_skew_report(
+        ev.select("user_id"), "user_id",
+        top_k=SKEW_TOP_K, factor_num=SKEW_NUM, factor_den=SKEW_DEN,
+    )
+
+
+ORACLE_KEY_SKEW = f"""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM counts),
+    top AS (
+      SELECT user_id, cnt FROM counts
+      ORDER BY cnt DESC, user_id LIMIT {SKEW_TOP_K}),
+    ranked AS (
+      SELECT user_id, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS BIGINT)
+                 AS rnk
+      FROM top)
+    SELECT r.user_id, r.cnt, r.rnk, t.total_rows, t.n_keys,
+           r.cnt * t.n_keys * {SKEW_DEN} > {SKEW_NUM} * t.total_rows AS skewed
+    FROM ranked r CROSS JOIN tot t
+"""
+
+
 QUERIES = {
     "daily_activity_fulljoin": daily_activity_fulljoin,
     "orders_grouping_sets": orders_grouping_sets,
@@ -471,6 +513,7 @@ QUERIES = {
     "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
     "lineitem_price_deciles": lineitem_price_deciles,
     "dq_orders_report": dq_orders_report,
+    "dq_events_key_skew": dq_events_key_skew,
 }
 
 ORACLES = {
@@ -483,4 +526,5 @@ ORACLES = {
     "part_name_fuzzy_pairs": ORACLE_FUZZY,
     "lineitem_price_deciles": ORACLE_DECILES,
     "dq_orders_report": ORACLE_DQ,
+    "dq_events_key_skew": ORACLE_KEY_SKEW,
 }

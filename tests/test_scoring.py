@@ -179,3 +179,29 @@ def test_dedup_rate_by_source_hand_computed(spark, tmp_path):
     # doc 3 duplicates s1's content -> counted duplicated in s2 too
     assert (out["s2"]["n_docs"], out["s2"]["n_dup_docs"],
             out["s2"]["n_unique_fp"]) == (3, 1, 3)
+
+
+def test_join_key_skew_report_hand_computed(spark):
+    """9 keys x 1 row + key 99 x 21 rows: total=30, n_keys=10, mean=3.
+    Key 99 (21 > 3*3) is skewed; every singleton key is not."""
+    from hha_spark.operators.dq import join_key_skew_report
+
+    rows = [(k,) for k in range(1, 10)] + [(99,)] * 21
+    df = spark.createDataFrame(rows, "user_id long")
+    out = {r.user_id: r for r in join_key_skew_report(df, "user_id").collect()}
+    assert len(out) == 10
+    hot = out[99]
+    assert hot.cnt == 21 and hot.rnk == 1 and hot.skewed
+    assert hot.total_rows == 30 and hot.n_keys == 10
+    assert all(not r.skewed and r.cnt == 1 for k, r in out.items() if k != 99)
+    # deterministic tie-break among the singletons: ascending key
+    assert [r.user_id for r in sorted(out.values(), key=lambda r: r.rnk)][1:] \
+        == list(range(1, 10))
+
+
+def test_join_key_skew_top_k_bound(spark):
+    from hha_spark.operators.dq import join_key_skew_report
+
+    df = spark.createDataFrame([(k,) for k in range(100)], "k long")
+    out = join_key_skew_report(df, "k", top_k=5).collect()
+    assert sorted(r.k for r in out) == [0, 1, 2, 3, 4]

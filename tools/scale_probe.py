@@ -79,12 +79,14 @@ def probes(spark, k: int):
     """(name, build) pairs; build() returns a DataFrame to force."""
     from hha_spark.operators.corpus import boilerplate_coverage
     from hha_spark.operators.dedup import (
+        containment_pairs,
         exact_dedup_groups,
         jaccard_pairs,
         lsh_candidate_pairs,
         minhash_signatures,
         with_token_set,
     )
+    from hha_spark.operators.retrieval import bm25_topk
     from hha_spark.operators.pq import (
         pq_topk,
         pq_topk_in_cells,
@@ -187,6 +189,17 @@ def probes(spark, k: int):
             ev.select("event_type", "value"),
             group_col="event_type", value_col="value",
         ),
+        # fixed probe queries (the serving shape), scaled corpus: the
+        # token-level semi-join prune runs below the tf aggregate, so
+        # only dl (a narrow map) touches every posting
+        "bm25_topk": lambda: bm25_topk(
+            docs,
+            [(1, ("spark_0", "join_0")), (2, ("stream_0", "window_0"))],
+            k=10,
+        ),
+        # one-sided prefix-filtered containment: candidate volume per
+        # copy is constant (content disjoint across copies)
+        "containment": lambda: containment_pairs(with_token_set(docs)),
         "windowed_counts": lambda: windowed_counts(
             ev.select(
                 (F.col("ts_us") / 1_000_000).cast("long").alias("ts_s"),
