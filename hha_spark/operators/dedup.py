@@ -207,11 +207,17 @@ def containment_pairs(
     """
     from pyspark.sql import Window
 
+    # candidate generation runs entirely on 8-byte xxhash64 keys, never
+    # the shingle strings — smaller shuffles and cheaper join probes. A
+    # hash collision can only MERGE df counts (changing which tokens the
+    # prefix picks — any plen-subset satisfies the lemma) or ADD a false
+    # candidate (removed by exact verification); no qualifying pair can
+    # be lost.
     post = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.col(tokens_col)).alias("n"),
         F.explode(F.col(tokens_col)).alias("tok"),
-    )
+    ).select("doc_id", "n", F.xxhash64("tok").alias("tok"))
     df_tok = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     plen = F.col("n") - F.expr(
         f"({threshold_num} * n + {threshold_den - 1}) DIV {threshold_den}"

@@ -81,6 +81,7 @@ def probes(spark, k: int):
     from hha_spark.operators.dedup import (
         containment_pairs,
         exact_dedup_groups,
+        with_shingle_set,
         jaccard_pairs,
         lsh_candidate_pairs,
         minhash_signatures,
@@ -197,9 +198,14 @@ def probes(spark, k: int):
             [(1, ("spark_0", "join_0")), (2, ("stream_0", "window_0"))],
             k=10,
         ),
-        # one-sided prefix-filtered containment: candidate volume per
-        # copy is constant (content disjoint across copies)
-        "containment": lambda: containment_pairs(with_token_set(docs)),
+        # one-sided prefix-filtered containment over trigram shingles
+        # (the gate's shape — unigram sets over the small synthetic
+        # vocab qualify most pairs and measure output volume, not the
+        # operator); candidate volume per copy is constant since
+        # content is disjoint across copies
+        "containment": lambda: containment_pairs(
+            with_shingle_set(docs, n=3), tokens_col="shingles"
+        ),
         "windowed_counts": lambda: windowed_counts(
             ev.select(
                 (F.col("ts_us") / 1_000_000).cast("long").alias("ts_s"),
