@@ -213,6 +213,95 @@ def boilerplate_coverage(
     )
 
 
+def strip_duplicate_spans(
+    docs: DataFrame, *, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Surgical exact-substring dedup — the REMOVAL step of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), at k-token gram granularity: every window whose gram
+    occurs more than once in the corpus is cut from the text EXCEPT
+    at its canonical occurrence (the globally-first (doc_id, pos)),
+    and each document's surviving tokens are re-joined in order. The
+    duplicated passage survives exactly once corpus-wide; partial
+    window overlaps are handled by position-set union.
+
+    Returns (doc_id, clean_text, n_tokens, n_removed) — the
+    training-ready corpus plus the audit counts.
+
+    Scale shape — LINEAR in occurrences, never pairwise (this is the
+    structural advantage exact-substring dedup has over similarity
+    dedup): positional gram explode (narrow) -> per-gram aggregate
+    carrying count + argmin occurrence [1 shuffle, md5-key] ->
+    equi-join back to occurrences [shuffle on the same key] ->
+    covered-position explode (x k, narrow) -> per-doc distinct
+    position set [1 shuffle, bounded by doc length] -> narrow
+    array_except rebuild. A gram repeated a million times is a
+    million occurrence rows flowing through keyed aggregates — real
+    output-bound work, no cross-occurrence pairing anywhere.
+    """
+    with_toks = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("toks")
+    )
+    grams = F.expr(
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"transform(sequence(1, size(toks) - {k - 1}),"
+        f" i -> array_join(slice(toks, i, {k}), ' '))"
+        f" ELSE array() END"
+    )
+    occ = with_toks.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).select("doc_id", "pos", F.md5("gram").alias("gram_key"))
+
+    # min(struct) = lexicographic argmin: the canonical occurrence is
+    # the lowest (doc_id, pos) — deterministic and engine-independent
+    dup = (
+        occ.groupBy("gram_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("canon"),
+        )
+        .where(F.col("n_occ") >= 2)
+    )
+    cut_windows = (
+        occ.join(dup, "gram_key")
+        .where(
+            (F.col("doc_id") != F.col("canon.doc_id"))
+            | (F.col("pos") != F.col("canon.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    cut_set = (
+        cut_windows.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tokpos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("tokpos").alias("cut"))
+    )
+    # array_except(sequence, cut) keeps surviving positions IN ORDER;
+    # element_at rebuilds the token run — all narrow, post-join
+    keep = (
+        "transform(array_except(sequence(0, size(toks) - 1), "
+        "coalesce(cut, array())), i -> element_at(toks, i + 1))"
+    )
+    return (
+        with_toks.join(cut_set, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(F.expr(keep), " ").alias("clean_text"),
+            F.size("toks").cast("long").alias("n_tokens"),
+            # size() on the coalesced array, not coalesce(size(...)):
+            # legacy sizeOfNull yields -1, not NULL, in non-ANSI sessions
+            F.size(F.coalesce(F.col("cut"), F.array()))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def source_overlap(
     docs: DataFrame, *, k: int = 5, max_sources: int = 10
 ) -> DataFrame:

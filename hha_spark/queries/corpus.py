@@ -20,6 +20,7 @@ from hha_spark.operators.corpus import (
     mixture_weights,
     pii_scrub,
     source_overlap,
+    strip_duplicate_spans,
 )
 from hha_spark.sources.tables import load_table
 
@@ -70,6 +71,53 @@ ORACLE_DUP_SPANS = f"""
            count(DISTINCT CASE WHEN is_dup = 1 THEN gram_key END)
              AS n_dup_grams
     FROM flagged GROUP BY doc_id
+"""
+
+
+def corpus_strip_dup_spans(spark, sf_dir):
+    """Surgical exact-substring dedup (the removal step of Lee et
+    al. 2022): cut every duplicated k-gram window except its
+    globally-first occurrence and rebuild the text
+    (operators/corpus.py::strip_duplicate_spans). The oracle ranks
+    occurrences per gram and cuts rank >= 2 — an independent
+    formulation of the same canonical-survivor rule."""
+    return strip_duplicate_spans(_docs(spark, sf_dir), k=K)
+
+
+ORACLE_STRIP_SPANS = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+{K - 1}], ' ')) AS gram_key
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - {K - 1})) AS i
+      ) s
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY gram_key
+                                ORDER BY doc_id, pos) AS rn
+      FROM occ),
+    cutpos AS (
+      SELECT DISTINCT doc_id, pos + j AS tokpos
+      FROM ranked, LATERAL (
+        SELECT unnest(generate_series(0, {K - 1})) AS j
+      ) u
+      WHERE rn >= 2),
+    cuts AS (SELECT doc_id, list(tokpos) AS cut FROM cutpos
+             GROUP BY doc_id)
+    SELECT t.doc_id,
+           -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(generate_series(0, len(toks) - 1),
+                           i -> NOT list_contains(coalesce(cut, []), i)),
+               i -> toks[i + 1]),
+             ' '), '') AS clean_text,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(cut), 0) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN cuts USING (doc_id)
 """
 
 
@@ -168,6 +216,7 @@ ORACLE_MIXTURE_WEIGHTS = f"""
 
 QUERIES = {
     "corpus_dup_spans": corpus_dup_spans,
+    "corpus_strip_dup_spans": corpus_strip_dup_spans,
     "corpus_source_overlap": corpus_source_overlap,
     "corpus_pii_scrub": corpus_pii_scrub,
     "corpus_mixture_weights": corpus_mixture_weights,
@@ -175,6 +224,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_dup_spans": ORACLE_DUP_SPANS,
+    "corpus_strip_dup_spans": ORACLE_STRIP_SPANS,
     "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
     "corpus_pii_scrub": ORACLE_PII_SCRUB,
     "corpus_mixture_weights": ORACLE_MIXTURE_WEIGHTS,

@@ -127,3 +127,41 @@ def test_kgram_explode_plan_has_no_shuffle(spark):
     df = _docs(spark, [(1, "s", "a b c d e f")])
     plan = kgram_frame(df, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_strip_duplicate_spans_hand_computed(spark):
+    """k=3. Doc 2 shares windows 'a b c' (pos 0) and 'b c d' (pos 1)
+    with doc 1 — both canonical in doc 1, so doc 2 loses positions
+    {0,1,2} | {1,2,3} = {0..3} and keeps 'x y'. Doc 4 repeats its own
+    prefix: the second 'p q r'/'q r s' occurrences are cut, keeping
+    exactly one copy of the passage."""
+    from hha_spark.operators.corpus import strip_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d x y"),
+            (3, "z z z"),
+            (4, "p q r s p q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_duplicate_spans(docs, k=3).collect()}
+    assert out[1].clean_text == "a b c d e f" and out[1].n_removed == 0
+    assert out[2].clean_text == "x y" and out[2].n_removed == 4
+    assert out[3].clean_text == "z z z" and out[3].n_removed == 0
+    assert out[4].clean_text == "p q r s" and out[4].n_removed == 4
+    assert out[4].n_tokens == 8
+
+
+def test_strip_duplicate_spans_full_doc_removal(spark):
+    """An exact duplicate doc is cut to empty text (every window is
+    non-canonical); the canonical doc survives untouched."""
+    from hha_spark.operators.corpus import strip_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "m n o p q"), (2, "m n o p q")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in strip_duplicate_spans(docs, k=3).collect()}
+    assert out[1].clean_text == "m n o p q" and out[1].n_removed == 0
+    assert out[2].clean_text == "" and out[2].n_removed == 5
