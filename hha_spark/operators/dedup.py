@@ -173,6 +173,7 @@ def prefix_candidate_pairs(
 
 def containment_pairs(
     docs: DataFrame,
+    corpus: DataFrame | None = None,
     *,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
@@ -204,6 +205,15 @@ def containment_pairs(
     Output: (doc_id_a, doc_id_b, inter_size, n_a, containment) with
     the threshold test in exact integer cross-multiplication;
     `containment` is one correctly-rounded double division.
+
+    With `corpus` given, the join is CROSS-SIDE ONLY — contained side
+    = `docs` (the incoming batch), container side = `corpus` — the
+    ingest admission gate ("is this new doc mostly inside something we
+    already have?"): cost tracks the batch, the corpus contributes one
+    postings pass, and the corpus is never self-paired. The prefix
+    rarity order then comes from CORPUS document frequencies (the
+    side a real index has statistics for); correctness never depends
+    on the order, only candidate volume does.
     """
     from pyspark.sql import Window
 
@@ -213,16 +223,26 @@ def containment_pairs(
     # prefix picks — any plen-subset satisfies the lemma) or ADD a false
     # candidate (removed by exact verification); no qualifying pair can
     # be lost.
-    post = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.col(tokens_col)).alias("n"),
-        F.explode(F.col(tokens_col)).alias("tok"),
-    ).select("doc_id", "n", F.xxhash64("tok").alias("tok"))
-    df_tok = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    def _post(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.col(tokens_col)).alias("n"),
+            F.explode(F.col(tokens_col)).alias("tok"),
+        ).select("doc_id", "n", F.xxhash64("tok").alias("tok"))
+
+    container = corpus if corpus is not None else docs
+    post = _post(docs)
+    post_b = _post(container) if corpus is not None else post
+    df_tok = post_b.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     plen = F.col("n") - F.expr(
         f"({threshold_num} * n + {threshold_den - 1}) DIV {threshold_den}"
     ) + F.lit(1)
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    # inner join on df: in cross mode, batch tokens ABSENT from the
+    # corpus vocabulary drop out of prefix selection — sound, because
+    # such tokens cannot be in any A∩B; any <=plen subset of the
+    # surviving (corpus-known) tokens still witnesses a qualifying
+    # pair, and when fewer than plen survive they are ALL kept
     pref = (
         post.join(df_tok, on="tok")
         .withColumn("_rank", F.row_number().over(w))
@@ -237,7 +257,7 @@ def containment_pairs(
     # short-container false candidates; exactness unaffected)
     cand = (
         pref.join(
-            post.select(
+            post_b.select(
                 F.col("doc_id").alias("doc_id_b"), F.col("n").alias("n_b"),
                 "tok",
             ),
@@ -253,7 +273,7 @@ def containment_pairs(
     ta = docs.select(
         F.col(id_col).alias("doc_id_a"), F.col(tokens_col).alias("_ta")
     )
-    tb = docs.select(
+    tb = container.select(
         F.col(id_col).alias("doc_id_b"), F.col(tokens_col).alias("_tb")
     )
     verified = (

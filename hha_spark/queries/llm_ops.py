@@ -109,6 +109,7 @@ ORACLE_NGRAM = """
 
 
 CONTAIN_NUM, CONTAIN_DEN = 8, 10  # containment threshold 0.8
+NEW_BATCH_PRED = "doc_id % 4 = 0"   # deterministic ~25% "incoming batch"
 
 _SHINGLES = """
       CASE WHEN len(toks) >= 3 THEN
@@ -150,6 +151,47 @@ ORACLE_CONTAINMENT = f"""
            CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
              / CAST(len(a.shingles) AS BIGINT) AS containment
     FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(a.shingles) > 0
+      AND {CONTAIN_DEN} * len(list_intersect(a.shingles, b.shingles))
+          >= {CONTAIN_NUM} * len(a.shingles)
+"""
+
+
+def dedup_containment_incremental(spark, sf_dir):
+    """Ingest admission gate, containment edition: which docs of an
+    incoming batch (doc_id % 4 = 0) are >= 80% shingle-contained in
+    some EXISTING corpus doc? Cross-side only — the corpus is never
+    self-paired, prefix rarity comes from corpus document
+    frequencies, and cost tracks the batch (the daily-crawl shape).
+    The oracle is the naive cross-side predicate, proving the
+    one-sided filter lossless in cross mode too
+    (operators/dedup.py::containment_pairs)."""
+    from hha_spark.operators.dedup import containment_pairs
+
+    docs = tracked_persist(with_shingle_set(_docs(spark, sf_dir), n=3))
+    new = docs.where(F.expr(NEW_BATCH_PRED))
+    corpus = docs.where(~F.expr(NEW_BATCH_PRED))
+    out = containment_pairs(
+        new, corpus, tokens_col="shingles",
+        threshold_num=CONTAIN_NUM, threshold_den=CONTAIN_DEN,
+    )
+    return _cast_longs(out, ["inter_size", "n_a"])
+
+
+ORACLE_CONTAINMENT_INC = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM t)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+               AS inter_size,
+           CAST(len(a.shingles) AS BIGINT) AS n_a,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+             / CAST(len(a.shingles) AS BIGINT) AS containment
+    FROM sh a JOIN sh b
+      ON ({NEW_BATCH_PRED.replace('doc_id', 'a.doc_id')})
+     AND NOT ({NEW_BATCH_PRED.replace('doc_id', 'b.doc_id')})
+     AND a.doc_id <> b.doc_id
     WHERE len(a.shingles) > 0
       AND {CONTAIN_DEN} * len(list_intersect(a.shingles, b.shingles))
           >= {CONTAIN_NUM} * len(a.shingles)
@@ -262,7 +304,6 @@ ORACLE_MINHASH = f"""
 """
 
 
-NEW_BATCH_PRED = "doc_id % 4 = 0"   # deterministic ~25% "incoming batch"
 
 
 def dedup_incremental(spark, sf_dir):
@@ -1684,6 +1725,7 @@ QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
+    "dedup_containment_incremental": dedup_containment_incremental,
     "dedup_trigram_jaccard": dedup_trigram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental": dedup_incremental,
@@ -1723,6 +1765,7 @@ ORACLES = {
     "dedup_exact_docs": ORACLE_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM,
     "dedup_containment": ORACLE_CONTAINMENT,
+    "dedup_containment_incremental": ORACLE_CONTAINMENT_INC,
     "dedup_trigram_jaccard": ORACLE_TRIGRAM,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_incremental": ORACLE_INCREMENTAL,

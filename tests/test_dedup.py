@@ -328,3 +328,39 @@ def test_containment_pairs_match_naive_all_pairs(spark):
         and 10 * len(toks[a] & toks[b]) >= 8 * len(toks[a])
     }
     assert got == want and (1, 2) in got and (6, 1) in got
+
+
+def test_containment_incremental_cross_side_only(spark):
+    """Cross mode: only (batch, corpus) ordered pairs emerge — never
+    corpus-corpus or batch-batch — and the result matches the naive
+    cross predicate even when batch docs carry tokens absent from the
+    corpus vocabulary (those can never witness containment)."""
+    from hha_spark.operators.dedup import containment_pairs
+
+    batch_rows = [
+        (10, "a b c d e"),            # fully inside corpus doc 1
+        (12, "a b c zz1 zz2"),        # 3/5 known -> below 0.8
+        (14, "q r s t u"),            # 4/5 in corpus doc 3
+    ]
+    corpus_rows = [
+        (1, "a b c d e f g"),
+        (3, "q r s t x"),
+        (5, "a b c d e"),             # also contains batch doc 10
+    ]
+    mk = lambda rows: with_token_set(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in containment_pairs(mk(batch_rows), mk(corpus_rows)).collect()
+    }
+    toks_b = {i: set(t.split()) for i, t in batch_rows}
+    toks_c = {i: set(t.split()) for i, t in corpus_rows}
+    want = {
+        (a, b)
+        for a in toks_b for b in toks_c
+        if 10 * len(toks_b[a] & toks_c[b]) >= 8 * len(toks_b[a])
+    }
+    assert got == want
+    assert (10, 1) in got and (10, 5) in got and (14, 3) in got
+    assert all(a in toks_b and b in toks_c for a, b in got)
