@@ -77,7 +77,10 @@ def scaled_embeddings(spark, k: int) -> DataFrame:
 
 def probes(spark, k: int):
     """(name, build) pairs; build() returns a DataFrame to force."""
-    from hha_spark.operators.corpus import boilerplate_coverage
+    from hha_spark.operators.corpus import (
+        boilerplate_coverage,
+        strip_duplicate_spans,
+    )
     from hha_spark.operators.dedup import (
         containment_pairs,
         exact_dedup_groups,
@@ -101,7 +104,10 @@ def probes(spark, k: int):
         cms_counters,
         cms_estimates,
     )
-    from hha_spark.operators.dq import robust_outlier_report
+    from hha_spark.operators.dq import (
+        join_key_skew_report,
+        robust_outlier_report,
+    )
     from hha_spark.operators.similarity import cosine_pairs_arrow
     from hha_spark.operators.spike import fused_window_compare
     from hha_spark.operators.text import (
@@ -205,6 +211,12 @@ def probes(spark, k: int):
         # content is disjoint across copies
         "containment": lambda: containment_pairs(
             with_shingle_set(docs, n=3), tokens_col="shingles"
+        ),
+        # occurrence-linear exact-substring removal: per-copy dup
+        # structure repeats, cross-copy grams are disjoint
+        "strip_dup_spans": lambda: strip_duplicate_spans(docs, k=5),
+        "key_skew_report": lambda: join_key_skew_report(
+            ev.select("user_id"), "user_id"
         ),
         "windowed_counts": lambda: windowed_counts(
             ev.select(
