@@ -372,3 +372,85 @@ def test_divergence_bounds_and_zero_identity(spark, corp_a, corp_b):
     )
     for r in source_token_divergence(solo).collect():
         assert r["l1_num"] == 0
+
+
+# --- containment / strip-spans invariants (round-5 ops) ---------------------
+
+doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=1, max_size=10,
+    ).map(lambda ts: " ".join(ts)),
+    min_size=2, max_size=6,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc_texts)
+def test_containment_matches_naive_on_random_corpora(spark, texts):
+    """containment_pairs (one-sided prefix filter + size bound +
+    hashed candidate keys) == the naive all-ordered-pairs predicate
+    on random small-vocab corpora — the lossless-filter claim under
+    adversarial token overlap."""
+    from hha_spark.operators.dedup import containment_pairs, with_token_set
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = with_token_set(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.inter_size)
+        for r in containment_pairs(docs).collect()
+    }
+    toks = {i: set(t.split()) for i, t in rows}
+    want = {
+        (a, b, len(toks[a] & toks[b]))
+        for a in toks for b in toks if a != b
+        and 10 * len(toks[a] & toks[b]) >= 8 * len(toks[a])
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc_texts)
+def test_strip_spans_matches_reference_impl(spark, texts):
+    """strip_duplicate_spans == a sequential reference implementation
+    (first-occurrence-wins over (doc_id, pos) order) on random
+    corpora with heavy within- and cross-doc gram repetition."""
+    from hha_spark.operators.corpus import strip_duplicate_spans
+
+    k = 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # reference: count occurrences per gram, walk occurrences in
+    # (doc_id, pos) order, cut every non-first duplicated window
+    occ, count = [], {}
+    for i, t in rows:
+        ts = t.split()
+        for p in range(len(ts) - k + 1):
+            g = " ".join(ts[p:p + k])
+            occ.append((i, p, g))
+            count[g] = count.get(g, 0) + 1
+    cut = {i: set() for i, _ in rows}
+    seen = set()
+    for i, p, g in occ:  # already in (doc_id, pos) order
+        if count[g] >= 2 and g in seen:
+            cut[i].update(range(p, p + k))
+        seen.add(g)
+    want = {
+        i: " ".join(
+            tok for j, tok in enumerate(t.split()) if j not in cut[i]
+        )
+        for i, t in rows
+    }
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.clean_text
+        for r in strip_duplicate_spans(docs, k=k).collect()
+    }
+    assert got == want
