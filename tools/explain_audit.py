@@ -42,6 +42,13 @@ HEADLINE = [
     "text_unigram_lm_score",         # head/tail skew-split vocab join
     "events_value_mad_outliers",     # median/MAD broadcast-stats joins
     "ann_topk_ivfpq_residual",       # IVFADC: centroid dot + residual ADC
+    "text_bm25_topk",                # term-pruned tf agg + broadcast consts
+    "retrieval_rrf_fusion",          # hybrid cosine + token-overlap fusion
+    "dedup_containment",             # one-sided prefix filter, hashed keys
+    "dedup_containment_incremental", # cross-side admission gate
+    "corpus_strip_dup_spans",        # occurrence-linear span removal
+    "dq_events_key_skew",            # TakeOrdered top-k + broadcast totals
+    "events_salted_join",            # explicit salted hot-key join
 ]
 
 
