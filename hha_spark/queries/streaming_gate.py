@@ -23,6 +23,9 @@ LSH-pruned collisions.
 from __future__ import annotations
 
 import itertools
+import os
+import shutil
+import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +48,27 @@ _QUERY_SEQ = itertools.count()
 # state width to keys, not to the batch-analytics default). Scoped so
 # batch queries running after the gate see the session default again.
 GATE_SHUFFLE_PARTITIONS = "8"
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Gate-scoped scratch, on tmpfs when the host has one.
+
+    Streaming checkpoints/state are durability infrastructure; a
+    bounded availableNow replay that deletes its scratch on exit gets
+    nothing from fsync-ing them to disk, so prefer /dev/shm — the
+    checkpoint fixed cost becomes memory writes. Falls back to the
+    regular temp root when no tmpfs exists."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+@contextmanager
+def _gate_scratch(prefix: str):
+    tmp = _scratch_dir(prefix)
+    try:
+        yield tmp
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @contextmanager
@@ -95,10 +119,11 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory-sink table name is unique per invocation so repeated
     # gate runs in one session never collide.
     qname = f"_stream_dedup_inc_{next(_QUERY_SEQ)}"
-    with _gate_shuffle(spark):
+    with _gate_scratch("hha_stream_dedup_ckpt_") as ck, _gate_shuffle(spark):
         q = (
             collisions.writeStream.format("memory")
             .queryName(qname)
+            .option("checkpointLocation", f"{ck}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
@@ -167,9 +192,6 @@ def stream_spike_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     alert cardinality is tiny (it's the point of the detector), so
     the driver-side copy is bounded.
     """
-    import shutil
-    import tempfile
-
     from hha_spark.config import DetectorParams
     from hha_spark.streaming.spike_stream import run_streaming_detector
 
@@ -199,12 +221,8 @@ def stream_spike_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur_window_sec=SPIKE_CUR_SEC,
         prev_window_sec=SPIKE_PREV_SEC,
     )
-    tmp = tempfile.mkdtemp(prefix="hha_stream_spike_gate_")
-    try:
-        with _gate_shuffle(spark):
-            return _spike_gate_body(spark, tmp, hist, now, zones, params)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    with _gate_scratch("hha_stream_spike_gate_") as tmp, _gate_shuffle(spark):
+        return _spike_gate_body(spark, tmp, hist, now, zones, params)
 
 
 def _spike_gate_body(spark, tmp, hist, now, zones, params):
@@ -340,11 +358,12 @@ def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_sec=WIN_SEC,
     )
     qname = f"_stream_windowed_{next(_QUERY_SEQ)}"
-    with _gate_shuffle(spark):
+    with _gate_scratch("hha_stream_win_ckpt_") as ck, _gate_shuffle(spark):
         q = (
             counts.writeStream.format("memory")
             .queryName(qname)
             .outputMode("complete")
+            .option("checkpointLocation", f"{ck}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
@@ -413,10 +432,11 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_sec=ATTR_WATERMARK_SEC,
     )
     qname = f"_stream_attr_{next(_QUERY_SEQ)}"
-    with _gate_shuffle(spark):
+    with _gate_scratch("hha_stream_attr_ckpt_") as ck, _gate_shuffle(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(qname)
+            .option("checkpointLocation", f"{ck}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
