@@ -49,6 +49,28 @@ PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_DIGITS_RE = r"\d{6,}"
 
 
+def grams_expr(k: int) -> str:
+    """Sliding k-token gram array over a pre-split `toks` column —
+    the ONE definition every gram consumer shares (kgram_frame,
+    boilerplate_coverage, strip_duplicate_spans).
+
+    `toks` must be a named column on the frame: referencing split()
+    inside the transform lambda would re-split the text once PER
+    WINDOW (common-subexpression elimination does not reach inside
+    higher-order-function lambdas), turning a linear map quadratic —
+    and as a non-cheap alias referenced multiple times `toks` also
+    survives CollapseProject, so the split really runs once per row.
+    CASE guard: sequence(1, n) with n < 1 would generate a DESCENDING
+    sequence in Spark, so short docs get an empty array.
+    """
+    return (
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"transform(sequence(1, size(toks) - {k - 1}),"
+        f" i -> array_join(slice(toks, i, {k}), ' '))"
+        f" ELSE array() END"
+    )
+
+
 def kgram_frame(
     df: DataFrame, *, k: int, text_col: str = "text", extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -61,23 +83,10 @@ def kgram_frame(
     keeps every downstream shuffle fixed-width; the gram text column
     is only selected where a human-readable sample is wanted.
     """
-    # `toks` is a named column on purpose: referencing split() inside
-    # the transform lambda would re-split the text once PER WINDOW
-    # (common-subexpression elimination does not reach inside
-    # higher-order-function lambdas), turning a linear map quadratic.
-    # As a non-cheap alias referenced three times it also survives
-    # CollapseProject, so the split really runs once per row.
-    # CASE guard: sequence(1, n) with n < 1 would generate a
-    # DESCENDING sequence in Spark, so short docs get an empty array.
     with_toks = df.select(
         "doc_id", *extra_cols, F.split(F.col(text_col), " ").alias("toks")
     )
-    grams = F.expr(
-        f"CASE WHEN size(toks) >= {k} THEN "
-        f"transform(sequence(1, size(toks) - {k - 1}),"
-        f" i -> array_join(slice(toks, i, {k}), ' '))"
-        f" ELSE array() END"
-    )
+    grams = F.expr(grams_expr(k))
     return (
         with_toks.select("doc_id", *extra_cols, F.explode(grams).alias("gram"))
         .select(
@@ -159,16 +168,10 @@ def boilerplate_coverage(
     with_toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
-    grams = F.expr(
-        f"CASE WHEN size(toks) >= {k} THEN "
-        f"transform(sequence(1, size(toks) - {k - 1}),"
-        f" i -> array_join(slice(toks, i, {k}), ' '))"
-        f" ELSE array() END"
-    )
     # pos is 0-based window start; covered token positions are
     # [pos, pos + k - 1]
     occ = with_toks.select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram")
+        "doc_id", F.posexplode(F.expr(grams_expr(k))).alias("pos", "gram")
     ).select("doc_id", "pos", F.md5("gram").alias("gram_key"))
 
     doc_gram = occ.groupBy("doc_id", "gram_key").agg(
@@ -242,14 +245,8 @@ def strip_duplicate_spans(
     with_toks = docs.select(
         "doc_id", F.split(F.col(text_col), " ").alias("toks")
     )
-    grams = F.expr(
-        f"CASE WHEN size(toks) >= {k} THEN "
-        f"transform(sequence(1, size(toks) - {k - 1}),"
-        f" i -> array_join(slice(toks, i, {k}), ' '))"
-        f" ELSE array() END"
-    )
     occ = with_toks.select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram")
+        "doc_id", F.posexplode(F.expr(grams_expr(k))).alias("pos", "gram")
     ).select("doc_id", "pos", F.md5("gram").alias("gram_key"))
 
     # min(struct) = lexicographic argmin: the canonical occurrence is

@@ -116,9 +116,12 @@ def join_key_skew_report(
     whether a 100 TB join needs salting (operators/skew.py), AQE skew
     splitting, or a broadcast. Emits the top_k hottest keys with
     their row counts and a `skewed` flag — key hotter than
-    (factor_num/factor_den) x the per-key mean — in exact integer
-    cross-multiplication (cnt * n_keys * den > num * total), so the
-    boundary is engine-independent.
+    (factor_num/factor_den) x the per-key mean — via exact
+    cross-multiplication in DECIMAL(38,0)
+    (cnt * n_keys * den > num * total): exact AND overflow-free at
+    precisely the trillion-row/billion-key scale the report is for,
+    where the BIGINT product cnt*n_keys would wrap (ANSI-off) or
+    throw (ANSI). The boundary is engine-independent.
 
     Shape: one map-side-combinable count per key, a one-row global
     summary broadcast onto the winners, and the global top-k via
@@ -143,8 +146,10 @@ def join_key_skew_report(
         .select(
             key_col, "cnt", "rnk", "total_rows", "n_keys",
             (
-                F.col("cnt") * F.col("n_keys") * F.lit(factor_den)
-                > F.lit(factor_num) * F.col("total_rows")
+                F.col("cnt").cast("decimal(38,0)")
+                * F.col("n_keys")
+                * F.lit(factor_den)
+                > F.lit(factor_num) * F.col("total_rows").cast("decimal(38,0)")
             ).alias("skewed"),
         )
     )

@@ -498,7 +498,8 @@ ORACLE_KEY_SKEW = f"""
                  AS rnk
       FROM top)
     SELECT r.user_id, r.cnt, r.rnk, t.total_rows, t.n_keys,
-           r.cnt * t.n_keys * {SKEW_DEN} > {SKEW_NUM} * t.total_rows AS skewed
+           CAST(r.cnt AS HUGEINT) * t.n_keys * {SKEW_DEN}
+               > {SKEW_NUM} * CAST(t.total_rows AS HUGEINT) AS skewed
     FROM ranked r CROSS JOIN tot t
 """
 

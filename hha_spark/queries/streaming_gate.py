@@ -50,15 +50,30 @@ _QUERY_SEQ = itertools.count()
 GATE_SHUFFLE_PARTITIONS = "8"
 
 
+# The gate fixtures write ~tens of MB of input + checkpoint + state;
+# default-Docker /dev/shm is 64 MB — require real headroom before
+# moving scratch there, else an environment detail turns green
+# streaming gates into 'No space left on device' reds.
+_SHM_MIN_FREE_BYTES = 2 << 30
+
+
 def _scratch_dir(prefix: str) -> str:
-    """Gate-scoped scratch, on tmpfs when the host has one.
+    """Gate-scoped scratch, on tmpfs when the host has a ROOMY one.
 
     Streaming checkpoints/state are durability infrastructure; a
     bounded availableNow replay that deletes its scratch on exit gets
     nothing from fsync-ing them to disk, so prefer /dev/shm — the
     checkpoint fixed cost becomes memory writes. Falls back to the
-    regular temp root when no tmpfs exists."""
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    regular temp root when tmpfs is absent or smaller than
+    _SHM_MIN_FREE_BYTES (e.g. Docker's 64 MB default)."""
+    base = None
+    if os.path.isdir("/dev/shm"):
+        try:
+            sv = os.statvfs("/dev/shm")
+            if sv.f_bavail * sv.f_frsize >= _SHM_MIN_FREE_BYTES:
+                base = "/dev/shm"
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
