@@ -333,3 +333,42 @@ def test_events_salted_join_plan_shows_salted_shape(spark):
     assert "_salt" in plan  # salt participates in the join keys
     assert "Generate explode" in plan  # replicated small side
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_prunes_postings_below_tf_aggregate(spark):
+    """The query-term semi-join must sit BELOW the (doc, tok) tf
+    aggregate — the full corpus never flows through a wide aggregate
+    keyed by every distinct term (the round-5 pushdown; flat 1.2x at
+    64x rows in the scale probe rests on this)."""
+    from hha_spark.queries.scoring import text_bm25_topk
+
+    plan = plan_of(text_bm25_topk(spark, "/root/testdata/sf0.001"))
+    semi = plan.find("BroadcastHashJoin")
+    assert semi != -1 and "LeftSemi" in plan
+    # the first (innermost-printed last) HashAggregate keyed by
+    # (doc_id, tok) must appear ABOVE the semi-join in the plan tree:
+    # in toString() parents print before children, so the aggregate's
+    # first occurrence must come before the semi-join's
+    agg = plan.find("HashAggregate")
+    assert agg != -1 and agg < plan.find("LeftSemi")
+
+
+def test_containment_candidates_join_on_hashed_keys(spark):
+    """Candidate generation shuffles 8-byte xxhash64 keys, never the
+    shingle strings, and the final pair join carries no cartesian."""
+    from hha_spark.queries.llm_ops import dedup_containment
+
+    plan = plan_of(dedup_containment(spark, "/root/testdata/sf0.001"))
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_skew_report_uses_take_ordered_not_global_sort(spark):
+    """Top-k hottest keys must come from TakeOrderedAndProject (a
+    per-partition heap + k-row driver merge), never a full global
+    sort of the key-count table."""
+    from hha_spark.queries.relational5 import dq_events_key_skew
+
+    plan = plan_of(dq_events_key_skew(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
