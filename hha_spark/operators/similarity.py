@@ -481,3 +481,66 @@ def cosine_pairs_arrow(
             yield out
 
     return src.mapInPandas(gen, schema=out_schema)
+
+
+def ndcg_weights(k: int) -> list[int]:
+    """Discount table floor(1e6 / log2(r+1)) for r = 1..k, computed
+    ONCE driver-side and embedded as integer literals in both
+    engines' plans — no float log at query time, so the metric is
+    exact integer arithmetic end-to-end."""
+    import math
+
+    return [math.floor(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def ndcg_idcg(k: int) -> int:
+    """Ideal DCG: the exact top-k in order carries grades k..1."""
+    return sum(
+        (k + 1 - r) * w
+        for r, w in zip(range(1, k + 1), ndcg_weights(k))
+    )
+
+
+def ndcg_at_k(
+    exact: DataFrame, approx: DataFrame, *, k: int
+) -> DataFrame:
+    """Per-query nDCG@k of an approximate ranking against the exact
+    one, in integer micro-units: the standard graded retrieval-eval
+    metric, complementing set-recall.
+
+    Both inputs are (qid, cid, rank, ...) frames whose rank is 1-based
+    within qid; `exact` defines relevance (grade = k+1-rank inside its
+    top-k, 0 outside), `approx` is scored. ndcg_micro =
+    dcg_q * 1e6 DIV IDCG where IDCG is the constant ideal sum — a
+    query whose approx top-k IS the exact top-k scores exactly
+    1_000_000. Shuffle shape: one (qid, cid) equi-join of two
+    k-bounded rankings and one per-query aggregate — cost tracks the
+    rankings, never the corpus.
+    """
+    w = ndcg_weights(k)
+    idcg = ndcg_idcg(k)
+    rel = exact.where(F.col("rank") <= k).select(
+        "qid", "cid", (F.lit(k + 1) - F.col("rank")).alias("rel")
+    )
+    w_arr = F.array(*[F.lit(x) for x in w])
+    gains = (
+        approx.where(F.col("rank") <= k)
+        .select("qid", "cid", "rank")
+        .join(rel, on=["qid", "cid"], how="left")
+        .select(
+            "qid",
+            (
+                F.coalesce(F.col("rel"), F.lit(0))
+                * F.element_at(w_arr, F.col("rank").cast("int"))
+            ).alias("gain"),
+        )
+    )
+    return (
+        gains.groupBy("qid")
+        .agg(F.sum("gain").cast("long").alias("dcg_q"))
+        .select(
+            "qid", "dcg_q",
+            F.expr(f"CAST(dcg_q * 1000000 DIV {idcg} AS BIGINT)")
+            .alias("ndcg_micro"),
+        )
+    )

@@ -772,6 +772,55 @@ ORACLE_IVF_RECALL = f"""
 """
 
 
+_NDCG_K = 5
+
+
+def ann_ndcg_eval(spark, sf_dir):
+    """Graded retrieval quality: nDCG@5 of the trained-IVF ranking
+    against the exact cosine ranking, per query, in exact integer
+    micro-units. Recall@k (ann_ivf_recall) says WHETHER the true
+    neighbors were found; nDCG says whether they surface IN THE RIGHT
+    ORDER — the metric a retrieval eval actually reports
+    (operators/similarity.py::ndcg_at_k)."""
+    from hha_spark.operators.ivf import ivf_topk
+    from hha_spark.operators.similarity import ndcg_at_k
+
+    emb = tracked_persist(_emb(spark, sf_dir))
+    qpred = F.col("vec_id") % 16 == 0
+    exact = cosine_topk(emb.where(qpred), emb, k=_NDCG_K)
+    ivf = ivf_topk(
+        emb, query_pred=qpred, k=_NDCG_K,
+        nprobe=IVF_NPROBE, iters=IVF_ITERS, train_key=sf_dir,
+    )
+    return ndcg_at_k(exact, ivf, k=_NDCG_K)
+
+
+def _ndcg_oracle() -> str:
+    from hha_spark.operators.similarity import ndcg_idcg, ndcg_weights
+
+    _NDCG_W = ndcg_weights(_NDCG_K)
+    _NDCG_IDCG = ndcg_idcg(_NDCG_K)
+    w_case = " ".join(
+        f"WHEN {r} THEN {w}"
+        for r, w in zip(range(1, _NDCG_K + 1), _NDCG_W)
+    )
+    return f"""
+    WITH {_IVF_TRAINED_CTES},
+    exact5 AS (
+      SELECT qid, cid, {_NDCG_K + 1} - rank AS rel FROM ({ORACLE_ANN})),
+    ivf5 AS (SELECT qid, cid, rank FROM ivf_ranked
+             WHERE rank <= {_NDCG_K}),
+    gains AS (
+      SELECT i.qid,
+             COALESCE(e.rel, 0) * (CASE i.rank {w_case} END) AS gain
+      FROM ivf5 i LEFT JOIN exact5 e ON e.qid = i.qid AND e.cid = i.cid)
+    SELECT qid, CAST(SUM(gain) AS BIGINT) AS dcg_q,
+           CAST(CAST(SUM(gain) AS BIGINT) * 1000000 // {_NDCG_IDCG}
+                AS BIGINT) AS ndcg_micro
+    FROM gains GROUP BY qid
+"""
+
+
 EMB_LSH_TAU = 0.45
 
 
@@ -1745,6 +1794,7 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_trained": ann_topk_ivf_trained,
     "ann_ivf_recall": ann_ivf_recall,
+    "ann_ndcg_eval": ann_ndcg_eval,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "embedding_cosine_pairs": embedding_cosine_pairs,
     "doc_array_features": doc_array_features,
@@ -1785,6 +1835,7 @@ ORACLES = {
     "ann_topk_ivf": ORACLE_ANN_IVF,
     "ann_topk_ivf_trained": ORACLE_ANN_IVF_TRAINED,
     "ann_ivf_recall": ORACLE_IVF_RECALL,
+    "ann_ndcg_eval": _ndcg_oracle(),
     "dedup_embedding_lsh": ORACLE_EMB_LSH,
     "embedding_cosine_pairs": ORACLE_COSINE_PAIRS,
     "doc_array_features": ORACLE_ARRAY,

@@ -216,3 +216,38 @@ def test_arrow_kernel_falls_back_above_query_cap(spark, monkeypatch):
         (r.qid, r.cid, r.cosine, r.label) for r in fb_df.collect()
     )
     assert fb == arrow and len(fb) > 0
+
+
+def test_ndcg_perfect_agreement_is_one(spark):
+    """approx == exact -> every query scores exactly 1_000_000."""
+    from hha_spark.operators.similarity import ndcg_at_k
+
+    ranking = spark.createDataFrame(
+        [(q, q * 10 + r, r) for q in (1, 2) for r in (1, 2, 3)],
+        "qid long, cid long, rank long",
+    )
+    out = {r.qid: r.ndcg_micro for r in ndcg_at_k(ranking, ranking, k=3).collect()}
+    assert out == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_ndcg_hand_computed_partial_overlap(spark):
+    """k=3, W = [1000000, 630929, 500000], IDCG = 3*W1+2*W2+1*W3.
+    approx ranks the exact #2 first, exact #1 second, and a miss
+    third: DCG = 2*W1 + 3*W2 + 0 = 2000000 + 1892787 = 3892787;
+    IDCG = 3000000 + 1261858 + 500000 = 4761858;
+    ndcg = 3892787 * 1e6 DIV 4761858 = 817493.
+    """
+    from hha_spark.operators.similarity import ndcg_at_k, ndcg_idcg
+
+    exact = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 2), (1, 300, 3)],
+        "qid long, cid long, rank long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 200, 1), (1, 100, 2), (1, 999, 3)],
+        "qid long, cid long, rank long",
+    )
+    row = ndcg_at_k(exact, approx, k=3).collect()[0]
+    assert ndcg_idcg(3) == 4_761_858
+    assert row.dcg_q == 3_892_787
+    assert row.ndcg_micro == 3_892_787 * 1_000_000 // 4_761_858
