@@ -240,3 +240,64 @@ def token_count_regex(
             "n_word_tokens"
         ),
     )
+
+
+BPE_MERGE_SEP = "@@"
+
+
+def bpe_train_merges(
+    docs: DataFrame, *, n_merges: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """The actual BPE training LOOP at corpus scale: n_merges rounds
+    of (distributed adjacent-pair count) -> (argmax merge, ties by
+    pair text) -> (apply the merge corpus-wide), returning one row
+    per learned merge (step, a, b, cnt). `bpe_merge_candidates` is
+    one round's counting stage; this is the iterative trainer built
+    on it — the same driver-loop discipline as IVF's Lloyd rounds:
+    per round ONE map-side-combinable aggregate, a 1-ROW TakeOrdered
+    collect (the model artifact), and a narrow string map.
+
+    The merge application is a PLAIN substring replace, identical on
+    any engine: the text is kept DOUBLE-SPACED (' a  b  c ') so every
+    adjacent pair occurrence ' a  b ' is delimiter-bounded and
+    non-overlapping, and greedy left-to-right replace() implements
+    exactly BPE's merge semantics (in 'a a a', merging (a,a) merges
+    the first two, leaving the third — the scan resumes after the
+    replacement). Merged tokens join with '@@'. No regex, no
+    lookbehind — DuckDB's RE2 oracle applies the very same replace.
+
+    Each round's frame is the previous round's narrow map over one
+    persisted base — lineage grows by one Project per round, no
+    checkpointing needed for small n_merges.
+    """
+    spark = docs.sparkSession
+    padded = docs.select(
+        F.expr(f"' ' || replace({text_col}, ' ', '  ') || ' '").alias("t")
+    )
+    out_rows = []
+    for step in range(1, n_merges + 1):
+        toks = padded.select(
+            F.split(F.expr("trim(t)"), "  ").alias("ts")
+        )
+        pairs = toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ts) >= 2 THEN "
+                    "transform(slice(ts, 1, size(ts) - 1), "
+                    "(x, i) -> struct(x AS a, ts[i + 1] AS b)) "
+                    "ELSE array() END"
+                )
+            ).alias("p")
+        ).groupBy("p.a", "p.b").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        top = pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        out_rows.append((step, a, b, cnt))
+        pat, rep = f" {a}  {b} ", f" {a}{BPE_MERGE_SEP}{b} "
+        padded = padded.select(
+            F.replace(F.col("t"), F.lit(pat), F.lit(rep)).alias("t")
+        )
+    return spark.createDataFrame(
+        out_rows, "step long, a string, b string, cnt long"
+    )

@@ -533,3 +533,54 @@ def _rrf_oracle() -> str:
 
 QUERIES["retrieval_rrf_fusion"] = retrieval_rrf_fusion
 ORACLES["retrieval_rrf_fusion"] = _rrf_oracle()
+
+
+BPE_TRAIN_STEPS = 3
+
+
+def bpe_train_merges(spark, sf_dir):
+    """The iterative BPE trainer under the oracle gate: 3 rounds of
+    count -> argmax -> corpus-wide merge, one output row per learned
+    merge (operators/text.py::bpe_train_merges). The oracle unrolls
+    the same loop as chained CTEs — each round's corpus is the
+    previous round's plain double-spaced replace, so both engines
+    walk the identical greedy merge sequence."""
+    from hha_spark.operators.text import bpe_train_merges as _train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _train(docs, n_merges=BPE_TRAIN_STEPS)
+
+
+def _bpe_train_oracle(n: int = BPE_TRAIN_STEPS) -> str:
+    ctes = [
+        "c0 AS (SELECT ' ' || replace(text, ' ', '  ') || ' ' AS t"
+        " FROM documents)"
+    ]
+    for s in range(1, n + 1):
+        prev = f"c{s - 1}"
+        ctes.append(f"""p{s} AS (
+      SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(list_transform(range(1, len(ts)),
+                      i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS p
+        FROM (SELECT string_split(trim(t), '  ') AS ts FROM {prev})
+      ) GROUP BY p.a, p.b)""")
+        ctes.append(
+            f"t{s} AS (SELECT a, b, cnt FROM p{s}"
+            " ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(f"""c{s} AS (
+      SELECT replace(t,
+        ' ' || (SELECT a FROM t{s}) || '  ' || (SELECT b FROM t{s}) || ' ',
+        ' ' || (SELECT a FROM t{s}) || '@@' || (SELECT b FROM t{s}) || ' ')
+        AS t
+      FROM {prev})""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS step, a, b, cnt FROM t{s}"
+        for s in range(1, n + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+QUERIES["bpe_train_merges"] = bpe_train_merges
+ORACLES["bpe_train_merges"] = _bpe_train_oracle()

@@ -205,3 +205,39 @@ def test_join_key_skew_top_k_bound(spark):
     df = spark.createDataFrame([(k,) for k in range(100)], "k long")
     out = join_key_skew_report(df, "k", top_k=5).collect()
     assert sorted(r.k for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    """corpus: 'a b c', 'a b d', 'a b c'.
+    step1: (a,b) cnt 3 -> merge. step2: (a@@b,c) cnt 2. step3:
+    (a@@b,d) cnt 1."""
+    from hha_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    out = [
+        (r.step, r.a, r.b, r.cnt)
+        for r in sorted(bpe_train_merges(docs, n_merges=3).collect())
+    ]
+    assert out == [
+        (1, "a", "b", 3),
+        (2, "a@@b", "c", 2),
+        (3, "a@@b", "d", 1),
+    ]
+
+
+def test_bpe_train_merges_greedy_overlap(spark):
+    """'a a a a': (a,a) counts all 3 adjacencies but greedy
+    left-to-right application merges pairs 1-2 and 3-4 only, so the
+    next round sees exactly one (a@@a, a@@a) adjacency — the classic
+    BPE overlap semantics."""
+    from hha_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+    out = [
+        (r.step, r.a, r.b, r.cnt)
+        for r in sorted(bpe_train_merges(docs, n_merges=2).collect())
+    ]
+    assert out == [(1, "a", "a", 3), (2, "a@@a", "a@@a", 1)]
