@@ -301,3 +301,32 @@ def bpe_train_merges(
     return spark.createDataFrame(
         out_rows, "step long, a string, b string, cnt long"
     )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list as a tokenizer: fold each merge (in
+    training order) over the corpus as the same double-spaced greedy
+    replace the trainer used, and report per-doc token counts before
+    and after — the compression the vocabulary actually buys, which
+    is the metric that decides how many merges to train.
+
+    Pure narrow map: one chained replace expression per merge, no
+    shuffle at all; the merge list is a driver-side model artifact
+    (the trainer's output), never data-sized.
+    """
+    t = F.expr(f"' ' || replace({text_col}, ' ', '  ') || ' '")
+    for a, b in merges:
+        t = F.replace(
+            t, F.lit(f" {a}  {b} "), F.lit(f" {a}{BPE_MERGE_SEP}{b} ")
+        )
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_base"),
+        F.size(F.split(F.trim(t), "  ")).cast("long").alias("n_merged"),
+    )

@@ -89,11 +89,11 @@ _NEVER_CHECKED_FIRST = (
     "stream_attribution_join", "events_salted_join", "text_bm25_topk",
     "retrieval_rrf_fusion", "dedup_containment", "dq_events_key_skew",
     "corpus_strip_dup_spans", "dedup_containment_incremental",
-    "ann_ndcg_eval", "bpe_train_merges",
-    # -- 9 re-confirmations (r1-r3 greens worth a fresh row) --
+    "ann_ndcg_eval", "bpe_train_merges", "bpe_tokenize_compression",
+    # -- 8 re-confirmations (r1-r3 greens worth a fresh row) --
     "spike_events_compare", "spike_events_alerts", "spike_events_net_rollup",
     "spike_events_gated", "q1_pricing_summary", "dedup_exact_docs",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "multimodal_blob_stats",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
 )
 
 

@@ -584,3 +584,60 @@ def _bpe_train_oracle(n: int = BPE_TRAIN_STEPS) -> str:
 
 QUERIES["bpe_train_merges"] = bpe_train_merges
 ORACLES["bpe_train_merges"] = _bpe_train_oracle()
+
+
+def bpe_tokenize_compression(spark, sf_dir):
+    """Train -> apply round-trip: learn BPE_TRAIN_STEPS merges on the
+    corpus, tokenize the corpus with them, and report per-doc token
+    counts before/after (operators/text.py::bpe_apply). The merge
+    list is the trainer's 3-row model artifact collected driver-side;
+    application is a shuffle-free narrow map."""
+    from hha_spark.operators.text import bpe_apply, bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.a, r.b)
+        for r in sorted(
+            bpe_train_merges(docs, n_merges=BPE_TRAIN_STEPS).collect()
+        )
+    ]
+    return bpe_apply(docs, merges)
+
+
+def _bpe_apply_oracle(n: int = BPE_TRAIN_STEPS) -> str:
+    """Same unrolled CTE chain as the trainer's oracle, carrying
+    doc_id so the final corpus state yields per-doc counts."""
+    ctes = [
+        "c0 AS (SELECT doc_id,"
+        " ' ' || replace(text, ' ', '  ') || ' ' AS t FROM documents)"
+    ]
+    for s in range(1, n + 1):
+        prev = f"c{s - 1}"
+        ctes.append(f"""p{s} AS (
+      SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(list_transform(range(1, len(ts)),
+                      i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS p
+        FROM (SELECT string_split(trim(t), '  ') AS ts FROM {prev})
+      ) GROUP BY p.a, p.b)""")
+        ctes.append(
+            f"t{s} AS (SELECT a, b, cnt FROM p{s}"
+            " ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(f"""c{s} AS (
+      SELECT doc_id, replace(t,
+        ' ' || (SELECT a FROM t{s}) || '  ' || (SELECT b FROM t{s}) || ' ',
+        ' ' || (SELECT a FROM t{s}) || '@@' || (SELECT b FROM t{s}) || ' ')
+        AS t
+      FROM {prev})""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_base,
+           CAST(len(string_split(trim(c.t), '  ')) AS BIGINT) AS n_merged
+    FROM documents d JOIN c{n} c USING (doc_id)"""
+    )
+
+
+QUERIES["bpe_tokenize_compression"] = bpe_tokenize_compression
+ORACLES["bpe_tokenize_compression"] = _bpe_apply_oracle()

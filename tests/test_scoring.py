@@ -241,3 +241,18 @@ def test_bpe_train_merges_greedy_overlap(spark):
         for r in sorted(bpe_train_merges(docs, n_merges=2).collect())
     ]
     assert out == [(1, "a", "a", 3), (2, "a@@a", "a@@a", 1)]
+
+
+def test_bpe_apply_compression_hand_computed(spark):
+    """merges [(a,b), (a@@b,c)] on 'a b c d': 'a@@b@@c d' -> 4
+    tokens down to 2; 'x y' untouched."""
+    from hha_spark.operators.text import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_base, r.n_merged)
+        for r in bpe_apply(docs, [("a", "b"), ("a@@b", "c")]).collect()
+    }
+    assert out == {1: (4, 2), 2: (2, 2)}
