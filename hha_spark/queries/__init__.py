@@ -59,15 +59,15 @@ _MODULES = (
 # checked, 118 green): positions 1-28 are the 28 queries that have
 # NEVER earned a driver correctness row; 29-31 are the three round-4
 # reds whose oracles were HUGEINT-typed (fixed this round — CAST AS
-# BIGINT, see VERDICT r4 "What's wrong #1"); 32-40 are this round's
-# NINE new gates (stream-stream attribution join, salted skew join,
+# BIGINT, see VERDICT r4 "What's wrong #1"); 32-42 are this round's
+# ELEVEN new gates (stream-stream attribution join, salted skew join,
 # BM25, RRF fusion, containment self + incremental, key-skew report,
-# strip-dup-spans, nDCG retrieval eval); 41-50 are high-value
-# re-confirmations last verified in r1-r3 (reference spike core +
-# flagship dedup/text). A green round makes cumulative driver
-# verification 158/158. Names
-# here that fall out of the registry are ignored defensively; queries
-# not listed follow in module order.
+# strip-dup-spans, nDCG retrieval eval, BPE trainer + tokenize
+# round-trip); 43-50 are high-value re-confirmations last verified in
+# r1-r3 (reference spike core + flagship dedup/text). A green round
+# makes cumulative driver verification 160/160. Names here that fall
+# out of the registry are ignored defensively; queries not listed
+# follow in module order.
 # Policy: COVERAGE.md "Registry rotation".
 _NEVER_CHECKED_FIRST = (
     # -- 28 never driver-checked --
