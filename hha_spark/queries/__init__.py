@@ -59,13 +59,13 @@ _MODULES = (
 # checked, 118 green): positions 1-28 are the 28 queries that have
 # NEVER earned a driver correctness row; 29-31 are the three round-4
 # reds whose oracles were HUGEINT-typed (fixed this round — CAST AS
-# BIGINT, see VERDICT r4 "What's wrong #1"); 32-42 are this round's
-# ELEVEN new gates (stream-stream attribution join, salted skew join,
+# BIGINT, see VERDICT r4 "What's wrong #1"); 32-43 are this round's
+# TWELVE new gates (stream-stream attribution join, salted skew join,
 # BM25, RRF fusion, containment self + incremental, key-skew report,
 # strip-dup-spans, nDCG retrieval eval, BPE trainer + tokenize
-# round-trip); 43-50 are high-value re-confirmations last verified in
+# round-trip, split-leakage audit); 44-50 are high-value re-confirmations last verified in
 # r1-r3 (reference spike core + flagship dedup/text). A green round
-# makes cumulative driver verification 160/160. Names here that fall
+# makes cumulative driver verification 161/161. Names here that fall
 # out of the registry are ignored defensively; queries not listed
 # follow in module order.
 # Policy: COVERAGE.md "Registry rotation".
@@ -90,10 +90,13 @@ _NEVER_CHECKED_FIRST = (
     "retrieval_rrf_fusion", "dedup_containment", "dq_events_key_skew",
     "corpus_strip_dup_spans", "dedup_containment_incremental",
     "ann_ndcg_eval", "bpe_train_merges", "bpe_tokenize_compression",
-    # -- 8 re-confirmations (r1-r3 greens worth a fresh row) --
+    "corpus_split_leakage",
+    # -- 7 re-confirmations (r1-r3 greens worth a fresh row;
+    # dedup_ngram_jaccard's kernel is re-exercised by
+    # corpus_split_leakage above) --
     "spike_events_compare", "spike_events_alerts", "spike_events_net_rollup",
     "spike_events_gated", "q1_pricing_summary", "dedup_exact_docs",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
 )
 
 

@@ -119,6 +119,92 @@ _SHINGLES = """
 """
 
 
+def corpus_split_leakage(spark, sf_dir):
+    """Eval-hygiene audit: near-duplicate pairs that STRADDLE
+    train/val/test splits — the leakage that makes held-out metrics
+    lie (a test doc whose near-twin sits in train is not held out).
+    Hash-bucket splitting (corpus_train_val_test) is deterministic
+    but dedup-unaware by construction, so this audit is the check a
+    pipeline runs before trusting its eval: the verified
+    Jaccard-near-dup relation (>= 0.7, source-blocked — the same
+    relation dedup_ngram_jaccard gates) joined to both endpoints'
+    split labels, rolled up per (split, split) with a leaky flag.
+
+    Shapes: the pair relation is the prefix-filtered kernel; split
+    assignment is a narrow md5 map joined twice by doc id; the rollup
+    is a few-row aggregate."""
+    from hha_spark.queries.relational3 import TEST_PCT, VAL_PCT
+
+    docs = tracked_persist(with_token_set(_docs(spark, sf_dir)))
+    pairs = jaccard_pairs(
+        docs, docs, block_cols=["source"], threshold_num=7, threshold_den=10
+    ).select("doc_id_a", "doc_id_b")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long") % 100
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < TEST_PCT, F.lit("test"))
+        .when(bucket < TEST_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    labeled = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("split").alias("split_a_raw"),
+            ),
+            on="doc_id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("split").alias("split_b_raw"),
+            ),
+            on="doc_id_b",
+        )
+        .select(
+            F.least("split_a_raw", "split_b_raw").alias("split_a"),
+            F.greatest("split_a_raw", "split_b_raw").alias("split_b"),
+        )
+    )
+    return labeled.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    ).withColumn("leaky", F.col("split_a") != F.col("split_b"))
+
+
+def _split_leakage_oracle() -> str:
+    from hha_spark.queries.relational3 import TEST_PCT, VAL_PCT
+
+    return f"""
+    WITH pairs AS (SELECT doc_id_a, doc_id_b FROM ({ORACLE_NGRAM})),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST('0x' || substr(md5('split|' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                       < {TEST_PCT} THEN 'test'
+                  WHEN CAST('0x' || substr(md5('split|' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                       < {TEST_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents),
+    labeled AS (
+      SELECT LEAST(sa.split, sb.split) AS split_a,
+             GREATEST(sa.split, sb.split) AS split_b
+      FROM pairs p
+      JOIN sp sa ON sa.doc_id = p.doc_id_a
+      JOIN sp sb ON sb.doc_id = p.doc_id_b)
+    SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           split_a <> split_b AS leaky
+    FROM labeled GROUP BY split_a, split_b
+"""
+
+
 def dedup_containment(spark, sf_dir):
     """Asymmetric containment near-dup pairs over word TRIGRAM
     shingles: ordered (a, b) where >= 80% of a's shingles appear in
@@ -1774,6 +1860,7 @@ QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
+    "corpus_split_leakage": corpus_split_leakage,
     "dedup_containment_incremental": dedup_containment_incremental,
     "dedup_trigram_jaccard": dedup_trigram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1815,6 +1902,7 @@ ORACLES = {
     "dedup_exact_docs": ORACLE_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM,
     "dedup_containment": ORACLE_CONTAINMENT,
+    "corpus_split_leakage": _split_leakage_oracle(),
     "dedup_containment_incremental": ORACLE_CONTAINMENT_INC,
     "dedup_trigram_jaccard": ORACLE_TRIGRAM,
     "dedup_minhash_lsh": ORACLE_MINHASH,

@@ -364,3 +364,43 @@ def test_containment_incremental_cross_side_only(spark):
     assert got == want
     assert (10, 1) in got and (10, 5) in got and (14, 3) in got
     assert all(a in toks_b and b in toks_c for a, b in got)
+
+
+def test_split_leakage_rollup_hand_computed(spark, monkeypatch, tmp_path):
+    """Two exact-dup docs whose salted md5 buckets land in different
+    splits must surface as one leaky pair; same-split dups stay
+    non-leaky. Uses the real gate against a tiny parquet fixture."""
+    import hha_spark.queries.llm_ops as L
+
+    # find doc ids whose split-hash lands train vs test (same logic
+    # as the gate: md5('split|'+id) first 8 hex % 100)
+    import hashlib
+
+    from hha_spark.queries.relational3 import TEST_PCT, VAL_PCT
+
+    def split_of(i):
+        b = int(hashlib.md5(f"split|{i}".encode()).hexdigest()[:8], 16) % 100
+        return "test" if b < TEST_PCT else (
+            "val" if b < TEST_PCT + VAL_PCT else "train"
+        )
+
+    train_ids = [i for i in range(1000) if split_of(i) == "train"]
+    test_ids = [i for i in range(1000) if split_of(i) == "test"]
+    a, b = train_ids[0], test_ids[0]
+    c, d = train_ids[1], train_ids[2]
+    rows = [
+        (a, "the quick brown fox jumped", "s1"),
+        (b, "the quick brown fox jumped", "s1"),   # leaks train<->test
+        (c, "completely different words here now", "s1"),
+        (d, "completely different words here now", "s1"),  # train-train
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        (r.split_a, r.split_b): (r.n_pairs, r.leaky)
+        for r in L.corpus_split_leakage(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("test", "train"): (1, True),
+        ("train", "train"): (1, False),
+    }
