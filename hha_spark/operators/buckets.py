@@ -56,12 +56,18 @@ def capped_bucket_gather(
     duplicates of the first cap + 1 DISTINCT payload values survive to
     a collect_set whose buffer still holds <= cap + 1 elements.
     """
+    # Collision-proof working column: an input frame may legitimately
+    # carry `_rk` (round-5 ADVICE), so derive a name that provably is
+    # not present rather than silently clobbering/shadowing it.
+    rk = "_rk"
+    while rk in df.columns:
+        rk += "_"
     w = Window.partitionBy(*keys).orderBy(order_col)
     rank = F.dense_rank() if distinct else F.row_number()
     pruned = (
-        df.withColumn("_rk", rank.over(w))
-        .where(F.col("_rk") <= F.lit(cap + 1))
-        .drop("_rk")
+        df.withColumn(rk, rank.over(w))
+        .where(F.col(rk) <= F.lit(cap + 1))
+        .drop(rk)
     )
     agg = F.collect_set(payload) if distinct else F.collect_list(payload)
     return pruned.groupBy(*keys).agg(agg.alias(out_col))

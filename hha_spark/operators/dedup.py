@@ -217,6 +217,18 @@ def containment_pairs(
     """
     from pyspark.sql import Window
 
+    # Containment is a SET predicate: set-ify the tokens column up
+    # front so duplicated tokens can neither deflate |∩|/|A| (size()
+    # counts duplicates, array_intersect() counts distinct) nor
+    # weaken the prefix bound derived from the duplicate-inclusive
+    # |A| (round-5 ADVICE). For the already-distinct shingle-set
+    # callers array_distinct is a narrow no-op map.
+    docs = docs.withColumn(tokens_col, F.array_distinct(F.col(tokens_col)))
+    if corpus is not None:
+        corpus = corpus.withColumn(
+            tokens_col, F.array_distinct(F.col(tokens_col))
+        )
+
     # candidate generation runs entirely on 8-byte xxhash64 keys, never
     # the shingle strings — smaller shuffles and cheaper join probes. A
     # hash collision can only MERGE df counts (changing which tokens the

@@ -7,8 +7,9 @@ against small keyword queries with the BM25 shape — tf saturation
 (k1), length normalization (b), rarity weighting (idf) — entirely in
 DataFrame operators:
 
-    tf  = per-(doc, term) counts        one keyed aggregate
-    dl  = per-doc token counts          narrow map
+    tf  = per-(doc, term) counts        one keyed aggregate (doc
+                                        length rides along in the key,
+                                        so no separate dl join)
     df  = per-term doc frequencies      aggregate over the (tiny)
                                         query-term subset only
     N, avgdl                            one global aggregate row,
@@ -18,10 +19,16 @@ DataFrame operators:
 
 Cross-engine determinism (the oracle-gate contract): the classic
 ln-based idf is replaced by its argument, the RAW ODDS RATIO
-(N - df + 0.5)/(df + 0.5), quantized to micro-units — ln is monotone,
-so rankings are IDENTICAL to classic BM25 rankings per term; only the
-absolute scale differs (documented deviation, same spirit as the
-repo-wide no-raw-float-SUM rule). Every division/multiply is a single
+(N - df + 0.5)/(df + 0.5), quantized to micro-units. ln is monotone,
+so PER-TERM orderings are identical to classic BM25 — but monotone is
+not linear: once per-term contributions are SUMMED, a multi-term
+query's top-k can deviate from classic ln-idf BM25 (a very rare term
+is weighted relatively heavier here than under ln). This is a
+documented scoring-variant deviation, chosen because floor(1e6*ln(x))
+is not cross-engine hash-stable near quantization boundaries (JVM
+Math.log vs libm log may differ in the last ulp), while the odds
+ratio is a single correctly-rounded IEEE division on both engines —
+same spirit as the repo-wide no-raw-float-SUM rule. Every division/multiply is a single
 correctly-rounded IEEE double op with the same literal structure on
 both engines, and the only SUM over per-term contributions happens
 AFTER floor-quantization to BIGINT micro-units, so partition order
@@ -68,27 +75,30 @@ def bm25_topk(
         "query_id long, tok string",
     )
 
+    # carry the doc length WITH each posting: dl is functionally
+    # dependent on doc_id, so adding it to the tf grouping key keeps
+    # cardinality identical while eliminating the full-corpus
+    # dl-join the contribution step would otherwise need (round-5
+    # ADVICE: the score-side dl lookup is now explicitly bounded by
+    # matched postings, not AQE-dependent)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
-    dl = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl"),
-    )
-    consts = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
-    )
+    consts = docs.select(
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl")
+    ).agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl"))
 
     # prune postings to query terms BEFORE the tf aggregate (broadcast
     # semi-join below the groupBy — Catalyst won't reorder an
     # aggregate past a join on its own): tf and df are only ever
     # needed for the handful of probe terms, so the wide (doc, term)
-    # aggregate shrinks to matching postings only; the sole full-scan
-    # work left is dl, a narrow map
+    # aggregate sees matching postings only; the sole remaining
+    # full-scan work is the one-row (n_docs, total_dl) aggregate
     tfq = toks.join(
         F.broadcast(qterms.select("tok").distinct()), on="tok", how="left_semi"
-    ).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    ).groupBy("doc_id", "dl", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tfq.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
     # identical literal structure to the oracle SQL: each op is one
@@ -114,7 +124,6 @@ def bm25_topk(
     contrib = (
         tfq.join(F.broadcast(qterms), on="tok")
         .join(F.broadcast(df_), on="tok")
-        .join(dl, on="doc_id")
         .crossJoin(F.broadcast(consts))
         .select(
             "query_id",

@@ -403,7 +403,14 @@ ORACLE_STREAM_WINDOWED = f"""
 
 
 ATTR_MAX_DELAY_SEC = 14_400  # purchase within 4h of the click
-ATTR_WATERMARK_SEC = 3_600
+# Watermark >= max_delay (round-5 ADVICE): with a shorter watermark the
+# batch≡stream invariant silently leaned on the fixture arriving as ONE
+# micro-batch (single parquet file) — a multi-file replay could evict
+# click state before a late purchase arrives and drop matched pairs
+# relative to the batch oracle. The state bound is watermark + max_delay
+# either way, so equality here costs nothing and makes the gate's
+# equivalence hold for ANY file/batch split of the input.
+ATTR_WATERMARK_SEC = ATTR_MAX_DELAY_SEC
 
 
 def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
