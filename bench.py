@@ -23,6 +23,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hha_spark.session import get_spark  # noqa: E402
 
 
+def calibration_probe(spark) -> float:
+    """Fixed synthetic shuffle+agg over spark.range, timed — a host-speed
+    index recorded at sweep start AND end. Two rounds running, cross-round
+    bench deltas were dominated by host throughput phases on byte-identical
+    code (r4: 161-190 s same-commit; r5: 1.26x common-subset inflation,
+    git-verified unchanged); this probe makes the machine's speed during
+    THIS sweep part of the artifact, so round-over-round deltas are
+    attributable to code vs host. The workload is data-independent
+    (spark.range), deterministic, and exercises the same machinery as the
+    query sweep: codegen, a hash-partition exchange, and a two-phase
+    aggregate."""
+    t0 = time.perf_counter()
+    (
+        spark.range(20_000_000)
+        .selectExpr("id % 4096 AS k", "id AS v")
+        .groupBy("k")
+        .agg({"v": "sum", "*": "count"})
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
     # queries register their internal persists with the session-scoped
@@ -68,6 +92,17 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — warmup must never kill the run
         pass
 
+    cal_start = calibration_probe(spark)
+
+    # Median-of-3 for sub-second queries: host noise on this sandbox
+    # episodically inflates a single sub-second run by several seconds
+    # (same query, same plan, 0.4 s vs 4.9 s in adjacent runs), and at
+    # 161 queries those spikes dominate cross-round deltas. A query
+    # whose first run lands under the threshold is cheap enough to run
+    # twice more; the median of 3 is robust to one spiked run in either
+    # direction. Queries over the threshold keep single-run timing
+    # (their relative noise is small) plus the min-of-2 tail rerun.
+    MEDIAN3_UNDER_SEC = 1.0
     timings: dict[str, float | None] = {}
     total = 0.0
     for name, fn in qs.items():
@@ -83,6 +118,17 @@ def main() -> None:
             # null, not NaN — NaN is not valid JSON
             timings[name] = None
             continue
+        if dt < MEDIAN3_UNDER_SEC:
+            runs = [dt]
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    force(fn(spark, sf_dir))
+                    runs.append(time.perf_counter() - t0)
+            except Exception:  # noqa: BLE001 — keep what we measured
+                pass
+            # median of 3; if a rerun died, min of what completed
+            dt = sorted(runs)[1] if len(runs) == 3 else min(runs)
         timings[name] = round(dt, 3)
 
     # Host timing noise on this sandbox can inflate a single run of a
@@ -105,6 +151,9 @@ def main() -> None:
         timings[name] = round(min(t1, time.perf_counter() - t0), 3)
     total = sum(t for t in timings.values() if t is not None)
 
+    cal_end = calibration_probe(spark)
+    calibration = {"start_sec": cal_start, "end_sec": cal_end}
+
     # Full per-query map goes to a local artifact file — a 121-entry
     # map on stdout overflowed the driver's tail capture two rounds
     # running (BENCH parsed: null). The driver-parsed line below stays
@@ -116,6 +165,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration_sec": calibration,
     }
     os.makedirs(".benchmarks", exist_ok=True)
     with open(".benchmarks/bench_last.json", "w") as f:
@@ -134,6 +184,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": n_failed,
+                "calibration_sec": calibration,
                 "queries": {n: t for n, t in slowest},
                 "queries_truncated_to_slowest": len(slowest),
                 "queries_file": ".benchmarks/bench_last.json",
