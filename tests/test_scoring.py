@@ -256,3 +256,102 @@ def test_bpe_apply_compression_hand_computed(spark):
         for r in bpe_apply(docs, [("a", "b"), ("a@@b", "c")]).collect()
     }
     assert out == {1: (4, 2), 2: (2, 2)}
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+
+def _py_train(texts, n_buckets, steps, lr_den, bias, thresh):
+    """Sequential pure-Python reference of the fixed-point trainer:
+    exact ints end-to-end, mirrors operators/quality.py semantics."""
+    import hashlib
+
+    def bucket(tok):
+        h = hashlib.md5(("qc|" + tok).encode()).hexdigest()[:8]
+        return int(h, 16) % n_buckets
+
+    def tdiv(a, d):
+        q = abs(a) // d
+        return -q if a < 0 else q
+
+    docs = []
+    for text in texts:
+        toks = text.split(" ")
+        x = [0] * n_buckets
+        for t in toks:
+            x[bucket(t)] += 1
+        y = 1_000_000 if len(toks) >= thresh else 0
+        docs.append((x + [bias], y))
+    n = len(docs)
+    w = [0] * (n_buckets + 1)
+    for _ in range(steps):
+        g = [0] * (n_buckets + 1)
+        for x, ym in docs:
+            z = sum(wi * xi for wi, xi in zip(w, x))
+            sig = max(0, min(1_000_000, 500_000 + tdiv(z, 4)))
+            e = sig - ym
+            for j in range(len(x)):
+                g[j] += e * x[j]
+        w = [wi - tdiv(gj, n * lr_den) for wi, gj in zip(w, g)]
+    return w
+
+
+def test_trained_classifier_matches_sequential_reference(spark):
+    from hha_spark.operators.quality import (
+        QC_BIAS_X,
+        QC_BUCKETS,
+        QC_LABEL_NTOK,
+        QC_LR_DEN,
+        QC_STEPS,
+        doc_features,
+        logreg_scores,
+        train_logreg_fixedpoint,
+    )
+
+    texts = [
+        " ".join(f"tok{(i * 7 + j * 3) % 13}" for j in range(20 + (i * 11) % 60))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    feat = doc_features(df)
+    w_spark = train_logreg_fixedpoint(feat)
+    w_ref = _py_train(
+        texts, QC_BUCKETS, QC_STEPS, QC_LR_DEN, QC_BIAS_X, QC_LABEL_NTOK
+    )
+    assert w_spark == w_ref
+
+    scored = {r["doc_id"]: r for r in logreg_scores(feat, w_spark).collect()}
+    assert len(scored) == 60
+    for i, t in enumerate(texts):
+        ntok = len(t.split(" "))
+        assert scored[i]["label"] == (1 if ntok >= QC_LABEL_NTOK else 0)
+        assert scored[i]["keep"] == (scored[i]["logit_q"] >= 0)
+
+
+def test_trained_classifier_learns_the_heuristic(spark):
+    """On the sf0.001 fixture the trained model must beat the
+    keep-everything baseline on its own training labels — i.e. the
+    gradient steps actually move the weights."""
+    from hha_spark.operators.quality import (
+        doc_features,
+        logreg_scores,
+        train_logreg_fixedpoint,
+    )
+    from hha_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    feat = doc_features(docs).persist()
+    w = train_logreg_fixedpoint(feat)
+    assert any(wi != 0 for wi in w)
+    rows = logreg_scores(feat, w).collect()
+    feat.unpersist()
+    n = len(rows)
+    acc = sum((r["keep"] == (r["label"] == 1)) for r in rows) / n
+    base = max(
+        sum(r["label"] == 1 for r in rows), sum(r["label"] == 0 for r in rows)
+    ) / n
+    assert acc >= base
