@@ -245,9 +245,7 @@ def strip_duplicate_spans(
     with_toks = docs.select(
         "doc_id", F.split(F.col(text_col), " ").alias("toks")
     )
-    occ = with_toks.select(
-        "doc_id", F.posexplode(F.expr(grams_expr(k))).alias("pos", "gram")
-    ).select("doc_id", "pos", F.md5("gram").alias("gram_key"))
+    occ = _gram_occurrences(with_toks, k)
 
     # min(struct) = lexicographic argmin: the canonical occurrence is
     # the lowest (doc_id, pos) — deterministic and engine-independent
@@ -267,6 +265,24 @@ def strip_duplicate_spans(
         )
         .select("doc_id", "pos")
     )
+    return _rebuild_without_windows(with_toks, cut_windows, k)
+
+
+def _gram_occurrences(with_toks: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, gram_key) — one row per k-token window, md5-keyed
+    (fixed-width shuffle keys; `with_toks` carries a split `toks`)."""
+    return with_toks.select(
+        "doc_id", F.posexplode(F.expr(grams_expr(k))).alias("pos", "gram")
+    ).select("doc_id", "pos", F.md5("gram").alias("gram_key"))
+
+
+def _rebuild_without_windows(
+    with_toks: DataFrame, cut_windows: DataFrame, k: int
+) -> DataFrame:
+    """Shared removal tail of the span strippers: expand each cut
+    window to its k token positions, union per doc, rebuild the text
+    from surviving positions in order. Narrow after one bounded
+    per-doc aggregate."""
     cut_set = (
         cut_windows.select(
             "doc_id",
@@ -297,6 +313,65 @@ def strip_duplicate_spans(
             .alias("n_removed"),
         )
     )
+
+
+def strip_duplicate_spans_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """The INGEST-TIME shape of exact-substring dedup: strip from the
+    incoming `batch` every k-gram window that already occurs in the
+    persisted `corpus` (any corpus occurrence is canonical — corpus
+    text is never rewritten at admission time), plus batch-internal
+    duplicates among corpus-unseen grams (first batch occurrence
+    survives). Mirrors dedup_containment_pairs' admission-gate
+    design: all corpus-touching joins are CROSS-SIDE ONLY.
+
+    Equivalence contract (pinned in tests/test_corpus.py): when every
+    corpus doc_id precedes every batch doc_id, the output equals
+    `strip_duplicate_spans(corpus UNION batch)` restricted to batch
+    docs — the whole-corpus canonical (globally-first occurrence)
+    coincides with "corpus first, then batch order" under that id
+    ordering, so incremental maintenance loses nothing.
+
+    Scale shape: the corpus contributes ONE distinct-gram index pass
+    (in production a persisted/bucketed gram index maintained across
+    admissions — this function accepts the corpus frame and derives
+    it, same contract as containment's cross mode); the batch side is
+    one narrow gram explode, one broadcast-or-shuffle semi-join and
+    one anti-join against the index, and a batch-internal keyed
+    aggregate bounded by batch size. Nothing pairs corpus-with-corpus
+    and nothing is quadratic in occurrences.
+    """
+    bt = batch.select("doc_id", F.split(F.col(text_col), " ").alias("toks"))
+    ct = corpus.select("doc_id", F.split(F.col(text_col), " ").alias("toks"))
+    occ_b = _gram_occurrences(bt, k)
+    idx = _gram_occurrences(ct, k).select("gram_key").distinct()
+
+    # windows whose gram the corpus already has: cut unconditionally
+    seen = occ_b.join(idx, "gram_key", "left_semi").select("doc_id", "pos")
+    # corpus-unseen grams: batch-internal dedup, first occurrence wins
+    fresh = occ_b.join(idx, "gram_key", "left_anti")
+    dup_b = (
+        fresh.groupBy("gram_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("canon"),
+        )
+        .where(F.col("n_occ") >= 2)
+    )
+    cut_b = (
+        fresh.join(dup_b, "gram_key")
+        .where(
+            (F.col("doc_id") != F.col("canon.doc_id"))
+            | (F.col("pos") != F.col("canon.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    return _rebuild_without_windows(bt, seen.unionByName(cut_b), k)
 
 
 def source_overlap(

@@ -229,3 +229,81 @@ ORACLES = {
     "corpus_pii_scrub": ORACLE_PII_SCRUB,
     "corpus_mixture_weights": ORACLE_MIXTURE_WEIGHTS,
 }
+
+
+# Batch/corpus split for the incremental admission gate: every 5th doc
+# is "arriving", the rest are the persisted corpus.
+INCR_MOD = 5
+INCR_REM = 4
+
+
+def corpus_strip_spans_incremental(spark, sf_dir):
+    """Ingest-time exact-substring dedup: the arriving batch is
+    stripped against the persisted corpus's gram index (corpus
+    occurrences are canonical; corpus text never rewritten) plus
+    batch-internal first-occurrence dedup among corpus-unseen grams
+    (operators/corpus.py::strip_duplicate_spans_incremental). All
+    corpus-touching joins are cross-side only — the admission-gate
+    shape dedup_containment_incremental established. The oracle
+    expresses the same semantics in set logic: semi/anti membership
+    against the corpus gram set, then rank->=2 cuts within the batch.
+    """
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % INCR_MOD == INCR_REM)
+    corpus = docs.where(F.col("doc_id") % INCR_MOD != INCR_REM)
+    from hha_spark.operators.corpus import strip_duplicate_spans_incremental
+
+    return strip_duplicate_spans_incremental(batch, corpus, k=K)
+
+
+ORACLE_STRIP_SPANS_INCR = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+{K - 1}], ' ')) AS gram_key
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - {K - 1})) AS i
+      ) s
+    ),
+    occb AS (SELECT * FROM occ WHERE doc_id % {INCR_MOD} = {INCR_REM}),
+    idx AS (SELECT DISTINCT gram_key FROM occ
+            WHERE doc_id % {INCR_MOD} <> {INCR_REM}),
+    seen AS (
+      SELECT doc_id, pos FROM occb
+      WHERE gram_key IN (SELECT gram_key FROM idx)),
+    fresh AS (
+      SELECT * FROM occb
+      WHERE gram_key NOT IN (SELECT gram_key FROM idx)),
+    ranked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY gram_key
+                                ORDER BY doc_id, pos) AS rn
+      FROM fresh),
+    cutw AS (
+      SELECT doc_id, pos FROM seen
+      UNION ALL
+      SELECT doc_id, pos FROM ranked WHERE rn >= 2),
+    cutpos AS (
+      SELECT DISTINCT doc_id, pos + j AS tokpos
+      FROM cutw, LATERAL (
+        SELECT unnest(generate_series(0, {K - 1})) AS j
+      ) u),
+    cuts AS (SELECT doc_id, list(tokpos) AS cut FROM cutpos
+             GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(generate_series(0, len(toks) - 1),
+                           i -> NOT list_contains(coalesce(cut, []), i)),
+               i -> toks[i + 1]),
+             ' '), '') AS clean_text,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(cut), 0) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN cuts USING (doc_id)
+    WHERE t.doc_id % {INCR_MOD} = {INCR_REM}
+"""
+
+
+QUERIES["corpus_strip_spans_incremental"] = corpus_strip_spans_incremental
+ORACLES["corpus_strip_spans_incremental"] = ORACLE_STRIP_SPANS_INCR

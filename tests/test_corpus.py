@@ -165,3 +165,75 @@ def test_strip_duplicate_spans_full_doc_removal(spark):
     out = {r.doc_id: r for r in strip_duplicate_spans(docs, k=3).collect()}
     assert out[1].clean_text == "m n o p q" and out[1].n_removed == 0
     assert out[2].clean_text == "" and out[2].n_removed == 5
+
+
+# ---------------------------------------------------------------------------
+# Incremental strip-spans (admission gate)
+# ---------------------------------------------------------------------------
+
+
+def _strip_frames(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),
+            (1, "x y z w v u t s"),
+            (2, "a b c d e q r s t"),  # corpus-internal dup of doc 0's head
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "a b c d e n1 n2 n3"),          # head already in corpus
+            (11, "p q r s t p2 q2 r2 s2 t2"),    # fresh, self-unique
+            (12, "p2 q2 r2 s2 t2 k m"),          # dups doc 11's fresh tail
+            (13, "m1 m2 m3 m4 m5 m6"),           # untouched
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, batch
+
+
+def test_strip_spans_incremental_equals_full_run_on_batch(spark):
+    """With every corpus doc_id below every batch doc_id, the
+    incremental admission strip must equal the whole-corpus strip of
+    corpus UNION batch, restricted to batch docs."""
+    from hha_spark.operators.corpus import (
+        strip_duplicate_spans,
+        strip_duplicate_spans_incremental,
+    )
+
+    corpus, batch = _strip_frames(spark)
+    k = 5
+    full = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in strip_duplicate_spans(corpus.unionByName(batch), k=k)
+        .collect()
+        if r["doc_id"] >= 10
+    }
+    incr = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in strip_duplicate_spans_incremental(batch, corpus, k=k)
+        .collect()
+    }
+    assert incr == full
+    # sanity on the fixture's intent
+    assert incr[10][2] == 5  # corpus-known head window cut
+    assert incr[11][2] == 0  # first occurrence of the fresh gram wins
+    assert incr[12][2] == 5  # second occurrence cut
+    assert incr[13][2] == 0
+
+
+def test_strip_spans_incremental_plan_is_cross_side_only(spark):
+    """The corpus side must appear only under semi/anti joins feeding
+    the gram index — never self-paired. Assert no corpus-side
+    equi-join produces corpus x corpus pairs: the physical plan
+    contains exactly one LeftSemi and one LeftAnti against the index,
+    and the only inner join keys are gram_key (batch-internal) and
+    doc_id (rebuild)."""
+    from hha_spark.operators.corpus import strip_duplicate_spans_incremental
+
+    corpus, batch = _strip_frames(spark)
+    plan = strip_duplicate_spans_incremental(batch, corpus, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
