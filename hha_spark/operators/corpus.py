@@ -498,3 +498,62 @@ def mixture_weights(docs: DataFrame, *, budget_frac_pct: int = 50) -> DataFrame:
             F.lit(1.0), F.col("target_tokens") / F.col("n_tokens")
         ).alias("weight"),
     )
+
+
+def benchmark_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination report (the GPT-3 appendix-C /
+    PaLM-style eval-leakage gate): for every training document, count
+    k-gram windows that collide with ANY benchmark document's grams,
+    and flag the document for removal on any hit.
+
+    Returns (doc_id, n_windows, n_contaminated, n_bench_docs_hit,
+    drop): n_bench_docs_hit is how many distinct benchmark documents
+    share at least one gram — the audit column reviewers ask for
+    before dropping data.
+
+    Scale shape: the benchmark side is tiny by construction (eval
+    sets are thousands of rows, the corpus is billions) — its
+    distinct (gram_key, bench_doc) set broadcasts; the train side is
+    one narrow gram explode + a broadcast join + one per-doc
+    aggregate. Train never pairs with train; cost is linear in
+    corpus windows, the same cross-side-only contract as
+    strip_duplicate_spans_incremental.
+    """
+    tt = train.select("doc_id", F.split(F.col(text_col), " ").alias("toks"))
+    bt = bench.select("doc_id", F.split(F.col(text_col), " ").alias("toks"))
+    occ_t = _gram_occurrences(tt, k)
+    bench_grams = (
+        _gram_occurrences(bt, k)
+        .select(F.col("gram_key"), F.col("doc_id").alias("bench_doc"))
+        .distinct()
+    )
+    hits = (
+        occ_t.join(F.broadcast(bench_grams), "gram_key")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct(F.struct("pos")).cast("long")
+            .alias("n_contaminated"),
+            F.countDistinct("bench_doc").cast("long")
+            .alias("n_bench_docs_hit"),
+        )
+    )
+    totals = occ_t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows")
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce(F.col("n_contaminated"), F.lit(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.coalesce(F.col("n_bench_docs_hit"), F.lit(0))
+        .cast("long")
+        .alias("n_bench_docs_hit"),
+        (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("drop"),
+    )

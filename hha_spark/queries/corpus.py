@@ -307,3 +307,59 @@ ORACLE_STRIP_SPANS_INCR = f"""
 
 QUERIES["corpus_strip_spans_incremental"] = corpus_strip_spans_incremental
 ORACLES["corpus_strip_spans_incremental"] = ORACLE_STRIP_SPANS_INCR
+
+
+# Benchmark split for the decontamination gate: every 50th doc plays
+# the eval set; the rest are the training corpus.
+DECON_MOD = 50
+
+
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C / PaLM eval-leakage
+    gate): per training doc, k-gram collisions against the benchmark
+    gram set with a drop-on-any-hit verdict and the distinct-benchmark
+    -docs-hit audit column (operators/corpus.py::
+    benchmark_decontaminate). Benchmark side broadcasts; train never
+    pairs with train."""
+    from hha_spark.operators.corpus import benchmark_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % DECON_MOD == 0)
+    train = docs.where(F.col("doc_id") % DECON_MOD != 0)
+    return benchmark_decontaminate(train, bench, k=K)
+
+
+ORACLE_DECONTAMINATE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+{K - 1}], ' ')) AS gram_key
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - {K - 1})) AS i
+      ) s
+    ),
+    trainocc AS (SELECT * FROM occ WHERE doc_id % {DECON_MOD} <> 0),
+    bg AS (SELECT DISTINCT gram_key, doc_id AS bench_doc FROM occ
+           WHERE doc_id % {DECON_MOD} = 0),
+    hits AS (
+      SELECT o.doc_id,
+             CAST(COUNT(DISTINCT o.pos) AS BIGINT) AS n_contaminated,
+             CAST(COUNT(DISTINCT b.bench_doc) AS BIGINT)
+                 AS n_bench_docs_hit
+      FROM trainocc o JOIN bg b USING (gram_key)
+      GROUP BY o.doc_id),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM trainocc GROUP BY doc_id)
+    SELECT t.doc_id, t.n_windows,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(h.n_bench_docs_hit, 0) AS BIGINT)
+               AS n_bench_docs_hit,
+           coalesce(h.n_contaminated, 0) > 0 AS drop
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+QUERIES["corpus_decontaminate"] = corpus_decontaminate
+ORACLES["corpus_decontaminate"] = ORACLE_DECONTAMINATE

@@ -1939,3 +1939,50 @@ ORACLES = {
     "text_repetition": ORACLE_REPETITION,
     "multimodal_blob_stats": ORACLE_BLOB,
 }
+
+
+def text_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition/composition rules at token granularity
+    (operators/text.py::gopher_repetition_rules): mode-token cap,
+    diversity floor, repeated-bigram coverage cap, length band — all
+    exact integer cross-multiplications. Keeps 191/500 at sf0.01, so
+    both branches of every rule are exercised."""
+    from hha_spark.operators.text import gopher_repetition_rules
+
+    return gopher_repetition_rules(_docs(spark, sf_dir))
+
+
+ORACLE_GOPHER = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    per AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    uni AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_tok_n
+      FROM per GROUP BY doc_id),
+    big AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s),
+    perb AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+    bi AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                 AS dup_bigram_n
+      FROM perb GROUP BY doc_id)
+    SELECT u.doc_id, u.n_tokens, u.n_distinct, u.top_tok_n,
+           CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(b.dup_bigram_n, 0) AS BIGINT) AS dup_bigram_n,
+           (u.n_tokens >= 30 AND u.n_tokens <= 90
+            AND u.top_tok_n * 100 < u.n_tokens * 12
+            AND u.n_distinct * 100 >= u.n_tokens * 40
+            AND coalesce(b.dup_bigram_n, 0) * 100
+                <= coalesce(b.n_bigrams, 0) * 20) AS keep
+    FROM uni u LEFT JOIN bi b USING (doc_id)
+"""
+
+
+QUERIES["text_gopher_quality"] = text_gopher_quality
+ORACLES["text_gopher_quality"] = ORACLE_GOPHER

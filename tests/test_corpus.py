@@ -237,3 +237,35 @@ def test_strip_spans_incremental_plan_is_cross_side_only(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_benchmark_decontaminate_hand_computed(spark):
+    from hha_spark.operators.corpus import benchmark_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4 q5 x y"), (101, "r1 r2 r3 r4 r5")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains bench 100's gram q1..q5 AND bench 101's r1..r5
+            (0, "q1 q2 q3 q4 q5 z r1 r2 r3 r4 r5"),
+            # clean
+            (1, "a b c d e f g"),
+            # overlaps bench 100 with 2 windows (q1..q6 shares q1-5,q2-6? no:
+            # q2 q3 q4 q5 x is a bench window too)
+            (2, "q1 q2 q3 q4 q5 x n7"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in benchmark_decontaminate(train, bench, k=5).collect()
+    }
+    assert out[0]["n_windows"] == 7
+    assert out[0]["n_contaminated"] == 2  # one window per bench doc
+    assert out[0]["n_bench_docs_hit"] == 2
+    assert out[0]["drop"] is True
+    assert out[1]["n_contaminated"] == 0 and out[1]["drop"] is False
+    assert out[2]["n_contaminated"] == 2  # q1-q5 and q2-x windows
+    assert out[2]["n_bench_docs_hit"] == 1

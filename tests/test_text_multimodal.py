@@ -108,3 +108,26 @@ def test_fake_decode_deterministic_and_stub_raises(spark):
         assert 64 <= row[1] <= 255 and row[4] in ("png", "jpeg", "webp")
     with pytest.raises(NotImplementedError):
         decode_image_stub(df)
+
+
+def test_gopher_rules_hand_computed(spark):
+    from hha_spark.operators.text import gopher_repetition_rules
+
+    rep40 = " ".join(["dup"] * 40)  # mode cap + diversity both fail
+    good = " ".join(f"t{i}" for i in range(40))  # all rules pass
+    short = "a b c"  # length band fails
+    bigram_heavy = " ".join(["p q"] * 20) + " " + " ".join(
+        f"u{i}" for i in range(20)
+    )  # length ok, diversity ok-ish, dup-bigram coverage fails
+    df = spark.createDataFrame(
+        [(0, rep40), (1, good), (2, short), (3, bigram_heavy)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition_rules(df).collect()}
+    assert out[0]["top_tok_n"] == 40 and out[0]["keep"] is False
+    assert out[1]["n_distinct"] == 40 and out[1]["keep"] is True
+    assert out[2]["n_tokens"] == 3 and out[2]["keep"] is False
+    assert out[3]["dup_bigram_n"] * 100 > out[3]["n_bigrams"] * 20
+    assert out[3]["keep"] is False
+    # bigram accounting on the crafted doc: 60 tokens -> 59 windows
+    assert out[3]["n_tokens"] == 60 and out[3]["n_bigrams"] == 59
