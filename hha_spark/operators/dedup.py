@@ -179,6 +179,7 @@ def containment_pairs(
     tokens_col: str = "tokens",
     threshold_num: int = 8,
     threshold_den: int = 10,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """ASYMMETRIC containment near-dup join: ordered pairs (a, b) with
     |tokens(a) ∩ tokens(b)| >= t·|tokens(a)| — "a is mostly inside b".
@@ -282,6 +283,11 @@ def containment_pairs(
         .select("doc_id_a", "doc_id_b")
         .distinct()
     )
+    if candidates_only:
+        # instrumentation hook (tools/scale_probe.py): the distinct
+        # candidate set BEFORE exact verification, so probes can
+        # attribute growth to candidate volume vs verified output
+        return cand
     ta = docs.select(
         F.col(id_col).alias("doc_id_a"), F.col(tokens_col).alias("_ta")
     )

@@ -30,3 +30,24 @@ def test_no_cartesian_or_row_python_udf_in_any_query(spark):
         if hits:
             bad[name] = hits
     assert not bad, f"plan-invariant violations: {bad}"
+
+
+def test_audit_flags_planted_row_udf(spark):
+    """The audit's violation detector must fire on a genuine
+    row-at-a-time Python UDF plan (and the registry sweep above
+    proves no registered query has one)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from explain_audit import violations
+
+    from pyspark.sql.functions import col, udf
+
+    slow = udf(lambda x: x + 1, "long")
+    df = spark.range(10).select(slow(col("id")).alias("y"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert violations(plan) == ["BatchEvalPython"]
+    clean = spark.range(10).selectExpr("id + 1 AS y")
+    assert violations(
+        clean._jdf.queryExecution().executedPlan().toString()
+    ) == []

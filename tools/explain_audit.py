@@ -1,8 +1,19 @@
-"""Plan-snapshot artifact: `.explain("formatted")` for the headline
-queries, committed under .benchmarks/plans/ so pushdown, broadcast
-choices, and codegen spans are reviewable without re-running anything.
+"""Plan-snapshot artifact: `.explain("formatted")` for EVERY
+registered query, committed under .benchmarks/plans/ so pushdown,
+broadcast choices, and codegen spans are reviewable without re-running
+anything — and re-committed only when a plan actually changes (files
+are rewritten in place; git shows the diff).
 
-    python tools/explain_audit.py [sf_dir]
+    python tools/explain_audit.py [sf_dir] [query_name ...]
+
+Per plan, the global anti-pattern invariants are ASSERTED (exit 1 on
+any violation):
+  * no CartesianProduct — quadratic the moment a broadcast bound is
+    exceeded;
+  * no BatchEvalPython — row-at-a-time Python in the hot path (Arrow
+    kernels show up as ArrowEvalPython / MapInPandas instead).
+(tests/test_plan_audit.py runs the same check in the suite; this tool
+additionally persists the human-auditable artifacts.)
 
 Also prints a one-line summary per query (exchanges, joins, scans,
 python-eval nodes) — the numbers the scale story rests on.
@@ -20,66 +31,68 @@ from hha_spark.caching import release_tracked  # noqa: E402
 from hha_spark.queries import all_queries  # noqa: E402
 from hha_spark.session import get_spark  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
-HEADLINE = [
-    "spike_events_compare",      # the reference-parity flagship
-    "spike_events_gated",        # + zones gating & alert dedup
-    "q1_pricing_summary",        # TPC-H scan+agg
-    "q9_product_profit",         # TPC-H multi-join
-    "dedup_minhash_lsh",         # LSH banding (single-shuffle form)
-    "dedup_simhash_pairs",       # pigeonhole pairing
-    "dedup_ngram_jaccard",       # prefix-filtered AllPairs
-    "ann_topk_cosine",           # Arrow pair kernel
-    "ann_topk_ivfpq",            # IVF x PQ composition
-    "cms_heavy_tokens",          # sketch build + broadcast probe
-    "bloom_join_prune",          # bitmap probe join pruning
-    "events_zorder_keys",        # clustering key arithmetic
-    "corpus_pii_scrub",          # shuffle-free narrow map
-    "events_asof_last_purchase", # as-of join composition
-    "dedup_text_embedding_drift",    # cross-modal composition
-    "pretraining_corpus_selection",  # the capstone keep/drop decision
-    "text_unigram_lm_score",         # head/tail skew-split vocab join
-    "events_value_mad_outliers",     # median/MAD broadcast-stats joins
-    "ann_topk_ivfpq_residual",       # IVFADC: centroid dot + residual ADC
-    "text_bm25_topk",                # term-pruned tf agg + broadcast consts
-    "retrieval_rrf_fusion",          # hybrid cosine + token-overlap fusion
-    "dedup_containment",             # one-sided prefix filter, hashed keys
-    "dedup_containment_incremental", # cross-side admission gate
-    "corpus_strip_dup_spans",        # occurrence-linear span removal
-    "dq_events_key_skew",            # TakeOrdered top-k + broadcast totals
-    "events_salted_join",            # explicit salted hot-key join
-]
+
+def violations(executed_plan: str) -> list[str]:
+    """Anti-pattern nodes present in a physical-plan string."""
+    return [n for n in FORBIDDEN if n in executed_plan]
+
+
+def plan_counts(executed_plan: str) -> dict[str, int]:
+    return {
+        "exchanges": len(re.findall(r"Exchange", executed_plan)),
+        "reused": len(re.findall(r"ReusedExchange", executed_plan)),
+        "bhj": len(re.findall(r"BroadcastHashJoin", executed_plan)),
+        "smj": len(re.findall(r"SortMergeJoin", executed_plan)),
+        "scans": len(re.findall(r"FileScan", executed_plan)),
+        "arrow": len(re.findall(r"MapInPandas|ArrowEvalPython", executed_plan)),
+        "row_py": len(re.findall(r"BatchEvalPython", executed_plan)),
+    }
 
 
 def main() -> None:
+    sf_dir = "/root/testdata/sf0.001"
+    names: list[str] = []
+    for a in sys.argv[1:]:
+        if os.path.isdir(a):
+            sf_dir = a
+        else:
+            names.append(a)
+
     spark = get_spark("explain_audit")
     out_dir = os.path.join(".benchmarks", "plans")
     os.makedirs(out_dir, exist_ok=True)
     qs = all_queries()
-    for name in HEADLINE:
-        df = qs[name](spark, SF_DIR)
-        qe = df._jdf.queryExecution()
-        formatted = qe.explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
+    if names:
+        qs = {n: qs[n] for n in names}
+    bad: dict[str, object] = {}
+    for name, fn in qs.items():
+        try:
+            df = fn(spark, sf_dir)
+            qe = df._jdf.queryExecution()
+            formatted = qe.explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
             )
-        )
-        plan = qe.executedPlan().toString()
+            plan = qe.executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001 — a query failing to PLAN is a finding
+            bad[name] = f"{type(ex).__name__}: {ex}"
+            print(f"{name} PLAN-ERROR {bad[name]}", file=sys.stderr)
+            continue
+        finally:
+            release_tracked()
         with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
             f.write(formatted)
-        counts = {
-            "exchanges": len(re.findall(r"Exchange", plan)),
-            "reused": len(re.findall(r"ReusedExchange", plan)),
-            "bhj": len(re.findall(r"BroadcastHashJoin", plan)),
-            "smj": len(re.findall(r"SortMergeJoin", plan)),
-            "scans": len(re.findall(r"FileScan", plan)),
-            "arrow": len(re.findall(r"MapInPandas|ArrowEvalPython", plan)),
-            "row_py": len(re.findall(r"BatchEvalPython", plan)),
-        }
-        print(name, counts)
-        release_tracked()
+        hits = violations(plan)
+        if hits:
+            bad[name] = hits
+        print(name, plan_counts(plan), "VIOLATION" if hits else "")
     spark.stop()
+    if bad:
+        print(f"AUDIT FAILED: {bad}", file=sys.stderr)
+        sys.exit(1)
+    print(f"AUDIT OK: {len(qs)} plans snapshotted to {out_dir}")
 
 
 if __name__ == "__main__":

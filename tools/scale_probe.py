@@ -78,9 +78,17 @@ def scaled_embeddings(spark, k: int) -> DataFrame:
 def probes(spark, k: int):
     """(name, build) pairs; build() returns a DataFrame to force."""
     from hha_spark.operators.corpus import (
+        benchmark_decontaminate,
         boilerplate_coverage,
         strip_duplicate_spans,
+        strip_duplicate_spans_incremental,
     )
+    from hha_spark.operators.quality import (
+        doc_features,
+        logreg_scores,
+        train_logreg_fixedpoint,
+    )
+    from hha_spark.operators.text import gopher_repetition_rules
     from hha_spark.operators.dedup import (
         containment_pairs,
         exact_dedup_groups,
@@ -212,9 +220,40 @@ def probes(spark, k: int):
         "containment": lambda: containment_pairs(
             with_shingle_set(docs, n=3), tokens_col="shingles"
         ),
+        # candidate volume BEFORE exact verification: out_rows for
+        # this probe vs the one above separates candidate growth from
+        # verified-pair growth, so "output-bound" is measured, not
+        # argued (round-5 VERDICT ask)
+        "containment_cands": lambda: containment_pairs(
+            with_shingle_set(docs, n=3),
+            tokens_col="shingles",
+            candidates_only=True,
+        ),
         # occurrence-linear exact-substring removal: per-copy dup
         # structure repeats, cross-copy grams are disjoint
         "strip_dup_spans": lambda: strip_duplicate_spans(docs, k=5),
+        # batch fixed at copy 0, corpus scales: the admission-gate
+        # cost should track the corpus's ONE index pass
+        "strip_incremental": lambda: strip_duplicate_spans_incremental(
+            docs.where(F.col("doc_id") < 1_000_000),
+            docs,
+            k=5,
+        ),
+        # benchmark side fixed (eval sets don't scale with the
+        # corpus); train side scales — expect linear in train windows
+        "decontaminate": lambda: benchmark_decontaminate(
+            docs,
+            docs.where(
+                (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
+            ),
+            k=5,
+        ),
+        "gopher_rules": lambda: gopher_repetition_rules(docs),
+        # full train + serve: QC_STEPS gradient aggregates (each one
+        # combinable pass over the feature frame) then a narrow map
+        "logreg_trained": lambda: (
+            lambda feat: logreg_scores(feat, train_logreg_fixedpoint(feat))
+        )(doc_features(docs)),
         "key_skew_report": lambda: join_key_skew_report(
             ev.select("user_id"), "user_id"
         ),
