@@ -55,48 +55,47 @@ _MODULES = (
 )
 
 # Order is the driver's verification window: it oracle-checks the FIRST
-# 50 names yielded. Round-5 rotation (cumulative after r1-r4: 121/149
-# checked, 118 green): positions 1-28 are the 28 queries that have
-# NEVER earned a driver correctness row; 29-31 are the three round-4
-# reds whose oracles were HUGEINT-typed (fixed this round — CAST AS
-# BIGINT, see VERDICT r4 "What's wrong #1"); 32-43 are this round's
-# TWELVE new gates (stream-stream attribution join, salted skew join,
-# BM25, RRF fusion, containment self + incremental, key-skew report,
-# strip-dup-spans, nDCG retrieval eval, BPE trainer + tokenize
-# round-trip, split-leakage audit); 44-50 are high-value re-confirmations last verified in
-# r1-r3 (reference spike core + flagship dedup/text). A green round
-# makes cumulative driver verification 161/161. Names here that fall
-# out of the registry are ignored defensively; queries not listed
-# follow in module order.
+# 50 names yielded. Round-6 rotation — with every query driver-verified
+# green after r5 (cumulative 161/161), the policy shifts from COVERAGE
+# to FRESHNESS (r5 VERDICT "Next round" #2): positions 1-4 are this
+# round's NEW gates (trained logreg quality classifier, incremental
+# strip-spans admission gate, Gopher repetition rules, benchmark
+# decontamination); 5-8 are round-5 greens whose operator code changed
+# this round (containment set-ifies tokens, BM25 dl fused into the
+# postings key, attribution watermark raised to max_delay) and so need
+# fresh rows; 9-50 are the 42 STALEST greens ordered by oldest
+# verification round — the full r1 vintage (dedup/ANN/text/temporal
+# flagships), the r2 window suite, and the oldest r3 relational rows.
+# The ~21 remaining r3-vintage greens rotate in next round, keeping
+# max staleness bounded. Names here that fall out of the registry are
+# ignored defensively; queries not listed follow in module order.
 # Policy: COVERAGE.md "Registry rotation".
 _NEVER_CHECKED_FIRST = (
-    # -- 28 never driver-checked --
-    "stream_spike_alerts", "stream_events_windowed", "dq_orders_report",
-    "semantic_prune_cells", "corpus_boilerplate", "ann_topk_pq",
-    "ann_topk_ivfpq", "ann_pq_recall", "corpus_importance_resample",
-    "ann_hard_negatives", "dedup_text_embedding_drift",
-    "pretraining_corpus_selection", "corpus_global_shuffle",
-    "corpus_snapshot_diff", "ann_topk_ivfpq_residual", "ann_two_stage_rerank",
-    "cms_heavy_tokens", "bloom_join_prune", "quality_classifier_keep",
-    "events_zorder_keys", "text_unigram_lm_score",
-    "corpus_source_token_divergence", "events_value_mad_outliers",
-    "bpe_merge_candidates", "quality_percentile_by_source",
-    "corpus_dedup_rate_by_source", "events_day_over_day",
-    "doc_length_histogram",
-    # -- 3 round-4 reds, oracle CASTs fixed this round --
-    "doc_packing_bins", "embedding_hof_features", "events_decayed_activity",
-    # -- round-5 new gates --
-    "stream_attribution_join", "events_salted_join", "text_bm25_topk",
-    "retrieval_rrf_fusion", "dedup_containment", "dq_events_key_skew",
-    "corpus_strip_dup_spans", "dedup_containment_incremental",
-    "ann_ndcg_eval", "bpe_train_merges", "bpe_tokenize_compression",
-    "corpus_split_leakage",
-    # -- 7 re-confirmations (r1-r3 greens worth a fresh row;
-    # dedup_ngram_jaccard's kernel is re-exercised by
-    # corpus_split_leakage above) --
-    "spike_events_compare", "spike_events_alerts", "spike_events_net_rollup",
-    "spike_events_gated", "q1_pricing_summary", "dedup_exact_docs",
-    "dedup_minhash_lsh",
+    # -- 4 round-6 new gates, never driver-checked --
+    "quality_classifier_trained", "corpus_strip_spans_incremental",
+    "text_gopher_quality", "corpus_decontaminate",
+    # -- 4 round-6 code-touched re-gates --
+    "dedup_containment", "dedup_containment_incremental",
+    "text_bm25_topk", "stream_attribution_join",
+    # -- 18 r1-vintage greens (stalest) --
+    "dedup_ngram_jaccard", "dedup_trigram_jaccard", "dedup_minhash_recall",
+    "dedup_simhash", "ann_topk_cosine", "ann_topk_ivf",
+    "embedding_cosine_pairs", "doc_array_features", "corpus_vocabulary",
+    "doc_top_terms", "text_stats_docs", "text_langid", "text_quality",
+    "doc_fingerprint", "text_token_count", "multimodal_blob_stats",
+    "events_asof_last_purchase", "events_pairs_within_30min",
+    # -- 1 r2-vintage --
+    "customer_window_suite",
+    # -- 23 oldest r3-vintage --
+    "top_revenue_orders", "customer_order_stats", "nation_region_rollup",
+    "distinct_parts_per_flag", "top3_customers_per_nation",
+    "customers_without_orders", "suppliers_in_rich_nations",
+    "part_size_classes", "orders_by_month", "nations_with_both",
+    "events_json_extract", "events_sessionize", "avg_qty_per_part",
+    "lineitem_status_pivot", "orders_cube", "median_qty_per_flag",
+    "approx_stats", "orders_with_big_lineitem", "customer_name_features",
+    "nations_customers_only", "customer_running_spend", "order_gap_days",
+    "customer_balance_quartiles",
 )
 
 
