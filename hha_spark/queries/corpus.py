@@ -320,7 +320,15 @@ def corpus_decontaminate(spark, sf_dir):
     gram set with a drop-on-any-hit verdict and the distinct-benchmark
     -docs-hit audit column (operators/corpus.py::
     benchmark_decontaminate). Benchmark side broadcasts; train never
-    pairs with train."""
+    pairs with train.
+
+    Relationship to `benchmark_contamination` (queries/llm_ops.py),
+    which scans distinct shared shingles per doc: this gate is the
+    DECISION layer on top of that signal — positional window counts
+    (how much text is implicated, not just how many distinct grams),
+    per-benchmark-doc attribution (which eval docs leaked), the total
+    window denominator, and the removal verdict itself, at the longer
+    k=5 gram the removal policy uses."""
     from hha_spark.operators.corpus import benchmark_decontaminate
 
     docs = _docs(spark, sf_dir)

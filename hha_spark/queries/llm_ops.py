@@ -1946,7 +1946,15 @@ def text_gopher_quality(spark, sf_dir):
     (operators/text.py::gopher_repetition_rules): mode-token cap,
     diversity floor, repeated-bigram coverage cap, length band — all
     exact integer cross-multiplications. Keeps 191/500 at sf0.01, so
-    both branches of every rule are exercised."""
+    both branches of every rule are exercised.
+
+    Relationship to `text_repetition` below, which reports raw
+    repetition FRACTIONS (top-token/top-bigram share, dup-token
+    frac): this gate is the RULE layer — integer thresholds composed
+    into the keep/drop verdict the Gopher paper actually applies,
+    plus repeated-bigram COVERAGE (total occurrence mass of all
+    repeated bigrams, which top-1 share misses on docs with many
+    moderately-repeated bigrams)."""
     from hha_spark.operators.text import gopher_repetition_rules
 
     return gopher_repetition_rules(_docs(spark, sf_dir))
