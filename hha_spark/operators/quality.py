@@ -65,7 +65,15 @@ _Q = 1_000_000  # micro-unit fixed point
 def _tdiv(col: Column, den: Column | int) -> Column:
     """Integer division truncating toward zero, engine-portable: both
     operands are routed through abs() so only non-negative division —
-    where trunc and floor agree everywhere — ever executes."""
+    where trunc and floor agree everywhere — ever executes.
+
+    Exactness bound: floor(abs/abs) goes through IEEE double, which is
+    exact only below 2^53. That holds by construction for every
+    Spark-side call site — logits are bounded by (B+1) * max|w| *
+    max(x) ~ 1e9 and labels by 1e6 — because the one place big
+    integers arise (gradient SUMS, ~n_docs * 1e9) is divided
+    DRIVER-side in arbitrary-precision Python ints
+    (train_logreg_fixedpoint.upd), never through this helper."""
     d = F.lit(den) if isinstance(den, int) else den
     q = F.floor(F.abs(col) / F.abs(d)).cast("long")
     return F.when(col < 0, -q).otherwise(q)
