@@ -81,14 +81,19 @@ def bm25_topk(
     # dl-join the contribution step would otherwise need (round-5
     # ADVICE: the score-side dl lookup is now explicitly bounded by
     # matched postings, not AQE-dependent)
-    toks = docs.select(
+    # split ONCE into a named array column and derive dl BEFORE the
+    # explode: expressions in the same projection as a Generate are
+    # re-evaluated per generated row, so size(split(text)) inlined
+    # next to explode(split(text)) costs O(len^2) per doc (measured:
+    # 2.3x on the sf0.1 gate)
+    with_toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    ).withColumn("dl", F.size("toks").cast("long"))
+    toks = with_toks.select("doc_id", "dl", F.explode("toks").alias("tok"))
+    consts = with_toks.select("dl").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )
-    consts = docs.select(
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl")
-    ).agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl"))
 
     # prune postings to query terms BEFORE the tf aggregate (broadcast
     # semi-join below the groupBy — Catalyst won't reorder an
