@@ -101,9 +101,22 @@ def bm25_topk(
     # needed for the handful of probe terms, so the wide (doc, term)
     # aggregate sees matching postings only; the sole remaining
     # full-scan work is the one-row (n_docs, total_dl) aggregate
-    tfq = toks.join(
-        F.broadcast(qterms.select("tok").distinct()), on="tok", how="left_semi"
-    ).groupBy("doc_id", "dl", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tfq feeds BOTH the df aggregate and the contribution join;
+    # without a persist each consumer re-runs the full-corpus explode
+    # + semi-join (measured: 3 FileScans of docs in the plan). The
+    # frame is tiny — matched postings only — so it registers with
+    # the session cache registry (hha_spark/caching.py contract)
+    from hha_spark.caching import tracked_persist
+
+    tfq = tracked_persist(
+        toks.join(
+            F.broadcast(qterms.select("tok").distinct()),
+            on="tok",
+            how="left_semi",
+        )
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     df_ = tfq.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
     # identical literal structure to the oracle SQL: each op is one
