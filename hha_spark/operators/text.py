@@ -236,6 +236,82 @@ def unigram_lm_scores(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document order-2 LM score: how typical are this doc's token
+    TRANSITIONS under the corpus bigram statistics? The order-2
+    complement of :func:`unigram_lm_scores` — a doc of individually
+    common tokens in a nonsense order scores low here while passing
+    the unigram gate (the classic perplexity-filter blind spot).
+
+    For each bigram occurrence (w1, w2): the conditional-probability
+    surrogate q = (c(w1,w2) * 1e6) DIV c(w1) — exact non-negative
+    integer division on both engines; c(w1,w2) <= c(w1) always (every
+    bigram occurrence is a w1 occurrence), so q is in [0, 1e6]. Per
+    doc: n_bigrams, sum_q, min_q (the rare-transition flag — one
+    never-seen-elsewhere transition drives it to the floor), and
+    avg_q = sum_q DIV n_bigrams.
+
+    Scale shape: one pair explode (narrow; pairs built from the
+    pre-split `toks` array, never by re-splitting per window), two
+    map-side-combinable keyed aggregates (bigram counts, unigram
+    counts), ONE aggregate-level join (bigram stats to prefix counts
+    — vocabulary-sized, not corpus-sized), then one equi-join of
+    occurrences to the stats table on (w1, w2) and a per-doc rollup.
+    Same skew profile as the unigram scorer; the Zipf head is flatter
+    at order 2, so no head/tail split is needed.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    pair_expr = (
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(1, size(toks) - 1), i -> "
+        "named_struct('w1', element_at(toks, i),"
+        " 'w2', element_at(toks, i + 1)))"
+        " ELSE array() END"
+    )
+    occ = toks.select(
+        "doc_id", F.explode(F.expr(pair_expr)).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c1 = (
+        toks.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    c2 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    stats = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.expr("(c2 * 1000000) DIV c1").cast("long").alias("q"),
+    )
+    scored = (
+        occ.join(stats, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("q").cast("long").alias("sum_q"),
+            F.min("q").cast("long").alias("min_q"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("sum_q", F.lit(0)).cast("long").alias("sum_q"),
+        F.coalesce("min_q", F.lit(0)).cast("long").alias("min_q"),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.expr("sum_q DIV n_bigrams"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("avg_q"),
+    )
+
+
 def source_token_divergence(
     df: DataFrame, *, text_col: str = "text", group_col: str = "source",
 ) -> DataFrame:

@@ -188,15 +188,23 @@ def bpe_merge_candidates(spark, sf_dir):
     so the result set is deterministic.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = docs.select(
-        F.explode(
-            F.expr(
-                "transform(slice(split(text, ' '), 1, "
-                "size(split(text, ' ')) - 1), "
-                "(t, i) -> struct(t AS a, split(text, ' ')[i + 1] AS b))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
+    # split ONCE into a named column: split(text) referenced inside
+    # the transform lambda would re-split per ELEMENT (O(len^2) per
+    # doc — common-subexpression elimination does not reach inside
+    # higher-order-function lambdas; same pitfall grams_expr documents
+    # and the round-6 BM25 fix measured at 2.3x)
+    pairs = (
+        docs.select(F.split("text", " ").alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1), "
+                    "(t, i) -> struct(t AS a, toks[i + 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
     return (
         pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -678,3 +686,51 @@ def _quality_trained_oracle() -> str:
 
 QUERIES["quality_classifier_trained"] = quality_classifier_trained
 ORACLES["quality_classifier_trained"] = _quality_trained_oracle()
+
+
+def text_bigram_lm_score(spark, sf_dir):
+    """Order-2 corpus-LM score per document (operators/text.py::
+    bigram_lm_scores): conditional-probability surrogates
+    (c(w1,w2)*1e6 DIV c(w1)) summed/min'd per doc — catches docs of
+    common tokens in unusual order, the blind spot of
+    text_unigram_lm_score."""
+    from hha_spark.operators.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
+ORACLE_BIGRAM_LM = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    occ AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s),
+    uni AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+    big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM occ GROUP BY w1, w2),
+    st AS (
+      SELECT w1, w2, CAST((c2 * 1000000) // c1 AS BIGINT) AS q
+      FROM big JOIN uni USING (w1)),
+    sc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(q) AS BIGINT) AS sum_q,
+             CAST(MIN(q) AS BIGINT) AS min_q
+      FROM occ JOIN st USING (w1, w2) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(sc.sum_q, 0) AS BIGINT) AS sum_q,
+           CAST(coalesce(sc.min_q, 0) AS BIGINT) AS min_q,
+           CAST(CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+                     THEN sc.sum_q // sc.n_bigrams ELSE 0 END AS BIGINT)
+               AS avg_q
+    FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
+QUERIES["text_bigram_lm_score"] = text_bigram_lm_score
+ORACLES["text_bigram_lm_score"] = ORACLE_BIGRAM_LM

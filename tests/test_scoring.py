@@ -355,3 +355,24 @@ def test_trained_classifier_learns_the_heuristic(spark):
         sum(r["label"] == 1 for r in rows), sum(r["label"] == 0 for r in rows)
     ) / n
     assert acc >= base
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    from hha_spark.operators.text import bigram_lm_scores
+
+    # corpus: c1(a)=3, c1(b)=2, c1(c)=2, c1(z)=1
+    # bigrams: (a,b) x2, (b,c) x1, (c,a) x1, (a,z) x1
+    df = spark.createDataFrame(
+        [(1, "a b c a z"), (2, "a b"), (3, "c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    # doc1 bigrams: (a,b):q=2e6//3=666666  (b,c):1e6//2=500000
+    #               (c,a):1e6//2=500000    (a,z):1e6//3=333333
+    assert out[1]["n_bigrams"] == 4
+    assert out[1]["sum_q"] == 666666 + 500000 + 500000 + 333333
+    assert out[1]["min_q"] == 333333
+    assert out[1]["avg_q"] == out[1]["sum_q"] // 4
+    assert out[2]["n_bigrams"] == 1 and out[2]["sum_q"] == 666666
+    # single-token doc: zero bigrams, zeroed metrics
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_q"] == 0
