@@ -105,7 +105,13 @@ def bm25_topk(
     # without a persist each consumer re-runs the full-corpus explode
     # + semi-join (measured: 3 FileScans of docs in the plan). The
     # frame is tiny — matched postings only — so it registers with
-    # the session cache registry (hha_spark/caching.py contract)
+    # the session cache registry (hha_spark/caching.py contract).
+    # Measured tradeoff (interleaved A/B at sf0.1): the persist's
+    # materialization barrier costs ~0.2 s locally vs letting both
+    # consumers recompute, because at 600k docs the second explode
+    # pipelines cheaply — but at 100 TB the no-persist plan is two
+    # full corpus scans+explodes vs one, so the cache is the
+    # scale-correct choice and the local cost is accepted.
     from hha_spark.caching import tracked_persist
 
     tfq = tracked_persist(
