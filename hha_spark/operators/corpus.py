@@ -461,6 +461,103 @@ def pii_scrub(
     )
 
 
+def blocklist_scrub(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hit_pct: int = 5,
+) -> DataFrame:
+    """Deny-list term redaction + keep/drop audit (the C4 bad-words
+    filter shape, split into its two real halves: REDACT for
+    pipelines that keep the document, DROP-DECISION for pipelines
+    that discard it).
+
+    Token-wise, not regex: the corpus contract here is
+    space-tokenized text, so membership in the broadcast-literal
+    deny set is tested per token (`IN` over a literal list compiles
+    to a JVM hash probe) — no regex-dialect risk, and multi-token
+    hit counting is exact. Returns per document:
+
+      n_tokens, n_hits (deny-list token occurrences),
+      n_hit_terms (distinct deny terms present),
+      keep (hits <= max_hit_pct% of tokens, integer-exact),
+      scrubbed_md5 (md5 of the text with every hit replaced by
+      '<BAD>' — the rewrite is verified by hash, not by eyeballing).
+
+    Scale: pure narrow map (split + filter + transform + md5), no
+    shuffle; the deny list is a query literal, the 100 TB analogue
+    of broadcasting a bad-words file. Complements pii_scrub (regex
+    family) — this is the curated-term family.
+    """
+    toks = F.split(F.col(text_col), " ")
+    is_bad = lambda t: t.isin(*terms)  # noqa: E731 — shared lambda
+    hits = F.filter(toks, is_bad)
+    scrubbed = F.array_join(
+        F.transform(
+            toks, lambda t: F.when(is_bad(t), F.lit("<BAD>")).otherwise(t)
+        ),
+        " ",
+    )
+    n_tokens = F.size(toks)
+    n_hits = F.size(hits)
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_hits.cast("long").alias("n_hits"),
+        F.size(F.array_distinct(hits)).cast("long").alias("n_hit_terms"),
+        (n_hits * 100 <= F.lit(max_hit_pct) * n_tokens).alias("keep"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    frac_pct: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "s6",
+) -> DataFrame:
+    """Deterministic exact-count stratified sampling: per stratum,
+    keep exactly floor(frac_pct% * |stratum|) rows, chosen by
+    md5(id || '|' || salt) hash order — the train/val-split
+    primitive. Unlike df.sample(), the result is (a) exactly sized
+    per stratum and (b) a pure function of (id, salt): re-running on
+    a grown corpus keeps previously-sampled rows sampled as long as
+    their hash rank still clears the floor, and the same split is
+    reproducible on any engine (the DuckDB oracle re-derives it).
+
+    Returns (id, stratum, smp_rank, n_stratum) for the KEPT rows.
+
+    Scale: one shuffle on the stratum key, two window passes (rank
+    by hash, stratum count). A pathologically hot stratum serializes
+    into one task under plain row_number; the scale fix is the usual
+    two-phase rank — approximate hash-threshold per stratum from a
+    sample, then exact rank only inside the boundary band — same
+    refinement family as operators/rank.py. At the fixture's
+    20-source/balanced layout the direct window is the right plan.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))
+    )
+    w_rank = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col))
+    w_all = Window.partitionBy(strata_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.row_number().over(w_rank).cast("long").alias("smp_rank"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_stratum"),
+    )
+    # rank <= floor(n*frac/100)  <=>  100*rank <= n*frac  (positive ints)
+    return ranked.where(
+        F.col("smp_rank") * 100 <= F.col("n_stratum") * frac_pct
+    )
+
+
 def mixture_weights(docs: DataFrame, *, budget_frac_pct: int = 50) -> DataFrame:
     """Per-source sampling weights hitting a corpus token budget.
 

@@ -330,6 +330,54 @@ def cosine_topk(
     )
 
 
+def mutual_knn_graph(
+    nodes: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-kNN graph over a node set: edge (a, b) exists iff b is
+    in a's top-k AND a is in b's top-k (by exact quantized cosine,
+    ties broken by id). The mutual filter is the standard noise
+    suppressor for similarity graphs feeding clustering / dedup
+    (asymmetric hub edges drop out).
+
+    Returns (vec_id_a, vec_id_b, cosine, rank_ab, rank_ba) with
+    a < b, each undirected edge emitted once.
+
+    Scale: the node set is a BOUNDED selection (a sampled slice, one
+    IVF cell, or one LSH bucket family) — not the raw corpus. Over a
+    corpus-sized graph the exact all-pairs kernel inside cosine_topk
+    is replaced by LSH/IVF candidate generation
+    (hyperplane_candidate_pairs / operators/ivf.py) feeding the SAME
+    rank + mutual-join tail; the mutual step itself is one
+    self-equi-join on the k-bounded top-k frame — cardinality
+    <= k * |nodes| on each side, shuffled on the (qid, cid) key.
+    """
+    from hha_spark.caching import tracked_persist
+
+    # consumed twice by the mutual self-join: persist the k-bounded
+    # frame so the pair kernel runs once
+    topk = tracked_persist(
+        cosine_topk(nodes, nodes, k=k, id_col=id_col, vec_col=vec_col)
+    )
+    fwd = topk.select(
+        F.col("qid").alias("vec_id_a"),
+        F.col("cid").alias("vec_id_b"),
+        "cosine",
+        F.col("rank").alias("rank_ab"),
+    ).where(F.col("vec_id_a") < F.col("vec_id_b"))
+    rev = topk.select(
+        F.col("cid").alias("vec_id_a"),
+        F.col("qid").alias("vec_id_b"),
+        F.col("rank").alias("rank_ba"),
+    ).where(F.col("vec_id_a") < F.col("vec_id_b"))
+    return fwd.join(rev, on=["vec_id_a", "vec_id_b"]).select(
+        "vec_id_a", "vec_id_b", "cosine", "rank_ab", "rank_ba"
+    )
+
+
 MAX_ARROW_QUERIES = 65536  # collected query side must stay driver-sized
 
 

@@ -16,10 +16,12 @@ from hha_spark.operators.corpus import (
     PII_DIGITS_RE,
     PII_EMAIL_RE,
     PII_IPV4_RE,
+    blocklist_scrub,
     duplicated_span_stats,
     mixture_weights,
     pii_scrub,
     source_overlap,
+    stratified_sample,
     strip_duplicate_spans,
 )
 from hha_spark.sources.tables import load_table
@@ -214,12 +216,89 @@ ORACLE_MIXTURE_WEIGHTS = f"""
 """
 
 
+# Deny-list for the blocklist scrub — stands in for a curated
+# bad-words file (the C4 filter ships one); terms are query literals,
+# the broadcast-a-tiny-file shape at 100 TB.
+BLOCK_TERMS = ("customer", "vector", "stream")
+BLOCK_MAX_HIT_PCT = 5
+
+
+def corpus_blocklist_scrub(spark, sf_dir):
+    """C4-style bad-words step, split into redact + drop-decision
+    halves (operators/corpus.py::blocklist_scrub): token-wise deny-set
+    membership, '<BAD>' rewrite verified by md5, and an integer-exact
+    <=5%-of-tokens keep rule. Complements corpus_pii_scrub (regex
+    family) — this is the curated-term family over the same text."""
+    return blocklist_scrub(
+        _docs(spark, sf_dir), BLOCK_TERMS, max_hit_pct=BLOCK_MAX_HIT_PCT
+    )
+
+
+_BLOCK_IN = ", ".join(f"'{t}'" for t in BLOCK_TERMS)
+ORACLE_BLOCKLIST_SCRUB = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             list_filter(toks, x -> x IN ({_BLOCK_IN})) AS hits,
+             list_transform(
+               toks,
+               x -> CASE WHEN x IN ({_BLOCK_IN}) THEN '<BAD>' ELSE x END
+             ) AS scr
+      FROM t)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(hits) AS BIGINT) AS n_hits,
+           CAST(len(list_distinct(hits)) AS BIGINT) AS n_hit_terms,
+           len(hits) * 100 <= {BLOCK_MAX_HIT_PCT} * len(toks) AS keep,
+           md5(array_to_string(scr, ' ')) AS scrubbed_md5
+    FROM s
+"""
+
+
+SAMPLE_FRAC_PCT = 30
+SAMPLE_SALT = "s6"
+
+
+def corpus_stratified_sample(spark, sf_dir):
+    """Deterministic exact-count per-source sampling
+    (operators/corpus.py::stratified_sample): keep exactly
+    floor(30% * |source|) docs per source by md5(doc_id||salt) hash
+    order — the reproducible train/val-split primitive. The oracle
+    re-derives the identical split from the identical hash, so a
+    green row proves WHICH rows were sampled, not just how many."""
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        frac_pct=SAMPLE_FRAC_PCT,
+        salt=SAMPLE_SALT,
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '|{SAMPLE_SALT}'),
+                        doc_id) AS smp_rank,
+             COUNT(*) OVER (PARTITION BY source) AS n_stratum
+      FROM documents)
+    SELECT doc_id, source,
+           CAST(smp_rank AS BIGINT) AS smp_rank,
+           CAST(n_stratum AS BIGINT) AS n_stratum
+    FROM r
+    WHERE smp_rank * 100 <= n_stratum * {SAMPLE_FRAC_PCT}
+"""
+
+
 QUERIES = {
     "corpus_dup_spans": corpus_dup_spans,
     "corpus_strip_dup_spans": corpus_strip_dup_spans,
     "corpus_source_overlap": corpus_source_overlap,
     "corpus_pii_scrub": corpus_pii_scrub,
     "corpus_mixture_weights": corpus_mixture_weights,
+    "corpus_blocklist_scrub": corpus_blocklist_scrub,
+    "corpus_stratified_sample": corpus_stratified_sample,
 }
 
 ORACLES = {
@@ -228,6 +307,8 @@ ORACLES = {
     "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
     "corpus_pii_scrub": ORACLE_PII_SCRUB,
     "corpus_mixture_weights": ORACLE_MIXTURE_WEIGHTS,
+    "corpus_blocklist_scrub": ORACLE_BLOCKLIST_SCRUB,
+    "corpus_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
 }
 
 

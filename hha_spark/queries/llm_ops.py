@@ -1031,6 +1031,57 @@ ORACLE_COSINE_PAIRS = f"""
 """
 
 
+# Mutual-kNN graph: nodes are a deterministic slice of the corpus
+# (vec_id % 7) — at 100 TB the node set is an IVF cell / LSH bucket
+# family and candidates come from those buckets; here the bounded
+# exact kernel inside mutual_knn_graph is the whole story.
+KNN_NODE_MOD = 7
+KNN_K = 4
+
+
+def knn_graph_mutual(spark, sf_dir):
+    """Mutual-kNN similarity graph (operators/similarity.py::
+    mutual_knn_graph): edge kept iff each endpoint is in the other's
+    exact-cosine top-k. The noise-suppressed graph that feeds
+    clustering/dedup; the oracle re-derives top-k both ways, so a
+    green row proves the mutuality filter, not just the kNN."""
+    from hha_spark.operators.similarity import mutual_knn_graph
+
+    emb = _emb(spark, sf_dir)
+    nodes = emb.where(F.col("vec_id") % KNN_NODE_MOD == 0)
+    out = mutual_knn_graph(nodes, k=KNN_K)
+    return _cast_longs(out, ["rank_ab", "rank_ba"])
+
+
+ORACLE_KNN_MUTUAL = f"""
+    WITH el AS ({_EMB_EL}),
+    n_el AS (SELECT * FROM el WHERE vec_id % {KNN_NODE_MOD} = 0),
+    dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, {_DOT_SQL} AS dot
+      FROM n_el a JOIN n_el b USING (idx)
+      WHERE a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    norms AS (SELECT vec_id, {_NORM_SQL} AS norm_sq
+              FROM n_el GROUP BY vec_id),
+    sims AS (
+      SELECT qid, cid,
+             dot / NULLIF(sqrt(qn.norm_sq) * sqrt(cn.norm_sq), 0) AS cosine
+      FROM dots JOIN norms qn ON qn.vec_id = qid
+                JOIN norms cn ON cn.vec_id = cid),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid) AS rank
+      FROM sims),
+    topk AS (SELECT * FROM ranked WHERE rank <= {KNN_K})
+    SELECT f.qid AS vec_id_a, f.cid AS vec_id_b, f.cosine,
+           CAST(f.rank AS BIGINT) AS rank_ab,
+           CAST(r.rank AS BIGINT) AS rank_ba
+    FROM topk f JOIN topk r ON r.qid = f.cid AND r.cid = f.qid
+    WHERE f.qid < f.cid
+"""
+
+
 # --- text analysis ----------------------------------------------------------
 
 def text_stats_docs(spark, sf_dir):
@@ -1884,6 +1935,7 @@ QUERIES = {
     "ann_ndcg_eval": ann_ndcg_eval,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "embedding_cosine_pairs": embedding_cosine_pairs,
+    "knn_graph_mutual": knn_graph_mutual,
     "doc_array_features": doc_array_features,
     "embedding_hof_features": embedding_hof_features,
     "corpus_vocabulary": corpus_vocabulary,
@@ -1926,6 +1978,7 @@ ORACLES = {
     "ann_ndcg_eval": _ndcg_oracle(),
     "dedup_embedding_lsh": ORACLE_EMB_LSH,
     "embedding_cosine_pairs": ORACLE_COSINE_PAIRS,
+    "knn_graph_mutual": ORACLE_KNN_MUTUAL,
     "doc_array_features": ORACLE_ARRAY,
     "embedding_hof_features": ORACLE_HOF,
     "corpus_vocabulary": ORACLE_VOCAB,
