@@ -491,11 +491,132 @@ ORACLE_STREAM_ATTRIBUTION = f"""
 """
 
 
+SESS_GAP_US = 12 * 3600 * 1_000_000  # 12h gap => sessions chain across slices
+SESS_SLICES = 3
+
+
+def _write_time_slices(ev: DataFrame, tmp: str, n_slices: int) -> str:
+    """Write (user_id, ts_us) into n chronological parquet files with
+    strictly increasing mtimes, so the file source (maxFilesPerTrigger
+    =1) replays them as ordered micro-batches — the per-user
+    time-ordered ingest contract streaming/sessionize.py documents."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    in_dir = f"{tmp}/in"
+    os.makedirs(in_dir)
+    base = time.time() - 1000
+    for i in range(n_slices):
+        a = lo + (hi - lo + 1) * i // n_slices
+        b = lo + (hi - lo + 1) * (i + 1) // n_slices
+        part_dir = f"{tmp}/slice{i}"
+        ev.where((F.col("ts_us") >= a) & (F.col("ts_us") < b)).coalesce(
+            1
+        ).write.parquet(part_dir)
+        (part,) = glob.glob(f"{part_dir}/part-*.parquet")
+        dst = f"{in_dir}/slice{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (base + 10 * i, base + 10 * i))
+    return in_dir
+
+
+def stream_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fifth streaming topology under the oracle gate: stateful
+    CROSS-MICRO-BATCH sessionization (streaming/sessionize.py). The
+    events table is split into three chronological files replayed as
+    three micro-batches (maxFilesPerTrigger=1 + availableNow); open
+    sessions carry forward in a versioned state table and merge with
+    the next batch, so a session spanning a slice boundary is
+    reassembled across state — the thing the other four topologies
+    never exercise. The final per-user rollup (closed sessions + end-
+    of-stream flush) must equal one-shot batch sessionization, which
+    is the DuckDB gaps-and-islands oracle.
+
+    Scale: state is one open session per active user; each batch does
+    one user-keyed window + a semi/anti state split. See the module
+    docstring for the 100 TB notes and the ordering contract.
+    """
+    from hha_spark.streaming.sessionize import (
+        final_sessions,
+        run_streaming_sessionizer,
+    )
+
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select("user_id", events_ts_us(ev_raw).alias("ts_us"))
+    with _gate_scratch("hha_stream_sess_") as tmp, _gate_shuffle(spark):
+        in_dir = _write_time_slices(ev, tmp, SESS_SLICES)
+        q = run_streaming_sessionizer(
+            spark,
+            data_root=in_dir,
+            schema="user_id long, ts_us long",
+            state_root=f"{tmp}/state",
+            closed_path=f"{tmp}/closed",
+            checkpoint=f"{tmp}/ckpt",
+            gap_us=SESS_GAP_US,
+            max_files_per_trigger=1,
+            available_now=True,
+        )
+        q.awaitTermination()
+        sessions = final_sessions(
+            spark, state_root=f"{tmp}/state", closed_path=f"{tmp}/closed"
+        )
+        out = sessions.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max(F.col("end_us") - F.col("start_us"))
+            .cast("long")
+            .alias("max_len_us"),
+            F.sum(F.col("end_us") - F.col("start_us"))
+            .cast("long")
+            .alias("sum_len_us"),
+        )
+        # materialize before the scratch dirs vanish; one row per user
+        rows = out.collect()
+    return spark.createDataFrame(
+        rows,
+        "user_id long, n_sessions long, n_events long, "
+        "max_len_us long, sum_len_us long",
+    )
+
+
+ORACLE_STREAM_SESSIONIZE = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    l AS (
+      SELECT user_id, ts_us,
+             CASE WHEN prev IS NULL OR ts_us - prev > {SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM (SELECT user_id, ts_us,
+                   LAG(ts_us) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us) AS prev
+            FROM e)),
+    g AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l),
+    s AS (
+      SELECT user_id, sid, MIN(ts_us) AS s0, MAX(ts_us) AS s1,
+             COUNT(*) AS n
+      FROM g GROUP BY user_id, sid)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(s1 - s0) AS BIGINT) AS max_len_us,
+           CAST(SUM(s1 - s0) AS BIGINT) AS sum_len_us
+    FROM s GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_dedup_incremental": stream_dedup_incremental,
     "stream_spike_alerts": stream_spike_alerts,
     "stream_events_windowed": stream_events_windowed,
     "stream_attribution_join": stream_attribution_join,
+    "stream_sessionize_incremental": stream_sessionize_incremental,
 }
 
 # the batch oracle IS the stream oracle — that equality is the point
@@ -504,4 +625,5 @@ ORACLES = {
     "stream_spike_alerts": ORACLE_STREAM_SPIKE,
     "stream_events_windowed": ORACLE_STREAM_WINDOWED,
     "stream_attribution_join": ORACLE_STREAM_ATTRIBUTION,
+    "stream_sessionize_incremental": ORACLE_STREAM_SESSIONIZE,
 }

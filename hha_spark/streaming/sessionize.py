@@ -1,0 +1,229 @@
+"""Stateful cross-micro-batch sessionization via foreachBatch.
+
+The fifth streaming topology in this engine (after the stream-static
+join, the foreachBatch detector, the watermarked window aggregate,
+and the stream-stream interval join): per-user session tracking where
+a session may SPAN micro-batches, so the operator must carry OPEN
+sessions forward as state and merge them with the next batch.
+
+Why foreachBatch and not applyInPandasWithState: the same two reasons
+as streaming/spike_stream.py — this environment's Spark build crashes
+Python workers inside stateful pandas stages (verified repro), and
+the foreachBatch design keeps every stage JVM-side in whole-stage
+codegen. The state here is EXACTLY the shape flatMapGroupsWithState
+would hold (one open session per active user), persisted as a
+versioned parquet table instead of the state store.
+
+Relation to F.session_window: Spark's native session windows (used
+and tested in tests/test_streaming.py::test_streaming_session_windows)
+cover the plain gap-merge aggregate. This module is the EXPLICIT-state
+variant of the same semantics — the pattern you need once the
+per-session state outgrows what session_window can hold (arbitrary
+payloads, TTL suppression a la sinks/alerts.py, cross-table
+enrichment before close) — and its correctness is pinned against the
+batch oracle by the stream_sessionize_incremental driver gate, at
+sf0.01 with ~95 sessions genuinely spanning micro-batch boundaries.
+
+Ordering contract: micro-batches must be per-user time-ordered —
+every user's events in batch N+1 are >= their events in batch N (the
+Kafka-keyed-partition / file-per-time-slice ingest shape; the
+reference's hourly state files satisfy it natively, hha.py:293-297).
+Under that contract the streamed result equals batch sessionization
+row-for-row, which is what the driver gate verifies. A watermark
+buffer would generalize to bounded disorder; out of scope here.
+
+Scale: per batch, one shuffle keyed by user_id (the within-batch
+sessionize window), one semi/anti split of the state table, one
+merge window over (touched open sessions UNION batch sessions) whose
+left side is <=1 row per active user — state volume is O(active
+users), never O(events). Closed sessions append; the open-state
+rewrite is a full copy of a bounded table (at 100 TB: a bucketed
+table so the semi-join and the merge co-locate without a shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hha_spark.sources import fs
+
+SESSION_COLS = ("user_id", "start_us", "end_us", "n_events")
+_SESSION_SCHEMA = "user_id long, start_us long, end_us long, n_events long"
+
+
+def sessionize_batch(events: DataFrame, *, gap_us: int) -> DataFrame:
+    """Per-user gap sessionization of one (batch) event frame.
+
+    events: (user_id, ts_us). Returns one row per session:
+    (user_id, start_us, end_us, n_events). Boundary rule: a new
+    session starts when the gap to the previous event exceeds
+    gap_us. Tie timestamps are order-independent (gap 0 never
+    splits), so the result is deterministic without a tiebreaker.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    flagged = events.select("user_id", "ts_us").withColumn(
+        "_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sid = F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("_sid", sid)
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(*SESSION_COLS)
+    )
+
+
+def merge_adjacent_sessions(sessions: DataFrame, *, gap_us: int) -> DataFrame:
+    """Coalesce session rows whose gap start-to-previous-end is within
+    gap_us — the state-merge pass. Input/output shape = SESSION_COLS.
+
+    Used on (open state sessions UNION new batch sessions) per user:
+    within-batch sessions are already gap-separated, so at most the
+    state row fuses with the batch's first session, but the pass is
+    written generically (it would also fix up multi-source unions).
+    """
+    w = Window.partitionBy("user_id").orderBy("start_us", "end_us")
+    flagged = sessions.withColumn(
+        "_new",
+        F.when(
+            F.lag("end_us").over(w).isNull()
+            | (F.col("start_us") - F.lag("end_us").over(w) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    gid = F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("_gid", gid)
+        .groupBy("user_id", "_gid")
+        .agg(
+            F.min("start_us").alias("start_us"),
+            F.max("end_us").alias("end_us"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(*SESSION_COLS)
+    )
+
+
+def _state_versions(spark: SparkSession, state_root: str) -> list[int]:
+    return sorted(
+        int(d[1:])
+        for d in fs.listdir(spark, state_root)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def read_open_state(spark: SparkSession, state_root: str) -> DataFrame:
+    """Latest open-session state (empty frame before the first write).
+
+    Versioned dirs (v0, v1, ...): the writer creates v(N+1) fully
+    before dropping v(N), so the max version is always a complete
+    table — a crash between write and cleanup leaves an extra old
+    version, never a torn current one.
+    """
+    versions = _state_versions(spark, state_root)
+    if not versions:
+        return spark.createDataFrame([], _SESSION_SCHEMA)
+    return spark.read.parquet(f"{state_root}/v{versions[-1]}")
+
+
+def make_sessionize_processor(
+    spark: SparkSession,
+    *,
+    state_root: str,
+    closed_path: str,
+    gap_us: int,
+):
+    """Per-micro-batch body: sessionize the batch, merge with open
+    state, append closed sessions, rewrite open state."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_sessions = sessionize_batch(batch_df, gap_us=gap_us)
+        state = read_open_state(spark, state_root)
+        users = batch_df.select("user_id").distinct()
+        touched = state.join(users, "user_id", "left_semi")
+        untouched = state.join(users, "user_id", "left_anti")
+
+        merged = merge_adjacent_sessions(
+            touched.unionByName(batch_sessions), gap_us=gap_us
+        ).persist()
+        try:
+            # the LAST session per touched user stays open (later
+            # batches may extend it); everything earlier closes now
+            w = Window.partitionBy("user_id").orderBy(F.desc("start_us"))
+            with_pos = merged.withColumn("_pos", F.row_number().over(w))
+            closed = with_pos.where(F.col("_pos") > 1).select(*SESSION_COLS)
+            still_open = with_pos.where(F.col("_pos") == 1).select(*SESSION_COLS)
+
+            closed.write.mode("append").parquet(closed_path)
+            versions = _state_versions(spark, state_root)
+            nxt = (versions[-1] + 1) if versions else 0
+            still_open.unionByName(untouched).write.parquet(
+                f"{state_root}/v{nxt}"
+            )
+            for v in versions:
+                fs.delete(spark, f"{state_root}/v{v}")
+        finally:
+            merged.unpersist()
+
+    return process
+
+
+def run_streaming_sessionizer(
+    spark: SparkSession,
+    *,
+    data_root: str,
+    schema,
+    state_root: str,
+    closed_path: str,
+    checkpoint: str,
+    gap_us: int,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """File source -> foreachBatch(stateful sessionizer).
+
+    maxFilesPerTrigger=1 makes each input file its own micro-batch
+    (the gate writes time-sliced files, so the replay exercises the
+    cross-batch state path for real). Returns the StreamingQuery.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(data_root)
+    )
+    writer = stream.writeStream.foreachBatch(
+        make_sessionize_processor(
+            spark,
+            state_root=state_root,
+            closed_path=closed_path,
+            gap_us=gap_us,
+        )
+    ).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def final_sessions(
+    spark: SparkSession, *, state_root: str, closed_path: str
+) -> DataFrame:
+    """Closed sessions + end-of-stream flush of still-open state."""
+    try:
+        closed = spark.read.parquet(closed_path)
+    except Exception:  # no session ever closed
+        closed = spark.createDataFrame([], _SESSION_SCHEMA)
+    return closed.unionByName(read_open_state(spark, state_root))

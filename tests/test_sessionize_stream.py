@@ -1,0 +1,142 @@
+"""Stateful cross-batch streaming sessionization
+(streaming/sessionize.py): multi-micro-batch replay equals one-shot
+batch sessionization, the state table stays bounded to one open
+session per active user, and the merge pass is exercised by sessions
+that genuinely span batch boundaries."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from hha_spark.streaming.sessionize import (
+    final_sessions,
+    merge_adjacent_sessions,
+    read_open_state,
+    run_streaming_sessionizer,
+    sessionize_batch,
+)
+
+GAP = 100  # us — tiny synthetic clock
+SCHEMA = "user_id long, ts_us long"
+
+# three users; user 1's second session and user 2's only session SPAN
+# the slice boundaries below, so the cross-batch state merge must fire
+ROWS = [
+    (1, 0), (1, 50), (1, 90),          # slice A: u1 session 1
+    (1, 400), (1, 480),                # slice A: u1 session 2 starts
+    (2, 450),                          # slice A: u2 session starts
+    (1, 530), (2, 500),                # slice B: both continue (gap<=100)
+    (1, 900),                          # slice B: u1 session 3
+    (3, 910),                          # slice B: u3 appears
+    (1, 980), (3, 950),                # slice C: u1 s3 + u3 continue
+    (2, 2000),                         # slice C: u2 session 2
+]
+SLICES = ((0, 490), (490, 940), (940, 10_000))
+
+
+def _write_slices(spark, tmp_path) -> str:
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    base = time.time() - 500
+    for i, (a, b) in enumerate(SLICES):
+        rows = [r for r in ROWS if a <= r[1] < b]
+        d = str(tmp_path / f"s{i}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(d)
+        (part,) = glob.glob(f"{d}/part-*.parquet")
+        dst = f"{in_dir}/slice{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (base + 10 * i, base + 10 * i))
+    return in_dir
+
+
+def _run(spark, tmp_path):
+    paths = {
+        "state": str(tmp_path / "state"),
+        "closed": str(tmp_path / "closed"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    q = run_streaming_sessionizer(
+        spark,
+        data_root=_write_slices(spark, tmp_path),
+        schema=SCHEMA,
+        state_root=paths["state"],
+        closed_path=paths["closed"],
+        checkpoint=paths["ckpt"],
+        gap_us=GAP,
+    )
+    q.awaitTermination()
+    return paths
+
+
+def test_multi_batch_stream_equals_batch(spark, tmp_path):
+    paths = _run(spark, tmp_path)
+    streamed = final_sessions(
+        spark, state_root=paths["state"], closed_path=paths["closed"]
+    )
+    batch = sessionize_batch(
+        spark.createDataFrame(ROWS, SCHEMA), gap_us=GAP
+    )
+    key = lambda r: (r.user_id, r.start_us, r.end_us, r.n_events)  # noqa: E731
+    assert sorted(map(key, streamed.collect())) == sorted(
+        map(key, batch.collect())
+    )
+    # sanity on the fixture itself: boundary-spanning sessions exist,
+    # i.e. naive per-slice sessionization would produce MORE sessions
+    per_slice = sum(
+        sessionize_batch(
+            spark.createDataFrame(
+                [r for r in ROWS if a <= r[1] < b], SCHEMA
+            ),
+            gap_us=GAP,
+        ).count()
+        for a, b in SLICES
+    )
+    assert per_slice > batch.count()
+
+
+def test_three_micro_batches_ran_and_state_is_bounded(spark, tmp_path):
+    paths = _run(spark, tmp_path)
+    # each epoch writes state version prev+1 starting at 0, so the
+    # surviving version index counts the micro-batches
+    (ver,) = [
+        d for d in os.listdir(paths["state"]) if d.startswith("v")
+    ]
+    assert ver == f"v{len(SLICES) - 1}"
+    state = read_open_state(spark, paths["state"])
+    # exactly one open session per user active in the final picture
+    assert state.groupBy("user_id").count().agg(F.max("count")).first()[0] == 1
+
+
+def test_merge_adjacent_sessions_semantics(spark):
+    sessions = spark.createDataFrame(
+        [
+            (1, 0, 90, 3),      # fuses with the next (gap 10 <= 100)
+            (1, 100, 200, 2),
+            (1, 500, 600, 1),   # gap 300 > 100 -> stays separate
+            (2, 0, 10, 1),      # other user untouched
+        ],
+        "user_id long, start_us long, end_us long, n_events long",
+    )
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in merge_adjacent_sessions(sessions, gap_us=GAP).collect()
+    }
+    assert got == {(1, 0, 200, 5), (1, 500, 600, 1), (2, 0, 10, 1)}
+
+
+def test_empty_state_and_absent_closed(spark, tmp_path):
+    # final_sessions before any stream ran: empty frame, right schema
+    out = final_sessions(
+        spark,
+        state_root=str(tmp_path / "nope_state"),
+        closed_path=str(tmp_path / "nope_closed"),
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "start_us", "end_us", "n_events",
+    ]
