@@ -57,25 +57,28 @@ _MODULES = (
 # Order is the driver's verification window: it oracle-checks the FIRST
 # 50 names yielded. Round-6 rotation — with every query driver-verified
 # green after r5 (cumulative 161/161), the policy shifts from COVERAGE
-# to FRESHNESS (r5 VERDICT "Next round" #2): positions 1-5 are this
+# to FRESHNESS (r5 VERDICT "Next round" #2): positions 1-9 are this
 # round's NEW gates (trained logreg quality classifier, incremental
 # strip-spans admission gate, Gopher repetition rules, benchmark
-# decontamination, bigram-LM transition score); 6-10 are round-5
-# greens whose operator code changed this round (containment set-ifies
-# tokens, BM25 dl fused into the postings key + matched-postings
-# persist, attribution watermark raised to max_delay, bpe pair explode
-# de-quadraticized) and so need fresh rows; 11-50 are the 40 STALEST
-# greens ordered by oldest verification round — the full r1 vintage
-# (dedup/ANN/text/temporal flagships), the r2 window suite, and the
-# oldest r3 relational rows (the last two listed sit past position 50
-# and rotate, with the ~23 remaining r3-vintage greens, next round —
-# keeping max staleness bounded). Names here that fall out of the registry are
-# ignored defensively; queries not listed follow in module order.
-# Policy: COVERAGE.md "Registry rotation".
+# decontamination, bigram-LM transition score, the stateful cross-batch
+# streaming sessionizer, mutual-kNN graph, blocklist scrub, stratified
+# sample); 10-14 are round-5 greens whose operator code changed this
+# round (containment set-ifies tokens, BM25 dl fused into the postings
+# key + matched-postings persist, attribution watermark raised to
+# max_delay, bpe pair explode de-quadraticized) and so need fresh rows;
+# 15-50 are the STALEST greens ordered by oldest verification round —
+# the full r1 vintage (dedup/ANN/text/temporal flagships), the r2
+# window suite, and the oldest r3 relational rows (names listed past
+# position 50 rotate, with the remaining r3-vintage greens, next round
+# — keeping max staleness bounded). Names here that fall out of the
+# registry are ignored defensively; queries not listed follow in module
+# order. Policy: COVERAGE.md "Registry rotation".
 _NEVER_CHECKED_FIRST = (
-    # -- 5 round-6 new gates, never driver-checked --
+    # -- 9 round-6 new gates, never driver-checked --
     "quality_classifier_trained", "corpus_strip_spans_incremental",
     "text_gopher_quality", "corpus_decontaminate", "text_bigram_lm_score",
+    "stream_sessionize_incremental", "knn_graph_mutual",
+    "corpus_blocklist_scrub", "corpus_stratified_sample",
     # -- 5 round-6 code-touched re-gates --
     "dedup_containment", "dedup_containment_incremental",
     "text_bm25_topk", "stream_attribution_join", "bpe_merge_candidates",
