@@ -126,15 +126,23 @@ def _state_versions(spark: SparkSession, state_root: str) -> list[int]:
     )
 
 
-def read_open_state(spark: SparkSession, state_root: str) -> DataFrame:
-    """Latest open-session state (empty frame before the first write).
+def read_open_state(
+    spark: SparkSession, state_root: str, *, before_epoch: int | None = None
+) -> DataFrame:
+    """Open-session state (empty frame before the first write).
 
-    Versioned dirs (v0, v1, ...): the writer creates v(N+1) fully
-    before dropping v(N), so the max version is always a complete
-    table — a crash between write and cleanup leaves an extra old
-    version, never a torn current one.
+    Versions are EPOCH-KEYED (v<epoch_id>), which is what makes the
+    processor idempotent under foreachBatch retries: a redelivered
+    epoch N reads the newest version STRICTLY BELOW N (its true
+    pre-state — any v<N> left by the failed attempt is ignored and
+    overwritten), recomputes the identical merge, and re-commits.
+    Without the epoch key, re-merging batch N into state that already
+    contains it would double-count n_events. Final readers pass no
+    bound and get the newest complete version.
     """
     versions = _state_versions(spark, state_root)
+    if before_epoch is not None:
+        versions = [v for v in versions if v < before_epoch]
     if not versions:
         return spark.createDataFrame([], _SESSION_SCHEMA)
     return spark.read.parquet(f"{state_root}/v{versions[-1]}")
@@ -151,8 +159,12 @@ def make_sessionize_processor(
     state, append closed sessions, rewrite open state."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch = int(epoch_id)
         batch_sessions = sessionize_batch(batch_df, gap_us=gap_us)
-        state = read_open_state(spark, state_root)
+        # pre-state = newest version strictly below this epoch, so a
+        # RETRIED epoch recomputes from its true inputs (idempotence;
+        # see read_open_state)
+        state = read_open_state(spark, state_root, before_epoch=epoch)
         users = batch_df.select("user_id").distinct()
         touched = state.join(users, "user_id", "left_semi")
         untouched = state.join(users, "user_id", "left_anti")
@@ -168,14 +180,22 @@ def make_sessionize_processor(
             closed = with_pos.where(F.col("_pos") > 1).select(*SESSION_COLS)
             still_open = with_pos.where(F.col("_pos") == 1).select(*SESSION_COLS)
 
-            closed.write.mode("append").parquet(closed_path)
-            versions = _state_versions(spark, state_root)
-            nxt = (versions[-1] + 1) if versions else 0
-            still_open.unionByName(untouched).write.parquet(
-                f"{state_root}/v{nxt}"
+            # per-epoch OVERWRITE (not append) + epoch-keyed state
+            # version: both sinks are deterministic functions of the
+            # epoch, so redelivery rewrites the same bytes instead of
+            # duplicating rows — effectively-exactly-once on top of
+            # the file source's at-least-once replay
+            closed.write.mode("overwrite").parquet(
+                f"{closed_path}/epoch={epoch}"
             )
-            for v in versions:
-                fs.delete(spark, f"{state_root}/v{v}")
+            still_open.unionByName(untouched).write.mode("overwrite").parquet(
+                f"{state_root}/v{epoch}"
+            )
+            # keep v(epoch-1) until the NEXT epoch commits (a retry of
+            # this epoch still needs it); drop everything older
+            for v in _state_versions(spark, state_root):
+                if v < epoch - 1:
+                    fs.delete(spark, f"{state_root}/v{v}")
         finally:
             merged.unpersist()
 
@@ -223,7 +243,9 @@ def final_sessions(
 ) -> DataFrame:
     """Closed sessions + end-of-stream flush of still-open state."""
     try:
-        closed = spark.read.parquet(closed_path)
+        # epoch=N partition dirs surface as an `epoch` column; the
+        # session identity is SESSION_COLS, so project it away
+        closed = spark.read.parquet(closed_path).select(*SESSION_COLS)
     except Exception:  # no session ever closed
         closed = spark.createDataFrame([], _SESSION_SCHEMA)
     return closed.unionByName(read_open_state(spark, state_root))

@@ -101,15 +101,50 @@ def test_multi_batch_stream_equals_batch(spark, tmp_path):
 
 def test_three_micro_batches_ran_and_state_is_bounded(spark, tmp_path):
     paths = _run(spark, tmp_path)
-    # each epoch writes state version prev+1 starting at 0, so the
-    # surviving version index counts the micro-batches
-    (ver,) = [
-        d for d in os.listdir(paths["state"]) if d.startswith("v")
-    ]
-    assert ver == f"v{len(SLICES) - 1}"
+    # versions are epoch-keyed; the current + retry-safety previous
+    # survive, everything older is evicted
+    vers = sorted(d for d in os.listdir(paths["state"]) if d.startswith("v"))
+    n = len(SLICES)
+    assert vers == [f"v{n - 2}", f"v{n - 1}"]
     state = read_open_state(spark, paths["state"])
     # exactly one open session per user active in the final picture
     assert state.groupBy("user_id").count().agg(F.max("count")).first()[0] == 1
+
+
+def test_epoch_retry_is_idempotent(spark, tmp_path):
+    """Redelivering the final micro-batch (same epoch id) must leave
+    the closed table and the state byte-for-byte equivalent — the
+    effectively-exactly-once contract of the epoch-keyed sinks."""
+    from hha_spark.streaming.sessionize import make_sessionize_processor
+
+    paths = _run(spark, tmp_path)
+    key = lambda r: (r.user_id, r.start_us, r.end_us, r.n_events)  # noqa: E731
+    before = sorted(
+        map(
+            key,
+            final_sessions(
+                spark, state_root=paths["state"], closed_path=paths["closed"]
+            ).collect(),
+        )
+    )
+    proc = make_sessionize_processor(
+        spark,
+        state_root=paths["state"],
+        closed_path=paths["closed"],
+        gap_us=GAP,
+    )
+    a, b = SLICES[-1]
+    last = [r for r in ROWS if a <= r[1] < b]
+    proc(spark.createDataFrame(last, SCHEMA), len(SLICES) - 1)
+    after = sorted(
+        map(
+            key,
+            final_sessions(
+                spark, state_root=paths["state"], closed_path=paths["closed"]
+            ).collect(),
+        )
+    )
+    assert before == after
 
 
 def test_merge_adjacent_sessions_semantics(spark):
