@@ -57,7 +57,7 @@ _MODULES = (
 # Order is the driver's verification window: it oracle-checks the FIRST
 # 50 names yielded. Round-6 rotation — with every query driver-verified
 # green after r5 (cumulative 161/161), the policy shifts from COVERAGE
-# to FRESHNESS (r5 VERDICT "Next round" #2): positions 1-9 are this
+# to FRESHNESS (r5 VERDICT "Next round" #2): positions 1-10 are this
 # round's NEW gates (trained logreg quality classifier, incremental
 # strip-spans admission gate, Gopher repetition rules, benchmark
 # decontamination, bigram-LM transition score, the stateful cross-batch
@@ -79,6 +79,7 @@ _NEVER_CHECKED_FIRST = (
     "text_gopher_quality", "corpus_decontaminate", "text_bigram_lm_score",
     "stream_sessionize_incremental", "knn_graph_mutual",
     "corpus_blocklist_scrub", "corpus_stratified_sample",
+    "stream_events_hopping",
     # -- 5 round-6 code-touched re-gates --
     "dedup_containment", "dedup_containment_incremental",
     "text_bm25_topk", "stream_attribution_join", "bpe_merge_candidates",

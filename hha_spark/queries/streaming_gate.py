@@ -402,6 +402,78 @@ ORACLE_STREAM_WINDOWED = f"""
 """
 
 
+HOP_WIN_SEC = 86_400
+HOP_SLIDE_SEC = 21_600  # 4 overlapping day-windows per event
+
+
+def stream_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) event-time windows in the streaming state
+    store: window 1 day, slide 6 h, so every event updates FOUR
+    overlapping windows — the state-multiplicity shape the tumbling
+    gate (stream_events_windowed) never exercises. Same complete-mode
+    availableNow replay; the final snapshot must equal the batch
+    GROUP BY over the exploded window set, which is what the DuckDB
+    oracle expresses (window_start = ts - ts%slide - k*slide,
+    epoch-aligned exactly like Spark's default origin).
+    """
+    from hha_spark.streaming.windowed import windowed_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    prepared = stream.select(
+        (events_ts_us(stream) / F.lit(1_000_000)).cast("long").alias("ts_s"),
+        "event_type",
+        F.floor("value").cast("long").alias("val"),
+    )
+    counts = windowed_counts(
+        prepared,
+        time_col="ts_s",
+        key_cols=("event_type",),
+        value_col="val",
+        window_sec=HOP_WIN_SEC,
+        watermark_sec=HOP_WIN_SEC,
+        slide_sec=HOP_SLIDE_SEC,
+    )
+    qname = f"_stream_hopping_{next(_QUERY_SEQ)}"
+    with _gate_scratch("hha_stream_hop_ckpt_") as ck, _gate_shuffle(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{ck}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+
+ORACLE_STREAM_HOPPING = f"""
+    WITH ev AS (
+      SELECT epoch_us(ts) // 1000000 AS ts_s, event_type,
+             CAST(FLOOR(value) AS BIGINT) AS val
+      FROM events),
+    w AS (
+      SELECT ts_s - ts_s % {HOP_SLIDE_SEC} - {HOP_SLIDE_SEC} * k
+                 AS window_start,
+             event_type, val
+      FROM ev, range(0, {HOP_WIN_SEC // HOP_SLIDE_SEC}) t(k))
+    SELECT window_start, event_type,
+           COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS total
+    FROM w GROUP BY 1, 2
+"""
+
+
 ATTR_MAX_DELAY_SEC = 14_400  # purchase within 4h of the click
 # Watermark >= max_delay (round-5 ADVICE): with a shorter watermark the
 # batch≡stream invariant silently leaned on the fixture arriving as ONE
@@ -617,6 +689,7 @@ QUERIES = {
     "stream_events_windowed": stream_events_windowed,
     "stream_attribution_join": stream_attribution_join,
     "stream_sessionize_incremental": stream_sessionize_incremental,
+    "stream_events_hopping": stream_events_hopping,
 }
 
 # the batch oracle IS the stream oracle — that equality is the point
@@ -626,4 +699,5 @@ ORACLES = {
     "stream_events_windowed": ORACLE_STREAM_WINDOWED,
     "stream_attribution_join": ORACLE_STREAM_ATTRIBUTION,
     "stream_sessionize_incremental": ORACLE_STREAM_SESSIONIZE,
+    "stream_events_hopping": ORACLE_STREAM_HOPPING,
 }

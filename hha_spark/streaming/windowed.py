@@ -30,18 +30,32 @@ def windowed_counts(
     value_col: str = "CountPkt",
     window_sec: int = 60,
     watermark_sec: int = 60,
+    slide_sec: int | None = None,
 ) -> DataFrame:
-    """Tumbling-window count/sum per key over integer-second events.
+    """Tumbling- or hopping-window count/sum per key over
+    integer-second events.
+
+    `slide_sec` < window_sec makes the windows HOPPING: each event
+    lands in window_sec/slide_sec overlapping windows (state holds
+    that many rows per live (window, key) — the multiplicity is the
+    price of overlap and is bounded by the ratio, not the stream).
+    Windows are epoch-aligned (Spark's default origin), so
+    window_start values are exactly `ts - ts % slide - k*slide`.
 
     Returns (window_start: long unix sec, *key_cols, n, total). Works
     on a streaming OR batch frame (same expression tree — the
     batch≡stream equivalence tests rely on that); the watermark is a
     no-op in batch mode.
     """
+    win = F.window(
+        "_t",
+        f"{window_sec} seconds",
+        f"{slide_sec} seconds" if slide_sec else f"{window_sec} seconds",
+    )
     with_ts = stream.withColumn("_t", F.timestamp_seconds(F.col(time_col)))
     return (
         with_ts.withWatermark("_t", f"{watermark_sec} seconds")
-        .groupBy(F.window("_t", f"{window_sec} seconds"), *key_cols)
+        .groupBy(win, *key_cols)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(value_col).alias("total"),

@@ -365,3 +365,35 @@ def test_streaming_session_windows(spark, tmp_path):
     assert (2, t0 + 10, t0 + 70, 1) in got
     # the flush row's own session is unclosed -> not emitted
     assert all(u != 7 for u, *_ in got)
+
+
+def test_hopping_windows_batch_multiplicity(spark):
+    """windowed_counts with slide < window: every event lands in
+    exactly window/slide epoch-aligned windows (batch mode of the
+    same expression tree the stream_events_hopping gate runs)."""
+    from hha_spark.streaming.windowed import windowed_counts
+
+    rows = [(100, "a", 7), (100_000, "a", 1), (100_060, "b", 2)]
+    df = spark.createDataFrame(rows, "ts long, event_type string, val long")
+    out = windowed_counts(
+        df,
+        time_col="ts",
+        key_cols=("event_type",),
+        value_col="val",
+        window_sec=240,
+        watermark_sec=240,
+        slide_sec=60,
+    ).collect()
+    # per-event window membership: 4 windows each
+    from collections import defaultdict
+
+    per_event = defaultdict(int)
+    for r in out:
+        per_event[r.event_type] += r.n
+    assert per_event == {"a": 8, "b": 4}
+    # epoch alignment: starts are ts - ts%60 - k*60
+    starts_a1 = sorted(
+        r.window_start for r in out if r.event_type == "a" and r.window_start <= 100
+    )
+    # ts=100, slide=60: starts ≡ 0 (mod 60) in (100-240, 100]
+    assert starts_a1 == [-120, -60, 0, 60]
