@@ -79,10 +79,13 @@ def probes(spark, k: int):
     """(name, build) pairs; build() returns a DataFrame to force."""
     from hha_spark.operators.corpus import (
         benchmark_decontaminate,
+        blocklist_scrub,
         boilerplate_coverage,
+        stratified_sample,
         strip_duplicate_spans,
         strip_duplicate_spans_incremental,
     )
+    from hha_spark.streaming.sessionize import sessionize_batch
     from hha_spark.operators.quality import (
         doc_features,
         logreg_scores,
@@ -266,6 +269,33 @@ def probes(spark, k: int):
             time_col="ts_s", key_cols=("event_type",), value_col="val",
             window_sec=86_400, watermark_sec=86_400,
         ),
+        # hopping variant: 4x state multiplicity, still linear in rows
+        "hopping_counts": lambda: windowed_counts(
+            ev.select(
+                (F.col("ts_us") / 1_000_000).cast("long").alias("ts_s"),
+                "event_type",
+                F.floor("value").cast("long").alias("val"),
+            ),
+            time_col="ts_s", key_cols=("event_type",), value_col="val",
+            window_sec=86_400, watermark_sec=86_400, slide_sec=21_600,
+        ),
+        # user-keyed gap sessionization (the streaming sessionizer's
+        # per-batch kernel): one window shuffle on user_id, linear
+        "sessionize": lambda: sessionize_batch(
+            ev.select("user_id", "ts_us"), gap_us=12 * 3600 * 1_000_000
+        ),
+        # pure narrow map — the flat-line control
+        "blocklist_scrub": lambda: blocklist_scrub(
+            docs, ("customer_0", "vector_0", "stream_0")
+        ),
+        # per-stratum hash-rank window; strata count fixed, rows scale
+        "stratified_sample": lambda: stratified_sample(docs, frac_pct=30),
+        # NOTE mutual_knn_graph is deliberately absent: its exact
+        # kernel is quadratic in the NODE SET by documented contract
+        # (nodes = a bounded selection; scale path = LSH/IVF candidate
+        # generation), and scaled_embeddings duplicates vectors across
+        # copies, which would cross-pair copies and measure the data
+        # shape rather than the operator.
     }, (ev, docs, emb)
 
 
