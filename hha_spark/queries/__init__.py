@@ -79,7 +79,7 @@ _NEVER_CHECKED_FIRST = (
     "text_gopher_quality", "corpus_decontaminate", "text_bigram_lm_score",
     "stream_sessionize_incremental", "knn_graph_mutual",
     "corpus_blocklist_scrub", "corpus_stratified_sample",
-    "stream_events_hopping",
+    "stream_events_hopping", "corpus_winnowing_fps",
     # -- 5 round-6 code-touched re-gates --
     "dedup_containment", "dedup_containment_incremental",
     "text_bm25_topk", "stream_attribution_join", "bpe_merge_candidates",

@@ -291,6 +291,70 @@ ORACLE_STRATIFIED_SAMPLE = f"""
 """
 
 
+WINNOW_K = 4
+WINNOW_W = 4
+
+
+def corpus_winnowing_fps(spark, sf_dir):
+    """MOSS winnowing fingerprints (operators/corpus.py::
+    winnowing_fingerprints): per-window minimal (hash, pos) selection
+    packed into one BIGINT so the leftmost-min tie-break is a plain
+    frame MIN; per-doc fingerprint counts + how many fingerprints are
+    shared with other docs. The oracle re-derives the identical
+    selection, so a green row proves the window-min choices, not just
+    the counts."""
+    from hha_spark.operators.corpus import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W
+    )
+
+
+_WPACK = 1 << 20
+ORACLE_WINNOWING = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')) AS gram_key
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - {WINNOW_K - 1})) AS i
+      ) s),
+    packed AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substr(gram_key, 1, 10) AS BIGINT) * {_WPACK}
+               + pos AS hp
+      FROM occ),
+    win AS (
+      SELECT doc_id, pos,
+             MIN(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM packed),
+    sel AS (
+      SELECT DISTINCT doc_id, n_grams, wmin
+      FROM win WHERE pos <= n_grams - {WINNOW_W}),
+    fps AS (
+      SELECT doc_id, n_grams, wmin // {_WPACK} AS fp_hash FROM sel),
+    dfreq AS (
+      SELECT fp_hash, COUNT(DISTINCT doc_id) AS n_docs
+      FROM fps GROUP BY fp_hash),
+    per AS (
+      SELECT f.doc_id, f.n_grams,
+             COUNT(*) AS n_fps,
+             SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END)
+               AS n_shared_fps
+      FROM fps f JOIN dfreq d USING (fp_hash)
+      GROUP BY f.doc_id, f.n_grams)
+    SELECT t.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_fps, 0) AS BIGINT) AS n_fps,
+           CAST(coalesce(p.n_shared_fps, 0) AS BIGINT) AS n_shared_fps
+    FROM t LEFT JOIN per p USING (doc_id)
+"""
+
+
 QUERIES = {
     "corpus_dup_spans": corpus_dup_spans,
     "corpus_strip_dup_spans": corpus_strip_dup_spans,
@@ -299,6 +363,7 @@ QUERIES = {
     "corpus_mixture_weights": corpus_mixture_weights,
     "corpus_blocklist_scrub": corpus_blocklist_scrub,
     "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_winnowing_fps": corpus_winnowing_fps,
 }
 
 ORACLES = {
@@ -309,6 +374,7 @@ ORACLES = {
     "corpus_mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "corpus_blocklist_scrub": ORACLE_BLOCKLIST_SCRUB,
     "corpus_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "corpus_winnowing_fps": ORACLE_WINNOWING,
 }
 
 

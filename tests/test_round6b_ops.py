@@ -90,3 +90,32 @@ def test_mutual_knn_graph_is_mutual_and_symmetric(spark):
         if a < b and (b, a) in topk
     }
     assert {(e.vec_id_a, e.vec_id_b) for e in edges} == mutual
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The MOSS contract: two docs sharing a run of >= w+k-1 tokens
+    MUST share a fingerprint hash; fingerprint counts respect the
+    winnowing density bounds; disjoint docs share nothing."""
+    from hha_spark.operators.corpus import winnowing_fingerprints
+
+    k, w = 4, 4
+    shared = "alpha beta gamma delta epsilon zeta eta"  # w+k-1 = 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six seven"),
+            (2, "red green blue " + shared + " cyan magenta yellow black"),
+            (3, "p q r s t u v w x y z aa bb cc"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in winnowing_fingerprints(docs, k=k, w=w).collect()
+    }
+    assert out[1].n_shared_fps >= 1 and out[2].n_shared_fps >= 1
+    assert out[3].n_shared_fps == 0
+    for r in out.values():
+        n_windows = r.n_grams - w + 1
+        assert 1 <= r.n_fps <= n_windows
+        # each selection can cover at most w windows
+        assert r.n_fps * w >= n_windows
