@@ -80,6 +80,7 @@ _NEVER_CHECKED_FIRST = (
     "stream_sessionize_incremental", "knn_graph_mutual",
     "corpus_blocklist_scrub", "corpus_stratified_sample",
     "stream_events_hopping", "corpus_winnowing_fps",
+    "stream_native_dedup",
     # -- 5 round-6 code-touched re-gates --
     "dedup_containment", "dedup_containment_incremental",
     "text_bm25_topk", "stream_attribution_join", "bpe_merge_candidates",

@@ -402,6 +402,71 @@ ORACLE_STREAM_WINDOWED = f"""
 """
 
 
+DEDUP_WM_SEC = 86_400
+
+
+def stream_native_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE stateful dedup operator under the oracle gate:
+    two independent file-stream sources read the same events table
+    (every row therefore arrives twice), and
+    `dropDuplicatesWithinWatermark(event_id)` must emit each exactly
+    once — the at-least-once -> effectively-exactly-once ingest
+    pattern, this time via the state store itself rather than the
+    foreachBatch/anti-join design the detector uses
+    (sinks/alerts.py) or the epoch-keyed sinks the sessionizer uses.
+    The per-type rollup of the deduped append stream must equal plain
+    DISTINCT events, which is the oracle.
+
+    Scale: state holds one key per event id inside the watermark
+    horizon (the documented state bound of the operator); the dedup
+    is one exchange on the id. The duplicate pressure here is total
+    (2x every row) and in-batch, the operator's hardest case.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def src() -> DataFrame:
+        s = (
+            spark.readStream.schema(ev.schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        return s.select(
+            "event_id",
+            "event_type",
+            (events_ts_us(s) / F.lit(1_000_000)).cast("long").alias("ts_s"),
+        )
+
+    doubled = src().unionByName(src())
+    deduped = (
+        doubled.withColumn("t", F.timestamp_seconds(F.col("ts_s")))
+        .withWatermark("t", f"{DEDUP_WM_SEC} seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    qname = f"_stream_native_dedup_{next(_QUERY_SEQ)}"
+    with _gate_scratch("hha_stream_ddw_ckpt_") as ck, _gate_shuffle(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{ck}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+    )
+
+
+ORACLE_STREAM_NATIVE_DEDUP = """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events GROUP BY event_type
+"""
+
+
 HOP_WIN_SEC = 86_400
 HOP_SLIDE_SEC = 21_600  # 4 overlapping day-windows per event
 
@@ -690,6 +755,7 @@ QUERIES = {
     "stream_attribution_join": stream_attribution_join,
     "stream_sessionize_incremental": stream_sessionize_incremental,
     "stream_events_hopping": stream_events_hopping,
+    "stream_native_dedup": stream_native_dedup,
 }
 
 # the batch oracle IS the stream oracle — that equality is the point
@@ -700,4 +766,5 @@ ORACLES = {
     "stream_attribution_join": ORACLE_STREAM_ATTRIBUTION,
     "stream_sessionize_incremental": ORACLE_STREAM_SESSIONIZE,
     "stream_events_hopping": ORACLE_STREAM_HOPPING,
+    "stream_native_dedup": ORACLE_STREAM_NATIVE_DEDUP,
 }
