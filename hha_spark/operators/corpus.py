@@ -1,6 +1,7 @@
 """Corpus-level training-data operators: exact duplicated-span
-analysis, cross-source n-gram leakage, PII scrubbing, and source
-mixture balancing.
+analysis, cross-source n-gram leakage, PII and blocklist scrubbing,
+source mixture balancing, deterministic stratified sampling, and
+winnowing fingerprints.
 
 These extend the per-document text ops (operators/text.py) to
 corpus-scale questions a 100 TB pre-training pipeline asks:

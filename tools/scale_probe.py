@@ -84,6 +84,7 @@ def probes(spark, k: int):
         stratified_sample,
         strip_duplicate_spans,
         strip_duplicate_spans_incremental,
+        winnowing_fingerprints,
     )
     from hha_spark.streaming.sessionize import sessionize_batch
     from hha_spark.operators.quality import (
@@ -290,6 +291,9 @@ def probes(spark, k: int):
         ),
         # per-stratum hash-rank window; strata count fixed, rows scale
         "stratified_sample": lambda: stratified_sample(docs, frac_pct=30),
+        # gram map + per-doc frame MIN + fingerprint-df aggregate —
+        # expect linear in grams (cross-copy grams are disjoint)
+        "winnowing": lambda: winnowing_fingerprints(docs, k=4, w=4),
         # NOTE mutual_knn_graph is deliberately absent: its exact
         # kernel is quadratic in the NODE SET by documented contract
         # (nodes = a bounded selection; scale path = LSH/IVF candidate
