@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from hha_spark.queries import (
     corpus,
     curation,
+    embedding_ops,
     llm_ops,
     relational,
     relational2,
@@ -52,6 +53,7 @@ _MODULES = (
     curation,
     sketches,
     scoring,
+    embedding_ops,
 )
 
 # Order is the driver's verification window: it oracle-checks the FIRST
@@ -81,6 +83,9 @@ _NEVER_CHECKED_FIRST = (
     "corpus_blocklist_scrub", "corpus_stratified_sample",
     "stream_events_hopping", "corpus_winnowing_fps",
     "stream_native_dedup",
+    # -- session-6c embedding-ops gates, never driver-checked --
+    "ann_topk_sq8", "ann_sq8_recall", "corpus_semantic_decontaminate",
+    "corpus_cluster_mixture", "embedding_health_report",
     # -- 5 round-6 code-touched re-gates --
     "dedup_containment", "dedup_containment_incremental",
     "text_bm25_topk", "stream_attribution_join", "bpe_merge_candidates",
