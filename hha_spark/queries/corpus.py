@@ -518,3 +518,66 @@ ORACLE_DECONTAMINATE = f"""
 
 QUERIES["corpus_decontaminate"] = corpus_decontaminate
 ORACLES["corpus_decontaminate"] = ORACLE_DECONTAMINATE
+
+
+def corpus_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: of a doc's DISTINCT k-grams, the
+    fraction whose globally-first occurrence (min doc_id, the stable
+    ingestion-order surrogate) is THIS doc — the curriculum /
+    marginal-information signal (a doc full of already-seen grams adds
+    little; RHO-style selection and dedup-aware mixing both start
+    here).
+
+    Scale shape: distinct (doc, gram) pairs -> per-gram MIN(doc_id)
+    (combinable, one gram-keyed shuffle) -> join back on gram_key
+    (co-partitioned with the agg, no extra exchange) -> per-doc
+    counts (doc-keyed shuffle). Nothing pairwise, no position data
+    carried; novelty_ppm is a single integer division.
+    """
+    from hha_spark.operators.corpus import kgram_frame
+
+    docs = _docs(spark, sf_dir)
+    dg = (
+        kgram_frame(docs, k=K)
+        .select("doc_id", "gram_key")
+        .distinct()
+    )
+    first = dg.groupBy("gram_key").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        dg.join(first, on="gram_key")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel_grams"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("n_novel_grams * 1000000 DIV n_distinct_grams").cast(
+                "long"
+            ),
+        )
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+    {_ORACLE_GRAMS},
+    dg AS (SELECT DISTINCT doc_id, gram_key FROM g),
+    fst AS (SELECT gram_key, MIN(doc_id) AS first_doc
+            FROM dg GROUP BY gram_key)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel_grams,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM dg JOIN fst USING (gram_key)
+    GROUP BY doc_id
+"""
+
+
+QUERIES["corpus_ngram_novelty"] = corpus_ngram_novelty
+ORACLES["corpus_ngram_novelty"] = ORACLE_NGRAM_NOVELTY

@@ -269,3 +269,32 @@ def test_benchmark_decontaminate_hand_computed(spark):
     assert out[1]["n_contaminated"] == 0 and out[1]["drop"] is False
     assert out[2]["n_contaminated"] == 2  # q1-q5 and q2-x windows
     assert out[2]["n_bench_docs_hit"] == 1
+
+
+def test_ngram_novelty_hand_computed(spark, monkeypatch):
+    """Three docs sharing grams: the earliest doc owns every shared
+    gram; later docs are novel only where they introduce new text."""
+    import hha_spark.queries.corpus as qc
+    from pyspark.sql import Row
+
+    rows = [
+        # doc 0: grams (a b c d e), (b c d e f) -- both first here
+        Row(doc_id=0, text="a b c d e f", source="s"),
+        # doc 1 repeats doc 0's text exactly: zero novel grams
+        Row(doc_id=1, text="a b c d e f", source="s"),
+        # doc 2: one repeated gram + one new gram
+        Row(doc_id=2, text="a b c d e z", source="s"),
+        # doc 3: too short for a 5-gram -> absent from output
+        Row(doc_id=3, text="a b", source="s"),
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(qc, "_docs", lambda s, d: df)
+    out = {
+        r["doc_id"]: r
+        for r in qc.corpus_ngram_novelty(spark, "unused").collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_novel_grams"] == 2 and out[0]["novelty_ppm"] == 1_000_000
+    assert out[1]["n_novel_grams"] == 0 and out[1]["novelty_ppm"] == 0
+    assert out[2]["n_distinct_grams"] == 2
+    assert out[2]["n_novel_grams"] == 1 and out[2]["novelty_ppm"] == 500_000
