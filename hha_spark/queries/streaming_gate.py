@@ -768,3 +768,102 @@ ORACLES = {
     "stream_events_hopping": ORACLE_STREAM_HOPPING,
     "stream_native_dedup": ORACLE_STREAM_NATIVE_DEDUP,
 }
+
+
+def stream_cms_heavy(
+    spark: SparkSession, sf_dir: str, *, batch_log: list | None = None
+) -> DataFrame:
+    """Streaming maintenance of a count-min sketch: the corpus
+    arrives as a multi-file stream (maxFilesPerTrigger=1 forces
+    several micro-batches), each micro-batch builds its own bounded
+    d x w counter grid DISTRIBUTED (map-side-combinable, exactly
+    operators/sketch.py::cms_counters), and the driver merges grids
+    by cell addition — legitimate precisely because a CMS is a
+    bounded LINEAR sketch: merge(counters(A), counters(B)) ==
+    counters(A ∪ B), cell by cell. The streamed sketch must therefore
+    reproduce the batch gate (cms_heavy_tokens) EXACTLY — same heavy
+    set, same estimates, same overcounts — which is what the shared
+    oracle checks.
+
+    This is the production shape for streaming vocabulary statistics:
+    per-executor/per-batch partial sketches (each <= d*w longs, here
+    2048) merge associatively anywhere — driver, downstream job, or
+    another region — while the token stream itself is never
+    re-shuffled. State is the sketch, not the history.
+    """
+    from hha_spark.operators.sketch import cms_counters, cms_estimates
+    from hha_spark.queries.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        HEAVY_DEN,
+        HEAVY_NUM,
+    )
+
+    docs = _docs(spark, sf_dir)
+    state: dict[tuple[int, int], int] = {}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(F.split("text", " ")).alias("token")
+        )
+        grid = cms_counters(toks, depth=CMS_DEPTH, width=CMS_WIDTH)
+        for r in grid.collect():  # bounded: <= depth*width rows
+            k = (int(r["row"]), int(r["col"]))
+            state[k] = state.get(k, 0) + int(r["counter"])
+        if batch_log is not None:
+            batch_log.append(batch_id)
+
+    with _gate_scratch("hha_stream_cms_") as tmp, _gate_shuffle(spark):
+        docs.repartition(4).write.parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(f"{tmp}/in")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    counters = spark.createDataFrame(
+        [(r, c, v) for (r, c), v in sorted(state.items())],
+        "row long, col long, counter long",
+    )
+    # probe + heavy filter + audit: identical to the batch gate
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    truth = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    total = toks.select(
+        F.count(F.lit(1)).cast("long").alias("total_toks")
+    )
+    est = cms_estimates(
+        truth.select("token"), counters, depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    return (
+        est.join(truth, on="token")
+        .join(F.broadcast(total))
+        .where(
+            F.col("est") * F.lit(HEAVY_DEN)
+            >= F.col("total_toks") * F.lit(HEAVY_NUM)
+        )
+        .select(
+            "token",
+            "est",
+            "true_cnt",
+            (F.col("est") - F.col("true_cnt")).alias("overcount"),
+        )
+    )
+
+
+QUERIES["stream_cms_heavy"] = stream_cms_heavy
+
+from hha_spark.queries.sketches import ORACLE_CMS_HEAVY as _ORACLE_CMS_BATCH
+
+# the batch sketch oracle IS the stream oracle — CMS linearity makes
+# the merged stream sketch bit-identical to the batch build
+ORACLES["stream_cms_heavy"] = _ORACLE_CMS_BATCH

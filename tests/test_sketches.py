@@ -145,3 +145,21 @@ def test_cms_counters_are_streaming_maintainable(spark, tmp_path):
         for r in spark.sql("SELECT * FROM cms_stream").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_cms_merges_across_micro_batches(spark):
+    """The streamed sketch must equal the batch sketch exactly (CMS
+    linearity), and the replay must actually cross micro-batch
+    boundaries — 4 input files at maxFilesPerTrigger=1."""
+    from hha_spark.queries.sketches import cms_heavy_tokens
+    from hha_spark.queries.streaming_gate import stream_cms_heavy
+
+    sf = "/root/testdata/sf0.001"
+    seen: list = []
+    streamed = stream_cms_heavy(spark, sf, batch_log=seen).toPandas()
+    assert len(seen) >= 2, f"expected multi-batch replay, got {seen}"
+    batch = cms_heavy_tokens(spark, sf).toPandas()
+    key = ["token", "est", "true_cnt", "overcount"]
+    a = streamed[key].sort_values("token").reset_index(drop=True)
+    b = batch[key].sort_values("token").reset_index(drop=True)
+    assert a.equals(b)
