@@ -734,3 +734,130 @@ ORACLE_BIGRAM_LM = """
 
 QUERIES["text_bigram_lm_score"] = text_bigram_lm_score
 ORACLES["text_bigram_lm_score"] = ORACLE_BIGRAM_LM
+
+
+# DSIR hashed-feature space and target domain
+DSIR_B = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def corpus_dsir_weights(spark, sf_dir):
+    """DSIR-style data selection with importance resampling (Xie et
+    al. 2023) in its hashed-feature form: score every raw document by
+    how much its token distribution looks like a TARGET domain (here
+    the English slice), using per-bucket probability ratios between
+    the target and raw unigram distributions over a fixed hashed
+    vocabulary of B buckets.
+
+    Exactness surrogate (same discipline as the BM25 odds-ratio idf):
+    the original sums LOG ratios; correctly-rounded ln is not
+    guaranteed identical across JVM/libm, so this computes the
+    per-bucket Laplace-smoothed probability ratio in exact integer
+    ppm and averages it per document in the LINEAR domain. Per-token
+    the signal is identical-monotone; summed across a document the
+    ranking can deviate from the log-domain original (outlier buckets
+    weigh heavier) — documented, not hidden.
+
+    Scale shape: the bucket-stats table is B rows REGARDLESS of
+    corpus size (the point of hashing) and BROADCASTS onto the token
+    scan; both count aggregates are map-side combinable; the per-doc
+    score is one doc-keyed combinable aggregate. Nothing is
+    corpus-pairwise and no shuffle carries more than B rows of
+    statistics.
+    """
+    from hha_spark.operators.sketch import md5_mod
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).select(
+        "doc_id",
+        "lang",
+        md5_mod("dsir|", F.col("token"), DSIR_B).alias("bucket"),
+    )
+    raw = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c_raw"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c_tgt"),
+    )
+    tot = raw.agg(
+        F.sum("c_raw").cast("long").alias("t_raw"),
+        F.sum("c_tgt").cast("long").alias("t_tgt"),
+    )
+    ratios = raw.join(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"(c_tgt + 1) * (t_raw + {DSIR_B}) * 1000000"
+            f" DIV ((c_raw + 1) * (t_tgt + {DSIR_B}))"
+        )
+        .cast("long")
+        .alias("ratio_ppm"),
+    )
+    scored = (
+        toks.join(F.broadcast(ratios), on="bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.expr("SUM(ratio_ppm) DIV COUNT(*)")
+            .cast("long")
+            .alias("dsir_score_ppm"),
+        )
+    )
+    # scale-relative keep: above the corpus-mean score (broadcast
+    # 1-row threshold; an absolute cut would be fixture-dependent)
+    mean = scored.agg(
+        F.expr("SUM(dsir_score_ppm) DIV COUNT(*)")
+        .cast("long")
+        .alias("mean_score_ppm")
+    )
+    return (
+        scored.join(F.broadcast(mean))
+        .withColumn(
+            "keep", F.col("dsir_score_ppm") >= F.col("mean_score_ppm")
+        )
+        .drop("mean_score_ppm")
+    )
+
+
+from hha_spark.operators.sketch import md5_mod_sql as _md5_mod_sql
+
+_DSIR_BUCKET_SQL = _md5_mod_sql("dsir|", "token", DSIR_B)
+
+ORACLE_DSIR = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents)),
+    raw AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS c_raw,
+             CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_tgt
+      FROM toks GROUP BY bucket),
+    tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
+                   CAST(SUM(c_tgt) AS BIGINT) AS t_tgt FROM raw),
+    ratios AS (
+      SELECT bucket,
+             CAST((c_tgt + 1) * (t_raw + {DSIR_B}) * 1000000
+                  // ((c_raw + 1) * (t_tgt + {DSIR_B})) AS BIGINT)
+               AS ratio_ppm
+      FROM raw, tot),
+    scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS dsir_score_ppm
+      FROM toks JOIN ratios USING (bucket)
+      GROUP BY doc_id),
+    m AS (SELECT CAST(SUM(dsir_score_ppm) // COUNT(*) AS BIGINT)
+                   AS mean_score_ppm FROM scored)
+    SELECT doc_id, n_toks, dsir_score_ppm,
+           dsir_score_ppm >= mean_score_ppm AS keep
+    FROM scored, m
+"""
+
+
+QUERIES["corpus_dsir_weights"] = corpus_dsir_weights
+ORACLES["corpus_dsir_weights"] = ORACLE_DSIR

@@ -376,3 +376,23 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert out[2]["n_bigrams"] == 1 and out[2]["sum_q"] == 666666
     # single-token doc: zero bigrams, zeroed metrics
     assert out[3]["n_bigrams"] == 0 and out[3]["avg_q"] == 0
+
+
+def test_dsir_target_slice_scores_higher(spark):
+    """The target-language slice must out-score the rest on average
+    (the weights are literally built from its distribution), and the
+    mean-relative keep must split the corpus."""
+    from hha_spark.queries.scoring import (
+        DSIR_TARGET_LANG,
+        corpus_dsir_weights,
+    )
+    from hha_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = corpus_dsir_weights(spark, sf)
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    joined = out.join(docs, on="doc_id").toPandas()
+    tgt = joined[joined["lang"] == DSIR_TARGET_LANG]["dsir_score_ppm"].mean()
+    rest = joined[joined["lang"] != DSIR_TARGET_LANG]["dsir_score_ppm"].mean()
+    assert tgt > rest
+    assert 0 < joined["keep"].sum() < len(joined)
