@@ -861,3 +861,59 @@ ORACLE_DSIR = f"""
 
 QUERIES["corpus_dsir_weights"] = corpus_dsir_weights
 ORACLES["corpus_dsir_weights"] = ORACLE_DSIR
+
+
+def quality_gate_agreement(spark, sf_dir):
+    """Decision-layer cross-check of the two quality gates: the
+    Gopher rule verdict (text_gopher_quality) x the trained
+    classifier verdict (quality_classifier_trained) as a 2x2
+    agreement matrix with exact ppm shares — the filter-ensemble
+    diagnostic a curation stack reviews before composing gates
+    (rules-only keep? model-only keep? both drop?). Each cell's count
+    AND its share of the corpus are exact integers.
+
+    Both inputs are already-verified stages; this adds one doc-keyed
+    equi-join of two narrow verdict frames and a 4-row aggregate. The
+    oracle recomputes BOTH pipelines from scratch as subqueries, so a
+    green row re-proves the pair end-to-end, composed.
+    """
+    from hha_spark.queries.llm_ops import text_gopher_quality
+
+    rules = text_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rule_keep")
+    )
+    model = quality_classifier_trained(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("model_keep")
+    )
+    j = rules.join(model, on="doc_id")
+    tot = j.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        j.groupBy("rule_keep", "model_keep")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(F.broadcast(tot))
+        .withColumn(
+            "share_ppm",
+            F.expr("n_docs * 1000000 DIV n_total").cast("long"),
+        )
+        .drop("n_total")
+    )
+
+
+def _quality_agreement_oracle() -> str:
+    from hha_spark.queries.llm_ops import ORACLE_GOPHER
+
+    trained = _quality_trained_oracle()
+    return f"""
+    WITH g AS (SELECT doc_id, keep AS rule_keep FROM ({ORACLE_GOPHER}) s1),
+    t AS (SELECT doc_id, keep AS model_keep FROM ({trained}) s2),
+    j AS (SELECT rule_keep, model_keep FROM g JOIN t USING (doc_id)),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM j)
+    SELECT rule_keep, model_keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * 1000000 // MIN(n_total) AS BIGINT) AS share_ppm
+    FROM j, tot GROUP BY rule_keep, model_keep
+"""
+
+
+QUERIES["quality_gate_agreement"] = quality_gate_agreement
+ORACLES["quality_gate_agreement"] = _quality_agreement_oracle()

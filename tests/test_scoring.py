@@ -396,3 +396,18 @@ def test_dsir_target_slice_scores_higher(spark):
     rest = joined[joined["lang"] != DSIR_TARGET_LANG]["dsir_score_ppm"].mean()
     assert tgt > rest
     assert 0 < joined["keep"].sum() < len(joined)
+
+
+def test_quality_agreement_matrix_is_consistent(spark):
+    """Cells are the 2x2 verdict space, counts total the corpus, and
+    ppm shares are the exact floors of their cells."""
+    from hha_spark.queries.scoring import quality_gate_agreement
+    from hha_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = quality_gate_agreement(spark, sf).toPandas()
+    n_docs = load_table(spark, sf, "documents").count()
+    assert out["n_docs"].sum() == n_docs
+    assert len(out) <= 4
+    for _, r in out.iterrows():
+        assert r["share_ppm"] == r["n_docs"] * 1_000_000 // n_docs
