@@ -38,7 +38,7 @@ Scale notes (the design constraint for every op here):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hha_spark.caching import tracked_persist
@@ -688,6 +688,82 @@ def mixture_weights(docs: DataFrame, *, budget_frac_pct: int = 50) -> DataFrame:
         F.least(
             F.lit(1.0), F.col("target_tokens") / F.col("n_tokens")
         ).alias("weight"),
+    )
+
+
+def _exact_isqrt(n: Column) -> Column:
+    """floor(sqrt(n)) as an exact BIGINT for n >= 0, n < 2^53.
+
+    Double sqrt of an integer below 2^53 is within one ulp, so the
+    float estimate's floor is off by at most 1; two integer-compare
+    corrections (bump up, then clamp down) make the result exact and
+    therefore identical across engines — no raw float ever reaches
+    the output. The DuckDB mirror is _ISQRT_SQL below.
+    """
+    s0 = F.floor(F.sqrt(n.cast("double"))).cast("long")
+    s1 = F.when((s0 + 1) * (s0 + 1) <= n, s0 + 1).otherwise(s0)
+    return F.when(s1 * s1 > n, s1 - 1).otherwise(s1)
+
+
+def _isqrt_sql(expr: str) -> str:
+    """DuckDB mirror of _exact_isqrt over an integer SQL expression."""
+    s0 = f"CAST(floor(sqrt(CAST({expr} AS DOUBLE))) AS BIGINT)"
+    s1 = f"(CASE WHEN ({s0}+1)*({s0}+1) <= {expr} THEN {s0}+1 ELSE {s0} END)"
+    return f"(CASE WHEN {s1}*{s1} > {expr} THEN {s1}-1 ELSE {s1} END)"
+
+
+def temperature_mixture(docs: DataFrame, *, budget_frac_pct: int = 50) -> DataFrame:
+    """UniMax / T5-style temperature-scaled mixture weights: each
+    source's sampling share is proportional to n_tokens^(1/2)
+    (temperature tau = 2), flattening the head sources' dominance
+    without ignoring size the way the uniform split
+    (mixture_weights) does — the standard multilingual / multi-source
+    pretraining compromise between proportional (tau=1) and uniform
+    (tau=inf) sampling.
+
+    Returns per source: n_docs, n_tokens, w_sqrt (the exact integer
+    isqrt weight), share_ppm (this source's share of the budget in
+    parts-per-million), target_tokens (its slice of the
+    budget_frac_pct% token budget), sampled_tokens
+    (min(n_tokens, target)), and oversample_ppm (target/n_tokens in
+    ppm — above 1_000_000 means the source must repeat epochs, the
+    signal UniMax caps). Every column is an exact integer: the sqrt
+    itself is floor-exact via two integer corrections
+    (_exact_isqrt), so no float crosses the engine boundary.
+
+    Scale shape: identical to mixture_weights — one map-side
+    combinable groupBy(source) over the corpus, then a broadcast
+    1-row total; the per-source frame is thousands of rows at most.
+    """
+    toks = F.size(F.split(F.col("text"), " "))
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+    weighted = per_source.withColumn(
+        "w_sqrt", _exact_isqrt(F.col("n_tokens"))
+    )
+    totals = weighted.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("w_sqrt").alias("total_w"),
+    )
+    j = weighted.join(F.broadcast(totals)).withColumn(
+        "budget_tokens",
+        F.expr(f"total_tokens * {budget_frac_pct} div 100"),
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w_sqrt",
+        F.expr("w_sqrt * 1000000 div total_w").alias("share_ppm"),
+        F.expr("budget_tokens * w_sqrt div total_w").alias("target_tokens"),
+        F.least(
+            F.col("n_tokens"), F.expr("budget_tokens * w_sqrt div total_w")
+        ).alias("sampled_tokens"),
+        F.expr(
+            "(budget_tokens * w_sqrt div total_w) * 1000000 div n_tokens"
+        ).alias("oversample_ppm"),
     )
 
 

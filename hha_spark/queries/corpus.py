@@ -581,3 +581,48 @@ ORACLE_NGRAM_NOVELTY = f"""
 
 QUERIES["corpus_ngram_novelty"] = corpus_ngram_novelty
 ORACLES["corpus_ngram_novelty"] = ORACLE_NGRAM_NOVELTY
+
+
+def corpus_temperature_mixture(spark, sf_dir):
+    """UniMax / T5 temperature-scaled (tau=2) per-source sampling
+    weights for the same 50% token budget as corpus_mixture_weights —
+    share proportional to sqrt(n_tokens) instead of uniform, the
+    standard multilingual compromise between proportional and uniform
+    sampling. Exact-integer isqrt on both engines (see
+    operators/corpus.py::temperature_mixture)."""
+    from hha_spark.operators.corpus import temperature_mixture
+
+    return temperature_mixture(_docs(spark, sf_dir), budget_frac_pct=BUDGET_PCT)
+
+
+def _temperature_oracle() -> str:
+    from hha_spark.operators.corpus import _isqrt_sql
+
+    w = _isqrt_sql("n_tokens")
+    return f"""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    weighted AS (SELECT *, {w} AS w_sqrt FROM per),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(w_sqrt) AS BIGINT) AS total_w
+      FROM weighted
+    )
+    SELECT source, n_docs, n_tokens, w_sqrt,
+           CAST(w_sqrt * 1000000 // total_w AS BIGINT) AS share_ppm,
+           CAST((total_tokens * {BUDGET_PCT} // 100) * w_sqrt // total_w
+                AS BIGINT) AS target_tokens,
+           CAST(least(n_tokens,
+                (total_tokens * {BUDGET_PCT} // 100) * w_sqrt // total_w)
+                AS BIGINT) AS sampled_tokens,
+           CAST(((total_tokens * {BUDGET_PCT} // 100) * w_sqrt // total_w)
+                * 1000000 // n_tokens AS BIGINT) AS oversample_ppm
+    FROM weighted, tot
+"""
+
+
+QUERIES["corpus_temperature_mixture"] = corpus_temperature_mixture
+ORACLES["corpus_temperature_mixture"] = _temperature_oracle()

@@ -116,6 +116,48 @@ def test_mixture_weights_budget_split(spark):
     assert out["big"]["weight"] == 10 / 30
 
 
+def test_temperature_mixture_sqrt_weighting(spark):
+    # 100 vs 400 tokens: sqrt weights 10 vs 20, so the big source gets
+    # 2x the share (not 4x as proportional would, not 1x as uniform
+    # would); 50% budget = 250 tokens split 1:2.
+    from hha_spark.operators.corpus import temperature_mixture
+
+    df = _docs(
+        spark,
+        [
+            (1, "small", " ".join(["a"] * 100)),
+            (2, "big", " ".join(["b"] * 400)),
+        ],
+    )
+    out = {
+        r["source"]: r
+        for r in temperature_mixture(df, budget_frac_pct=50).collect()
+    }
+    assert out["small"]["w_sqrt"] == 10 and out["big"]["w_sqrt"] == 20
+    assert out["small"]["share_ppm"] == 1_000_000 * 10 // 30
+    assert out["small"]["target_tokens"] == 250 * 10 // 30  # 83
+    assert out["big"]["target_tokens"] == 250 * 20 // 30  # 166
+    # small source is under-sized relative to its share -> never
+    # oversampled beyond what it has? here 83 < 100 so both downsample
+    assert out["small"]["sampled_tokens"] == 83
+    assert out["big"]["oversample_ppm"] == 166 * 1_000_000 // 400
+
+
+def test_exact_isqrt_boundary_values(spark):
+    """isqrt is exact at perfect squares and their neighbours."""
+    from hha_spark.operators.corpus import _exact_isqrt
+
+    vals = [0, 1, 2, 3, 4, 8, 9, 10, 2**40 - 1, 2**40, 2**40 + 1,
+            (2**26 - 1) ** 2, (2**26 - 1) ** 2 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    out = {r["n"]: r["s"] for r in df.select(
+        "n", _exact_isqrt(F.col("n")).alias("s")).collect()}
+    import math
+
+    for v in vals:
+        assert out[v] == math.isqrt(v), v
+
+
 def test_pii_scrub_plan_is_narrow(spark):
     """The scrub is a pure map: no Exchange anywhere in the plan."""
     df = _docs(spark, [(1, "s", "x")])
