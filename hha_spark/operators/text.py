@@ -236,6 +236,65 @@ def unigram_lm_scores(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    lang_col: str = "lang", n_buckets: int = 3, head_k: int = 1024,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: rank every
+    document within its language by the unigram-LM score
+    (:func:`unigram_lm_scores` avg_tf — high = common tokens = low
+    perplexity) and split each language into `n_buckets` equal-count
+    buckets (head / middle / tail for the default 3). CCNet trains on
+    head+middle and drops the tail, so `keep` is bucket < last.
+
+    Ties are broken by doc_id, making the ranking a total order and
+    the bucket assignment exactly reproducible on both engines; the
+    bucket boundary is the integer expression (rank-1)*k DIV n, which
+    matches NTILE's first-buckets-get-the-remainder split without
+    depending on either engine's NTILE tie semantics.
+
+    Scale shape: scoring inherits unigram_lm_scores' skew-split
+    vocabulary join; the per-language rank is a window over the
+    (doc_id, lang, avg_tf) projection — three narrow columns, one
+    shuffle keyed by language. A single language dominating the
+    corpus makes that window one giant partition; the scale fix is
+    the two-phase rank refinement (operators/rank.py): approximate
+    per-language avg_tf cut points from a sample, exact rank only
+    inside the boundary bands. At fixture scale the direct window is
+    the right plan.
+    """
+    from pyspark.sql import Window
+
+    scores = unigram_lm_scores(
+        df, text_col=text_col, id_col=id_col, head_k=head_k
+    )
+    labeled = df.select(id_col, lang_col).join(scores, id_col)
+    w_rank = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_tf").desc(), F.col(id_col).asc()
+    )
+    w_lang = Window.partitionBy(lang_col)
+    ranked = labeled.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("avg_tf"),
+        F.row_number().over(w_rank).cast("long").alias("ppl_rank"),
+        F.count(F.lit(1)).over(w_lang).cast("long").alias("n_lang"),
+    )
+    bucket_id = F.expr(f"(ppl_rank - 1) * {n_buckets} div n_lang")
+    return ranked.select(
+        id_col,
+        lang_col,
+        "avg_tf",
+        "ppl_rank",
+        "n_lang",
+        F.when(bucket_id == 0, "head")
+        .when(bucket_id == n_buckets - 1, "tail")
+        .otherwise("middle")
+        .alias("bucket"),
+        (bucket_id < n_buckets - 1).alias("keep"),
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

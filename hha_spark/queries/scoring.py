@@ -917,3 +917,45 @@ def _quality_agreement_oracle() -> str:
 
 QUERIES["quality_gate_agreement"] = quality_gate_agreement
 ORACLES["quality_gate_agreement"] = _quality_agreement_oracle()
+
+
+PPL_BUCKETS = 3
+
+
+def corpus_ccnet_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity terciles: every document
+    ranked within its language by the unigram-LM score and split into
+    head/middle/tail equal-count buckets; CCNet keeps head+middle.
+    Deterministic total order (avg_tf desc, doc_id) and an integer
+    bucket boundary — see operators/text.py::perplexity_buckets."""
+    from hha_spark.operators.text import perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, n_buckets=PPL_BUCKETS, head_k=HEAD_K)
+
+
+ORACLE_CCNET = f"""
+    WITH sc AS ({ORACLE_UNIGRAM}),
+    l AS (
+      SELECT s.doc_id, d.lang, s.avg_tf
+      FROM sc s JOIN documents d USING (doc_id)),
+    r AS (
+      SELECT doc_id, lang, avg_tf,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY avg_tf DESC, doc_id
+             ) AS BIGINT) AS ppl_rank,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      FROM l)
+    SELECT doc_id, lang, avg_tf, ppl_rank, n_lang,
+           CASE (ppl_rank - 1) * {PPL_BUCKETS} // n_lang
+             WHEN 0 THEN 'head'
+             WHEN {PPL_BUCKETS - 1} THEN 'tail'
+             ELSE 'middle' END AS bucket,
+           (ppl_rank - 1) * {PPL_BUCKETS} // n_lang
+             < {PPL_BUCKETS - 1} AS keep
+    FROM r
+"""
+
+
+QUERIES["corpus_ccnet_buckets"] = corpus_ccnet_buckets
+ORACLES["corpus_ccnet_buckets"] = ORACLE_CCNET

@@ -398,6 +398,22 @@ def test_dsir_target_slice_scores_higher(spark):
     assert 0 < joined["keep"].sum() < len(joined)
 
 
+def test_ccnet_buckets_are_balanced_and_ordered(spark):
+    """Per language: bucket sizes differ by at most 1, head scores
+    dominate middle dominate tail, and keep == (bucket != tail)."""
+    from hha_spark.queries.scoring import corpus_ccnet_buckets
+
+    out = corpus_ccnet_buckets(spark, "/root/testdata/sf0.001").toPandas()
+    assert (out["keep"] == (out["bucket"] != "tail")).all()
+    for lang, grp in out.groupby("lang"):
+        sizes = grp.groupby("bucket").size()
+        assert sizes.max() - sizes.min() <= 1, (lang, dict(sizes))
+        by = {b: g["avg_tf"] for b, g in grp.groupby("bucket")}
+        if "middle" in by:
+            assert by["head"].min() >= by["middle"].max()
+            assert by["middle"].min() >= by["tail"].max()
+
+
 def test_quality_agreement_matrix_is_consistent(spark):
     """Cells are the 2x2 verdict space, counts total the corpus, and
     ppm shares are the exact floors of their cells."""
