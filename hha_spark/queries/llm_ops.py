@@ -2047,3 +2047,74 @@ ORACLE_GOPHER = """
 
 QUERIES["text_gopher_quality"] = text_gopher_quality
 ORACLES["text_gopher_quality"] = ORACLE_GOPHER
+
+
+def dedup_canonical_pick(spark, sf_dir):
+    """Canonical-representative selection per near-dup cluster — the
+    pipeline step AFTER clustering: inside every MinHash-LSH
+    transitive-closure cluster keep the best document (longest by
+    token count, doc_id as the deterministic tiebreak) and mark the
+    rest as drops pointing at their replacement. This is how
+    production dedup actually emits its keep-list: clusters are the
+    relation, the canonical pick is the decision.
+
+    Output per clustered doc: cluster_id, cluster_size, n_tokens,
+    canonical_doc_id (FIRST_VALUE over the total order length desc,
+    doc_id asc), is_canonical. The oracle recomputes the clusters via
+    the recursive-CTE closure and the identical window, so a green
+    row re-proves pairing + closure + selection composed.
+
+    Scale shape: the pick adds ONE window over (cluster_id) on a
+    4-column frame — near-dup clusters are small by construction
+    (bounded LSH buckets upstream), so no skewed partition; the
+    heavy lifting stays in the already-verified cluster_members
+    (O(log n) rounds).
+    """
+    from hha_spark.operators.cluster import cluster_members
+
+    docs = _docs(spark, sf_dir)
+    pairs = _minhash_lsh_from(with_token_set(docs)).select(
+        "doc_id_a", "doc_id_b"
+    )
+    members = cluster_members(pairs)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    j = members.join(toks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "n_tokens",
+        F.first("doc_id").over(w).alias("canonical_doc_id"),
+    ).withColumn(
+        "is_canonical", F.col("doc_id") == F.col("canonical_doc_id")
+    )
+
+
+ORACLE_CANONICAL = f"""
+    WITH clustered AS ({ORACLE_CLUSTERS}),
+    toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    j AS (
+      SELECT c.doc_id, c.cluster_id, c.cluster_size, t.n_tokens
+      FROM clustered c JOIN toks t USING (doc_id))
+    SELECT doc_id, cluster_id, cluster_size, n_tokens,
+           FIRST_VALUE(doc_id) OVER (
+             PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id
+           ) AS canonical_doc_id,
+           doc_id = FIRST_VALUE(doc_id) OVER (
+             PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id
+           ) AS is_canonical
+    FROM j
+"""
+
+
+QUERIES["dedup_canonical_pick"] = dedup_canonical_pick
+ORACLES["dedup_canonical_pick"] = ORACLE_CANONICAL

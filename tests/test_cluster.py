@@ -164,3 +164,18 @@ def test_cc_distributed_matches_union_find(spark, edges):
 def test_star_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
     assert _labels(connected_components_star(df)) == _union_find_labels(edges)
+
+
+def test_canonical_pick_one_per_cluster(spark):
+    """Exactly one canonical per cluster; it's the longest doc
+    (doc_id tiebreak) and every member points at it."""
+    from hha_spark.queries.llm_ops import dedup_canonical_pick
+
+    out = dedup_canonical_pick(spark, "/root/testdata/sf0.001").toPandas()
+    for cid, grp in out.groupby("cluster_id"):
+        assert grp["is_canonical"].sum() == 1
+        best = grp.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).iloc[0]["doc_id"]
+        assert (grp["canonical_doc_id"] == best).all()
+        assert len(grp) == grp["cluster_size"].iloc[0]
