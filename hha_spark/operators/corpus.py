@@ -767,6 +767,59 @@ def temperature_mixture(docs: DataFrame, *, budget_frac_pct: int = 50) -> DataFr
     )
 
 
+def token_budget_fill(
+    docs: DataFrame, *, budget_frac_pct: int = 50, salt: str = "budget-v1"
+) -> DataFrame:
+    """Execute a mixture: deterministic greedy per-source document
+    selection hitting the temperature_mixture token targets. Docs are
+    ordered inside each source by a salted md5 of doc_id (a seeded
+    shuffle — reproducible, uncorrelated with content) and kept while
+    the running token total BEFORE the doc is under the source's
+    target, so each source overshoots by at most one document. This
+    is the step that turns per-source weights into an actual
+    training-set keep-list.
+
+    Output per doc: source, n_tokens, pick_rank, cum_tokens
+    (inclusive running sum in pick order), target_tokens, kept.
+
+    Scale shape: targets are the already-bounded per-source frame
+    (broadcast); the fill is one window (per-source rank + running
+    sum) over a 4-column projection — the same one-shuffle shape as
+    stratified_sample, with the same two-phase-rank refinement
+    available if one source dominates the corpus.
+    """
+    from pyspark.sql import Window
+
+    targets = temperature_mixture(
+        docs, budget_frac_pct=budget_frac_pct
+    ).select("source", "target_tokens")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|" + salt)))
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        h.alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
+    ranked = per_doc.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.row_number().over(w).cast("long").alias("pick_rank"),
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+    )
+    return ranked.join(F.broadcast(targets), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "pick_rank",
+        "cum_tokens",
+        "target_tokens",
+        ((F.col("cum_tokens") - F.col("n_tokens")) < F.col("target_tokens"))
+        .alias("kept"),
+    )
+
+
 def benchmark_decontaminate(
     train: DataFrame,
     bench: DataFrame,

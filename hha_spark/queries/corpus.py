@@ -626,3 +626,68 @@ def _temperature_oracle() -> str:
 
 QUERIES["corpus_temperature_mixture"] = corpus_temperature_mixture
 ORACLES["corpus_temperature_mixture"] = _temperature_oracle()
+
+
+FILL_SALT = "budget-v1"
+
+
+def corpus_token_budget_fill(spark, sf_dir):
+    """Greedy deterministic keep-list hitting the temperature-mixture
+    token targets: salted-md5 order inside each source, keep while the
+    running total before the doc is under target (overshoot <= 1 doc).
+    See operators/corpus.py::token_budget_fill. A green row proves the
+    mixture computation AND its execution composed."""
+    from hha_spark.operators.corpus import token_budget_fill
+
+    return token_budget_fill(
+        _docs(spark, sf_dir), budget_frac_pct=BUDGET_PCT, salt=FILL_SALT
+    )
+
+
+def _budget_fill_oracle() -> str:
+    from hha_spark.operators.corpus import _isqrt_sql
+
+    w = _isqrt_sql("n_tokens")
+    return f"""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    weighted AS (SELECT *, {w} AS w_sqrt FROM per),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(w_sqrt) AS BIGINT) AS total_w
+      FROM weighted
+    ),
+    targets AS (
+      SELECT source,
+             CAST((total_tokens * {BUDGET_PCT} // 100) * w_sqrt // total_w
+                  AS BIGINT) AS target_tokens
+      FROM weighted, tot
+    ),
+    d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR) || '|{FILL_SALT}') AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY h, doc_id) AS BIGINT)
+               AS pick_rank,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id) AS BIGINT)
+               AS cum_tokens
+      FROM d
+    )
+    SELECT r.doc_id, r.source, r.n_tokens, r.pick_rank, r.cum_tokens,
+           t.target_tokens,
+           (r.cum_tokens - r.n_tokens) < t.target_tokens AS kept
+    FROM r JOIN targets t USING (source)
+"""
+
+
+QUERIES["corpus_token_budget_fill"] = corpus_token_budget_fill
+ORACLES["corpus_token_budget_fill"] = _budget_fill_oracle()

@@ -158,6 +158,27 @@ def test_exact_isqrt_boundary_values(spark):
         assert out[v] == math.isqrt(v), v
 
 
+def test_token_budget_fill_greedy_invariants(spark):
+    """Kept docs per source: prefix of the salted order, total within
+    one doc of target, and dropping any kept doc stays under target."""
+    from hha_spark.operators.corpus import token_budget_fill
+    from hha_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = token_budget_fill(docs, budget_frac_pct=50).toPandas()
+    for src, grp in out.groupby("source"):
+        grp = grp.sort_values("pick_rank")
+        kept = grp[grp["kept"]]
+        target = grp["target_tokens"].iloc[0]
+        # kept set is a rank prefix
+        assert list(kept["pick_rank"]) == list(range(1, len(kept) + 1))
+        if len(kept):
+            total = kept["n_tokens"].sum()
+            assert total - kept["n_tokens"].iloc[-1] < target
+            # first dropped doc would NOT have fit
+            assert total >= target or len(kept) == len(grp)
+
+
 def test_pii_scrub_plan_is_narrow(spark):
     """The scrub is a pure map: no Exchange anywhere in the plan."""
     df = _docs(spark, [(1, "s", "x")])
