@@ -886,16 +886,15 @@ def quality_gate_agreement(spark, sf_dir):
         "doc_id", F.col("keep").alias("model_keep")
     )
     j = rules.join(model, on="doc_id")
-    tot = j.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    return (
-        j.groupBy("rule_keep", "model_keep")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .join(F.broadcast(tot))
-        .withColumn(
-            "share_ppm",
-            F.expr("n_docs * 1000000 DIV n_total").cast("long"),
-        )
-        .drop("n_total")
+    grouped = j.groupBy("rule_keep", "model_keep").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    # total via an unbounded window over the <=4-row aggregate: ONE
+    # pass over both quality pipelines (a separate agg-then-join total
+    # would recompute the whole composed pipeline a second time)
+    return grouped.withColumn(
+        "share_ppm",
+        F.expr("n_docs * 1000000 DIV sum(n_docs) OVER ()").cast("long"),
     )
 
 

@@ -34,6 +34,18 @@ from hha_spark.session import get_spark  # noqa: E402
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 
+def normalize(formatted: str) -> str:
+    """Strip run-nondeterministic ids (expression #NNN, plan_id,
+    codegen stage ids, cached-plan hex) so a snapshot only diffs when
+    the PLAN changes — otherwise every sweep rewrites all 180+ files
+    with pure id churn and real regressions drown in noise."""
+    s = re.sub(r"#\d+", "#N", formatted)
+    s = re.sub(r"plan_id=\d+", "plan_id=N", s)
+    s = re.sub(r"codegen id : \d+", "codegen id : N", s)
+    s = re.sub(r"0x[0-9a-f]{6,}", "0xN", s)
+    return s
+
+
 def violations(executed_plan: str) -> list[str]:
     """Anti-pattern nodes present in a physical-plan string."""
     return [n for n in FORBIDDEN if n in executed_plan]
@@ -83,7 +95,7 @@ def main() -> None:
         finally:
             release_tracked()
         with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
-            f.write(formatted)
+            f.write(normalize(formatted))
         hits = violations(plan)
         if hits:
             bad[name] = hits

@@ -84,6 +84,8 @@ def probes(spark, k: int):
         stratified_sample,
         strip_duplicate_spans,
         strip_duplicate_spans_incremental,
+        temperature_mixture,
+        token_budget_fill,
         winnowing_fingerprints,
     )
     from hha_spark.streaming.sessionize import sessionize_batch
@@ -123,6 +125,7 @@ def probes(spark, k: int):
     from hha_spark.operators.similarity import cosine_pairs_arrow
     from hha_spark.operators.spike import fused_window_compare
     from hha_spark.operators.text import (
+        perplexity_buckets,
         quality_score,
         source_token_divergence,
         unigram_lm_scores,
@@ -291,6 +294,15 @@ def probes(spark, k: int):
         ),
         # per-stratum hash-rank window; strata count fixed, rows scale
         "stratified_sample": lambda: stratified_sample(docs, frac_pct=30),
+        # one combinable groupBy(source) + broadcast totals — flat-ish
+        "temperature_mixture": lambda: temperature_mixture(docs),
+        # per-source rank + running-sum window; sources fixed, rows
+        # scale — the same single-shuffle family as stratified_sample
+        "budget_fill": lambda: token_budget_fill(docs),
+        # per-language rank window over the unigram-LM scores: lang
+        # count fixed, per-lang partitions grow K-fold — measures the
+        # window stage on top of the skew-split vocabulary join
+        "ccnet_buckets": lambda: perplexity_buckets(docs),
         # gram map + per-doc frame MIN + fingerprint-df aggregate —
         # expect linear in grams (cross-copy grams are disjoint)
         "winnowing": lambda: winnowing_fingerprints(docs, k=4, w=4),
