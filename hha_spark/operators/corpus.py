@@ -740,6 +740,18 @@ def temperature_mixture(docs: DataFrame, *, budget_frac_pct: int = 50) -> DataFr
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).cast("long").alias("n_tokens"),
     )
+    return mixture_readout(per_source, budget_frac_pct=budget_frac_pct)
+
+
+def mixture_readout(
+    per_source: DataFrame, *, budget_frac_pct: int = 50
+) -> DataFrame:
+    """The nonlinear readout of temperature_mixture over its ADDITIVE
+    sufficient statistics (source, n_docs, n_tokens). Factored out so
+    the statistics can be maintained incrementally — per micro-batch,
+    per shard, per region — and merged by plain addition before the
+    isqrt/share arithmetic runs once at the end (the streaming gate
+    stream_temperature_mixture is exactly this shape)."""
     weighted = per_source.withColumn(
         "w_sqrt", _exact_isqrt(F.col("n_tokens"))
     )

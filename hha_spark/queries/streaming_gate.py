@@ -867,3 +867,83 @@ from hha_spark.queries.sketches import ORACLE_CMS_HEAVY as _ORACLE_CMS_BATCH
 # the batch sketch oracle IS the stream oracle — CMS linearity makes
 # the merged stream sketch bit-identical to the batch build
 ORACLES["stream_cms_heavy"] = _ORACLE_CMS_BATCH
+
+
+def stream_temperature_mixture(
+    spark: SparkSession, sf_dir: str, *, batch_log: list | None = None
+) -> DataFrame:
+    """Streaming maintenance of mixture statistics: the corpus
+    arrives as a multi-file stream (maxFilesPerTrigger=1 forces
+    several micro-batches); each micro-batch computes its per-source
+    (n_docs, n_tokens) DISTRIBUTED (one map-side-combinable groupBy)
+    and the driver merges by plain addition — sound because those are
+    ADDITIVE sufficient statistics. The NONLINEAR readout (exact
+    isqrt, shares, budget split — operators/corpus.py::
+    mixture_readout) runs once over the merged state and must equal
+    the batch gate corpus_temperature_mixture EXACTLY, which is what
+    the shared oracle checks.
+
+    This is the companion proof to stream_cms_heavy: that gate shows
+    a bounded LINEAR sketch streams losslessly; this one shows the
+    additive-statistic / nonlinear-readout SPLIT — the pattern for
+    any ingest-time corpus accounting (mixture weights, dedup rates,
+    source quotas) where the decision function itself is not linear
+    and must NEVER be computed per-batch and averaged.
+
+    State is bounded by the number of sources (thousands at most),
+    never by corpus size.
+    """
+    from hha_spark.operators.corpus import mixture_readout
+    from hha_spark.queries.corpus import BUDGET_PCT
+
+    docs = load_table(spark, sf_dir, "documents")
+    state: dict[str, list[int]] = {}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        per = batch_df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        for r in per.collect():  # bounded: one row per source
+            acc = state.setdefault(r["source"], [0, 0])
+            acc[0] += int(r["n_docs"])
+            acc[1] += int(r["n_tokens"])
+        if batch_log is not None:
+            batch_log.append(batch_id)
+
+    with _gate_scratch("hha_stream_mix_") as tmp, _gate_shuffle(spark):
+        docs.repartition(4).write.parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(f"{tmp}/in")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    per_source = spark.createDataFrame(
+        [(s, v[0], v[1]) for s, v in sorted(state.items())],
+        "source string, n_docs long, n_tokens long",
+    )
+    return mixture_readout(per_source, budget_frac_pct=BUDGET_PCT)
+
+
+QUERIES["stream_temperature_mixture"] = stream_temperature_mixture
+
+from hha_spark.queries.corpus import (  # noqa: E402
+    ORACLES as _CORPUS_ORACLES,
+)
+
+# the batch mixture oracle IS the stream oracle — additive sufficient
+# statistics merged across micro-batches feed the identical readout
+ORACLES["stream_temperature_mixture"] = _CORPUS_ORACLES[
+    "corpus_temperature_mixture"
+]

@@ -397,3 +397,22 @@ def test_hopping_windows_batch_multiplicity(spark):
     )
     # ts=100, slide=60: starts ≡ 0 (mod 60) in (100-240, 100]
     assert starts_a1 == [-120, -60, 0, 60]
+
+
+def test_stream_mixture_equals_batch_across_micro_batches(spark):
+    """Additive sufficient statistics merged across >=2 micro-batches
+    feed the identical nonlinear readout: stream == batch exactly."""
+    from hha_spark.queries.corpus import corpus_temperature_mixture
+    from hha_spark.queries.streaming_gate import stream_temperature_mixture
+
+    sf = "/root/testdata/sf0.001"
+    seen: list = []
+    streamed = stream_temperature_mixture(
+        spark, sf, batch_log=seen
+    ).toPandas()
+    assert len(seen) >= 2, f"expected multi-batch replay, got {seen}"
+    batch = corpus_temperature_mixture(spark, sf).toPandas()
+    cols = sorted(streamed.columns)
+    a = streamed[cols].sort_values("source").reset_index(drop=True)
+    b = batch[cols].sort_values("source").reset_index(drop=True)
+    assert a.equals(b)
