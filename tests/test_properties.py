@@ -454,3 +454,66 @@ def test_strip_spans_matches_reference_impl(spark, texts):
         for r in strip_duplicate_spans(docs, k=k).collect()
     }
     assert got == want
+
+
+# --- token_budget_fill vs a sequential Python greedy -----------------------
+
+doc_specs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),   # doc_id pool (dupes dropped)
+        st.sampled_from(["a", "b", "c"]),          # source
+        st.integers(min_value=1, max_value=40),    # n_tokens
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda s: s[0],
+)
+
+
+@given(specs=doc_specs, pct=st.integers(min_value=10, max_value=90))
+@SET
+def test_budget_fill_matches_sequential_greedy(spark, specs, pct):
+    """The distributed window fill equals a per-source sequential
+    greedy walk in salted-md5 order — keep while cum-before < target."""
+    import hashlib
+    import math
+
+    from hha_spark.operators.corpus import token_budget_fill
+
+    rows = [
+        (doc_id, src, " ".join(["w"] * n)) for doc_id, src, n in specs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_fill(df, budget_frac_pct=pct, salt="prop").toPandas()
+
+    # sequential reference
+    total = sum(n for _, _, n in specs)
+    w = {}
+    per_src_tokens = {}
+    for _, src, n in specs:
+        per_src_tokens[src] = per_src_tokens.get(src, 0) + n
+    for src, n in per_src_tokens.items():
+        w[src] = math.isqrt(n)
+    budget = total * pct // 100
+    total_w = sum(w.values())
+    targets = {src: budget * w[src] // total_w for src in w}
+
+    expected_kept = set()
+    for src in per_src_tokens:
+        docs = sorted(
+            (s for s in specs if s[1] == src),
+            key=lambda s: (
+                hashlib.md5(f"{s[0]}|prop".encode()).hexdigest(),
+                s[0],
+            ),
+        )
+        cum = 0
+        for doc_id, _, n in docs:
+            if cum < targets[src]:
+                expected_kept.add(doc_id)
+            cum += n
+
+    got_kept = set(out[out["kept"]]["doc_id"])
+    assert got_kept == expected_kept
+    for _, r in out.iterrows():
+        assert r["target_tokens"] == targets[r["source"]]
