@@ -372,3 +372,49 @@ def test_skew_report_uses_take_ordered_not_global_sort(spark):
 
     plan = plan_of(dq_events_key_skew(spark, "/root/testdata/sf0.001"))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_mixture_broadcasts_totals(spark):
+    """The 1-row totals join must be broadcast (hash or nested-loop on
+    the single row), never sort-merge; no Python eval anywhere."""
+    from hha_spark.operators.corpus import temperature_mixture
+    from hha_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    plan = plan_of(temperature_mixture(docs))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_budget_fill_windows_are_source_partitioned(spark):
+    """Both window functions (rank + running sum) must be partitioned
+    by source — a global window would single-thread the corpus."""
+    from hha_spark.operators.corpus import token_budget_fill
+    from hha_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    plan = plan_of(token_budget_fill(docs))
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert windows, "expected the per-source rank/cumsum Window"
+    for ln in windows:
+        assert ln.count("], [") >= 2, f"unpartitioned Window: {ln}"
+    assert "SortMergeJoin" not in plan
+
+
+def test_ccnet_buckets_windows_are_lang_partitioned(spark):
+    """The tercile rank/count windows must be per-language, and the
+    unigram scoring below them must keep its broadcast head join."""
+    from hha_spark.operators.text import perplexity_buckets
+    from hha_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    plan = plan_of(perplexity_buckets(docs))
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert windows, "expected the per-language Window"
+    for ln in windows:
+        # windowspecdefinition(lang..., ...) == partitioned by lang
+        # (a no-ORDER-BY count window prints only one `], [`, so the
+        # separator-count heuristic used elsewhere misreads it)
+        assert "windowspecdefinition(lang" in ln, f"unpartitioned: {ln}"
+    assert "BroadcastHashJoin" in plan  # head-vocabulary join
