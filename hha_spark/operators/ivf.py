@@ -331,3 +331,59 @@ def ivf_topk(
             "rank",
         )
     )
+
+
+def ivf_assign_new(
+    corpus: DataFrame,
+    batch: DataFrame,
+    *,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_key: str | None = None,
+) -> DataFrame:
+    """Incremental IVF ingest: assign NEW vectors to the cells of a
+    codebook trained on the existing corpus ONLY — no retraining, the
+    serving-index admission shape (every production ANN index accepts
+    writes between rebuilds; FAISS add() after train() is exactly
+    this). The same batch-vs-corpus cross-side contract as
+    dedup_incremental / strip_duplicate_spans_incremental, extended
+    to the vector index: the corpus is read once to train + count
+    occupancy, the batch never influences the codebook.
+
+    Returns one row per batch vector: (vec_id, cell, n_corpus —
+    in-cell occupancy before the ingest, n_new_in_cell — how many of
+    this batch landed in the same cell). The occupancy columns are
+    the rebalance signal: a cell absorbing disproportionate ingest is
+    the cue to retrain or split before probe-time skew develops.
+
+    Scale shape: training is the usual Lloyd loop (k·dim centroid
+    collect per round); batch assignment is ONE narrow Arrow-kernel
+    map over the batch — cost tracks the batch, not the corpus; the
+    occupancy join is a broadcast of the k-row cell census.
+    """
+    assigned, cents = _lloyd(
+        corpus, iters=iters, id_col=id_col, vec_col=vec_col,
+        train_key=train_key,
+    )
+    occ = (
+        assigned.select(F.element_at("cells", 1).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    )
+    new_cells = _assign_final(
+        batch, cents, id_col=id_col, vec_col=vec_col, probe_width=1
+    ).select("vec_id", F.element_at("cells", 1).alias("cell"))
+    w_cell = Window.partitionBy("cell")
+    return (
+        new_cells.join(F.broadcast(occ), on="cell", how="left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("n_corpus"), F.lit(0))
+            .cast("long")
+            .alias("n_corpus"),
+            F.count(F.lit(1)).over(w_cell).cast("long")
+            .alias("n_new_in_cell"),
+        )
+    )

@@ -757,19 +757,22 @@ def ann_topk_ivf_trained(spark, sf_dir):
     )
 
 
-def _kmeans_iter_sql(cells_prev: str, cent: str, d: str) -> str:
-    """One unrolled Lloyd round as oracle CTE fragments."""
+def _kmeans_iter_sql(cells_prev: str, cent: str, d: str, el: str = "el") -> str:
+    """One unrolled Lloyd round as oracle CTE fragments. `el` is the
+    (vec_id, idx, v) element relation the round trains AND assigns
+    over — the incremental-ingest oracle passes the corpus-only slice
+    so the batch never influences the codebook."""
     return f"""
     {cent} AS (
       SELECT cell, idx,
              (CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * {_Q}) AS BIGINT)) AS DOUBLE)
               / CAST(COUNT(*) AS DOUBLE)) / {_Q} AS c
-      FROM el JOIN {cells_prev} USING (vec_id) GROUP BY cell, idx),
+      FROM {el} JOIN {cells_prev} USING (vec_id) GROUP BY cell, idx),
     {d} AS (
       SELECT vec_id, cell,
              SUM(CAST(FLOOR((CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c)
                             * {_Q}) AS BIGINT)) AS dq
-      FROM el JOIN {cent} USING (idx) GROUP BY vec_id, cell)
+      FROM {el} JOIN {cent} USING (idx) GROUP BY vec_id, cell)
 """
 
 
@@ -2118,3 +2121,74 @@ ORACLE_CANONICAL = f"""
 
 QUERIES["dedup_canonical_pick"] = dedup_canonical_pick
 ORACLES["dedup_canonical_pick"] = ORACLE_CANONICAL
+
+
+IVF_INGEST_MOD = 8  # vec_id % 8 == 3 plays the newly-arriving batch
+
+
+def ann_ivf_assign_incremental(spark, sf_dir):
+    """Incremental IVF ingest (operators/ivf.py::ivf_assign_new): the
+    codebook is trained on the CORPUS slice only (vec_id % 8 != 3),
+    then the batch slice is assigned against that FIXED codebook —
+    FAISS train()-then-add(), the serving-index admission shape. Per
+    batch vector: its cell, the cell's pre-ingest corpus occupancy,
+    and how many batchmates landed in the same cell (the rebalance
+    signal). The oracle unrolls the corpus-only Lloyd rounds and the
+    fixed-codebook batch argmin, so a green row proves the batch
+    never leaked into training."""
+    from hha_spark.operators.ivf import ivf_assign_new
+
+    emb = tracked_persist(_emb(spark, sf_dir))
+    is_batch = F.col("vec_id") % IVF_INGEST_MOD == 3
+    return ivf_assign_new(
+        emb.where(~is_batch),
+        emb.where(is_batch),
+        iters=IVF_ITERS,
+        train_key=f"{sf_dir}|ingest-corpus",
+    )
+
+
+ORACLE_IVF_ASSIGN_INC = f"""
+    WITH el AS ({_EMB_EL}),
+    el_c AS (SELECT * FROM el WHERE vec_id % {IVF_INGEST_MOD} <> 3),
+    el_b AS (SELECT * FROM el WHERE vec_id % {IVF_INGEST_MOD} = 3),
+    cells0 AS (
+      SELECT vec_id,
+             (CASE WHEN embedding[1] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) AS cell
+      FROM embeddings WHERE vec_id % {IVF_INGEST_MOD} <> 3),
+    {_kmeans_iter_sql("cells0", "icent1", "id1", el="el_c")},
+    icells1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rnk
+        FROM id1) WHERE rnk = 1),
+    {_kmeans_iter_sql("icells1", "icent2", "id2", el="el_c")},
+    icells2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rnk
+        FROM id2) WHERE rnk = 1),
+    occ AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_corpus
+      FROM icells2 GROUP BY cell),
+    db AS (
+      SELECT vec_id, cell,
+             SUM(CAST(FLOOR((CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c)
+                            * {_Q}) AS BIGINT)) AS dq
+      FROM el_b JOIN icent2 USING (idx) GROUP BY vec_id, cell),
+    bcells AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rnk
+        FROM db) WHERE rnk = 1)
+    SELECT b.vec_id, CAST(b.cell AS BIGINT) AS cell,
+           CAST(COALESCE(o.n_corpus, 0) AS BIGINT) AS n_corpus,
+           CAST(COUNT(*) OVER (PARTITION BY b.cell) AS BIGINT)
+             AS n_new_in_cell
+    FROM bcells b LEFT JOIN occ o USING (cell)
+"""
+
+
+QUERIES["ann_ivf_assign_incremental"] = ann_ivf_assign_incremental
+ORACLES["ann_ivf_assign_incremental"] = ORACLE_IVF_ASSIGN_INC

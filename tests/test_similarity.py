@@ -251,3 +251,33 @@ def test_ndcg_hand_computed_partial_overlap(spark):
     assert ndcg_idcg(3) == 4_761_858
     assert row.dcg_q == 3_892_787
     assert row.ndcg_micro == 3_892_787 * 1_000_000 // 4_761_858
+
+
+def test_ivf_assign_new_fixed_codebook_no_leak(spark):
+    """Batch vectors are assigned to the cell a corpus-trained
+    codebook puts them in: training the codebook WITH the batch
+    included must be able to differ, but assigning the batch against
+    the corpus-only codebook must equal assigning each batch vector
+    individually (the codebook is fixed — order/set of the batch is
+    irrelevant)."""
+    from hha_spark.operators.ivf import ivf_assign_new
+    from hha_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    is_batch = F.col("vec_id") % 8 == 3
+    corpus, batch = emb.where(~is_batch), emb.where(is_batch)
+    out = ivf_assign_new(corpus, batch, iters=2).toPandas()
+    n_batch = batch.count()
+    assert len(out) == n_batch
+    # occupancy is corpus-only: totals never include the batch
+    assert out["n_new_in_cell"].groupby(out["cell"]).first().sum() == n_batch
+    total_corpus = out.drop_duplicates("cell")["n_corpus"].sum()
+    assert total_corpus <= corpus.count()
+    # a singleton batch gets the identical cell (fixed codebook)
+    one_id = int(out["vec_id"].iloc[0])
+    solo = ivf_assign_new(
+        corpus, batch.where(F.col("vec_id") == one_id), iters=2
+    ).toPandas()
+    assert int(solo["cell"].iloc[0]) == int(
+        out[out["vec_id"] == one_id]["cell"].iloc[0]
+    )
