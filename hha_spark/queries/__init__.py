@@ -90,7 +90,7 @@ _NEVER_CHECKED_FIRST = (
     "quality_gate_agreement", "corpus_temperature_mixture",
     "corpus_ccnet_buckets", "dedup_canonical_pick",
     "corpus_token_budget_fill", "stream_temperature_mixture",
-    "ann_ivf_assign_incremental",
+    "ann_ivf_assign_incremental", "multimodal_frame_sample",
     # -- 5 round-6 code-touched re-gates --
     "dedup_containment", "dedup_containment_incremental",
     "text_bm25_topk", "stream_attribution_join", "bpe_merge_candidates",

@@ -1527,6 +1527,43 @@ ORACLE_BLOB = """
 """
 
 
+FRAME_EVERY_N = 2
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling FAN-OUT under the oracle gate: every sampled
+    64-byte 'frame' of each binary payload becomes its own row
+    (doc_id, frame_idx, frame_md5) via Arrow-batched mapInPandas —
+    the one-to-many batch contract a real video frame sampler uses
+    (operators/multimodal.py::fake_frame_sample; the real decoder
+    stays an explicit stub, the PLUMBING is what is driver-verified).
+    The payload is UTF-8 of ASCII text, so the DuckDB oracle mirrors
+    the byte chunking with substr + md5 exactly — the gate checks the
+    fan-out row set, the stride sampling, and the tail-chunk edge
+    cases, not just a 1:1 map like multimodal_blob_stats."""
+    from hha_spark.operators.multimodal import fake_frame_sample, with_blob
+
+    return fake_frame_sample(
+        with_blob(_docs(spark, sf_dir)), every_n=FRAME_EVERY_N
+    )
+
+
+ORACLE_FRAME_SAMPLE = f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             greatest(1, strlen(text) // 64) AS n_frames
+      FROM documents),
+    g AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT),
+                                    {FRAME_EVERY_N})) AS i
+      FROM f)
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+    FROM g
+"""
+
+
 def dedup_graph_triangles(spark, sf_dir):
     """Triangle count of the near-dup pair graph — the standard
     cluster-cohesion diagnostic (triangle-dense neighborhoods are true
@@ -2192,3 +2229,7 @@ ORACLE_IVF_ASSIGN_INC = f"""
 
 QUERIES["ann_ivf_assign_incremental"] = ann_ivf_assign_incremental
 ORACLES["ann_ivf_assign_incremental"] = ORACLE_IVF_ASSIGN_INC
+
+
+QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+ORACLES["multimodal_frame_sample"] = ORACLE_FRAME_SAMPLE
