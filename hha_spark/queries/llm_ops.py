@@ -1540,7 +1540,14 @@ def multimodal_frame_sample(spark, sf_dir):
     The payload is UTF-8 of ASCII text, so the DuckDB oracle mirrors
     the byte chunking with substr + md5 exactly — the gate checks the
     fan-out row set, the stride sampling, and the tail-chunk edge
-    cases, not just a 1:1 map like multimodal_blob_stats."""
+    cases, not just a 1:1 map like multimodal_blob_stats.
+
+    PRECONDITION (oracle-side only, verified over every fixture SF:
+    zero non-ASCII docs): the oracle's substr is CHARACTER-based while
+    the operator chunks BYTES, so they coincide only for single-byte
+    text. The operator itself is byte-correct for any payload; a
+    multi-byte fixture would need a byte-slicing oracle
+    (substr(unhex(hex(text))...) instead."""
     from hha_spark.operators.multimodal import fake_frame_sample, with_blob
 
     return fake_frame_sample(
