@@ -801,8 +801,14 @@ def stream_cms_heavy(
 
     docs = _docs(spark, sf_dir)
     state: dict[tuple[int, int], int] = {}
+    applied: set[int] = set()
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent under foreachBatch retries: a redelivered
+        # batch_id must not double-add its grid. Marked applied only
+        # AFTER the full merge, so a failure mid-batch replays cleanly.
+        if batch_id in applied:
+            return
         toks = batch_df.select(
             F.explode(F.split("text", " ")).alias("token")
         )
@@ -810,6 +816,7 @@ def stream_cms_heavy(
         for r in grid.collect():  # bounded: <= depth*width rows
             k = (int(r["row"]), int(r["col"]))
             state[k] = state.get(k, 0) + int(r["counter"])
+        applied.add(batch_id)
         if batch_log is not None:
             batch_log.append(batch_id)
 
@@ -898,8 +905,14 @@ def stream_temperature_mixture(
 
     docs = load_table(spark, sf_dir, "documents")
     state: dict[str, list[int]] = {}
+    applied: set[int] = set()
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent under foreachBatch retries: a redelivered
+        # batch_id must not double-add its statistics (marked applied
+        # only after the full merge)
+        if batch_id in applied:
+            return
         per = batch_df.groupBy("source").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.size(F.split(F.col("text"), " ")))
@@ -910,6 +923,7 @@ def stream_temperature_mixture(
             acc = state.setdefault(r["source"], [0, 0])
             acc[0] += int(r["n_docs"])
             acc[1] += int(r["n_tokens"])
+        applied.add(batch_id)
         if batch_log is not None:
             batch_log.append(batch_id)
 
