@@ -422,17 +422,12 @@ def test_stream_merges_are_idempotent_on_redelivery(spark):
     """A redelivered batch_id must not double-add into driver state:
     calling the merge closure twice with the same id is a no-op the
     second time (the foreachBatch retry contract)."""
+    from hha_spark.operators.corpus import mixture_readout
     from hha_spark.queries.corpus import corpus_temperature_mixture
-    from hha_spark.queries.streaming_gate import stream_temperature_mixture
     from hha_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
 
     sf = "/root/testdata/sf0.001"
-    # run the gate, capturing the merge closure's effect via the
-    # result: redelivery inside the gate is simulated by the applied-
-    # set guard; equality with batch is the end-to-end proof, and a
-    # direct double-merge probe pins the guard itself
-    from hha_spark.operators.corpus import mixture_readout
-    from pyspark.sql import functions as F
 
     docs = load_table(spark, sf, "documents")
     state: dict = {}
