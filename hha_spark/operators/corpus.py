@@ -735,12 +735,22 @@ def temperature_mixture(docs: DataFrame, *, budget_frac_pct: int = 50) -> DataFr
     combinable groupBy(source) over the corpus, then a broadcast
     1-row total; the per-source frame is thousands of rows at most.
     """
-    toks = F.size(F.split(F.col("text"), " "))
-    per_source = docs.groupBy("source").agg(
+    return mixture_readout(
+        per_source_stats(docs), budget_frac_pct=budget_frac_pct
+    )
+
+
+def per_source_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(source, n_docs, n_tokens) — the ADDITIVE sufficient statistics
+    every mixture consumer shares. ONE definition on purpose: the
+    batch mixture, the streaming per-micro-batch merge, and the fill
+    all read this, so the stream==batch equality the gates prove can
+    never drift on a tokenizer change applied to one copy."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).cast("long").alias("n_tokens"),
     )
-    return mixture_readout(per_source, budget_frac_pct=budget_frac_pct)
 
 
 def mixture_readout(
@@ -751,7 +761,14 @@ def mixture_readout(
     the statistics can be maintained incrementally — per micro-batch,
     per shard, per region — and merged by plain addition before the
     isqrt/share arithmetic runs once at the end (the streaming gate
-    stream_temperature_mixture is exactly this shape)."""
+    stream_temperature_mixture is exactly this shape).
+
+    Overflow contract: budget_tokens * w_sqrt is ~ total_tokens^1.5/2,
+    which exceeds int64 around 7e12 corpus tokens — inside this
+    module's 100 TB design envelope — so the two big products run in
+    DECIMAL(38,0) (mirrored as HUGEINT in the oracle) and only the
+    final quotients are cast back to BIGINT. Values are identical to
+    the int64 formulation wherever that one doesn't wrap."""
     weighted = per_source.withColumn(
         "w_sqrt", _exact_isqrt(F.col("n_tokens"))
     )
@@ -759,23 +776,31 @@ def mixture_readout(
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("w_sqrt").alias("total_w"),
     )
-    j = weighted.join(F.broadcast(totals)).withColumn(
-        "budget_tokens",
-        F.expr(f"total_tokens * {budget_frac_pct} div 100"),
+    target = (
+        f"CAST((CAST(total_tokens AS DECIMAL(38,0)) * {budget_frac_pct}"
+        " div 100) * w_sqrt div total_w AS BIGINT)"
     )
-    return j.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        "w_sqrt",
-        F.expr("w_sqrt * 1000000 div total_w").alias("share_ppm"),
-        F.expr("budget_tokens * w_sqrt div total_w").alias("target_tokens"),
-        F.least(
-            F.col("n_tokens"), F.expr("budget_tokens * w_sqrt div total_w")
-        ).alias("sampled_tokens"),
-        F.expr(
-            "(budget_tokens * w_sqrt div total_w) * 1000000 div n_tokens"
-        ).alias("oversample_ppm"),
+    return (
+        weighted.join(F.broadcast(totals))
+        .withColumn("target_tokens", F.expr(target))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "w_sqrt",
+            F.expr(
+                "CAST(CAST(w_sqrt AS DECIMAL(38,0)) * 1000000"
+                " div total_w AS BIGINT)"
+            ).alias("share_ppm"),
+            "target_tokens",
+            F.least(F.col("n_tokens"), F.col("target_tokens")).alias(
+                "sampled_tokens"
+            ),
+            F.expr(
+                "CAST(CAST(target_tokens AS DECIMAL(38,0)) * 1000000"
+                " div n_tokens AS BIGINT)"
+            ).alias("oversample_ppm"),
+        )
     )
 
 
@@ -802,15 +827,26 @@ def token_budget_fill(
     """
     from pyspark.sql import Window
 
-    targets = temperature_mixture(
-        docs, budget_frac_pct=budget_frac_pct
-    ).select("source", "target_tokens")
     h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|" + salt)))
-    per_doc = docs.select(
-        "doc_id",
-        "source",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        h.alias("h"),
+    # ONE tokenize pass: the per-source sufficient statistics are
+    # derived from this narrow persisted frame, not from a second
+    # full-corpus split of the text column
+    per_doc = tracked_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " "))
+            .cast("long")
+            .alias("n_tokens"),
+            h.alias("h"),
+        )
+    )
+    stats = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    targets = mixture_readout(stats, budget_frac_pct=budget_frac_pct).select(
+        "source", "target_tokens"
     )
     w = Window.partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
     ranked = per_doc.select(

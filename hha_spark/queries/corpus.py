@@ -595,12 +595,21 @@ def corpus_temperature_mixture(spark, sf_dir):
     return temperature_mixture(_docs(spark, sf_dir), budget_frac_pct=BUDGET_PCT)
 
 
-def _temperature_oracle() -> str:
+def _mixture_ctes() -> str:
+    """Shared oracle fragment: the full temperature-mixture readout as
+    a `mix` relation — ONE definition consumed by both the mixture
+    gate and the budget-fill gate, so the two can never check
+    diverging semantics. HUGEINT intermediates mirror the Spark
+    side's DECIMAL(38,0) products (overflow-free past the ~7e12-token
+    int64 wrap point); every exported column is CAST BIGINT."""
     from hha_spark.operators.corpus import _isqrt_sql
 
     w = _isqrt_sql("n_tokens")
-    return f"""
-    WITH per AS (
+    tgt = (
+        f"(CAST(total_tokens AS HUGEINT) * {BUDGET_PCT} // 100)"
+        " * w_sqrt // total_w"
+    )
+    return f"""per AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
@@ -610,17 +619,24 @@ def _temperature_oracle() -> str:
       SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
              CAST(sum(w_sqrt) AS BIGINT) AS total_w
       FROM weighted
-    )
-    SELECT source, n_docs, n_tokens, w_sqrt,
-           CAST(w_sqrt * 1000000 // total_w AS BIGINT) AS share_ppm,
-           CAST((total_tokens * {BUDGET_PCT} // 100) * w_sqrt // total_w
-                AS BIGINT) AS target_tokens,
-           CAST(least(n_tokens,
-                (total_tokens * {BUDGET_PCT} // 100) * w_sqrt // total_w)
-                AS BIGINT) AS sampled_tokens,
-           CAST(((total_tokens * {BUDGET_PCT} // 100) * w_sqrt // total_w)
-                * 1000000 // n_tokens AS BIGINT) AS oversample_ppm
-    FROM weighted, tot
+    ),
+    mix AS (
+      SELECT source, n_docs, n_tokens, w_sqrt,
+             CAST(CAST(w_sqrt AS HUGEINT) * 1000000 // total_w AS BIGINT)
+               AS share_ppm,
+             CAST({tgt} AS BIGINT) AS target_tokens,
+             CAST(least(CAST(n_tokens AS HUGEINT), {tgt}) AS BIGINT)
+               AS sampled_tokens,
+             CAST(({tgt}) * 1000000 // n_tokens AS BIGINT)
+               AS oversample_ppm
+      FROM weighted, tot
+    )"""
+
+
+def _temperature_oracle() -> str:
+    return f"""
+    WITH {_mixture_ctes()}
+    SELECT * FROM mix
 """
 
 
@@ -645,27 +661,9 @@ def corpus_token_budget_fill(spark, sf_dir):
 
 
 def _budget_fill_oracle() -> str:
-    from hha_spark.operators.corpus import _isqrt_sql
-
-    w = _isqrt_sql("n_tokens")
     return f"""
-    WITH per AS (
-      SELECT source,
-             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-      FROM documents GROUP BY source
-    ),
-    weighted AS (SELECT *, {w} AS w_sqrt FROM per),
-    tot AS (
-      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-             CAST(sum(w_sqrt) AS BIGINT) AS total_w
-      FROM weighted
-    ),
-    targets AS (
-      SELECT source,
-             CAST((total_tokens * {BUDGET_PCT} // 100) * w_sqrt // total_w
-                  AS BIGINT) AS target_tokens
-      FROM weighted, tot
-    ),
+    WITH {_mixture_ctes()},
+    targets AS (SELECT source, target_tokens FROM mix),
     d AS (
       SELECT doc_id, source,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -804,9 +804,12 @@ def stream_cms_heavy(
     applied: set[int] = set()
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # idempotent under foreachBatch retries: a redelivered
-        # batch_id must not double-add its grid. Marked applied only
-        # AFTER the full merge, so a failure mid-batch replays cleanly.
+        # idempotent under foreachBatch REDELIVERY of an applied
+        # batch: a repeated batch_id is a no-op. Marked applied after
+        # the merge, so a failure inside collect() replays cleanly;
+        # a crash mid-dict-loop would lose the whole in-memory state
+        # with the driver anyway (a durable-state variant would stage
+        # + rename per epoch, like the sessionizer's versioned state).
         if batch_id in applied:
             return
         toks = batch_df.select(
@@ -908,18 +911,15 @@ def stream_temperature_mixture(
     applied: set[int] = set()
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # idempotent under foreachBatch retries: a redelivered
-        # batch_id must not double-add its statistics (marked applied
-        # only after the full merge)
+        # idempotent under foreachBatch REDELIVERY of an applied
+        # batch (see stream_cms_heavy's merge for the exact contract)
         if batch_id in applied:
             return
-        per = batch_df.groupBy("source").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.size(F.split(F.col("text"), " ")))
-            .cast("long")
-            .alias("n_tokens"),
-        )
-        for r in per.collect():  # bounded: one row per source
+        # the ONE shared statistics definition (operators/corpus.py::
+        # per_source_stats) — stream==batch can't drift on a copy
+        from hha_spark.operators.corpus import per_source_stats
+
+        for r in per_source_stats(batch_df).collect():  # one row/source
             acc = state.setdefault(r["source"], [0, 0])
             acc[0] += int(r["n_docs"])
             acc[1] += int(r["n_tokens"])

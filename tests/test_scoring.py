@@ -408,10 +408,13 @@ def test_ccnet_buckets_are_balanced_and_ordered(spark):
     for lang, grp in out.groupby("lang"):
         sizes = grp.groupby("bucket").size()
         assert sizes.max() - sizes.min() <= 1, (lang, dict(sizes))
+        # a <3-doc language yields fewer than 3 buckets; compare only
+        # adjacent buckets that exist so the assert (not a KeyError)
+        # reports any ordering violation
         by = {b: g["avg_tf"] for b, g in grp.groupby("bucket")}
-        if "middle" in by:
-            assert by["head"].min() >= by["middle"].max()
-            assert by["middle"].min() >= by["tail"].max()
+        order = [b for b in ("head", "middle", "tail") if b in by]
+        for hi, lo in zip(order, order[1:]):
+            assert by[hi].min() >= by[lo].max(), (lang, hi, lo)
 
 
 def test_quality_agreement_matrix_is_consistent(spark):

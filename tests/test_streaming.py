@@ -422,10 +422,9 @@ def test_stream_merges_are_idempotent_on_redelivery(spark):
     """A redelivered batch_id must not double-add into driver state:
     calling the merge closure twice with the same id is a no-op the
     second time (the foreachBatch retry contract)."""
-    from hha_spark.operators.corpus import mixture_readout
+    from hha_spark.operators.corpus import mixture_readout, per_source_stats
     from hha_spark.queries.corpus import corpus_temperature_mixture
     from hha_spark.sources.tables import load_table
-    from pyspark.sql import functions as F
 
     sf = "/root/testdata/sf0.001"
 
@@ -436,12 +435,7 @@ def test_stream_merges_are_idempotent_on_redelivery(spark):
     def merge(batch_df, batch_id):
         if batch_id in applied:
             return
-        per = batch_df.groupBy("source").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.size(F.split(F.col("text"), " ")))
-            .cast("long").alias("n_tokens"),
-        )
-        for r in per.collect():
+        for r in per_source_stats(batch_df).collect():
             acc = state.setdefault(r["source"], [0, 0])
             acc[0] += int(r["n_docs"])
             acc[1] += int(r["n_tokens"])

@@ -131,3 +131,21 @@ def test_gopher_rules_hand_computed(spark):
     assert out[3]["keep"] is False
     # bigram accounting on the crafted doc: 60 tokens -> 59 windows
     assert out[3]["n_tokens"] == 60 and out[3]["n_bigrams"] == 59
+
+
+def test_fixture_text_is_single_byte_ascii(spark):
+    """Pins the PRECONDITION of the frame-sample oracle (and every
+    byte-vs-char equivalence in the suite): documents text must stay
+    single-byte. A regenerated multi-byte fixture would make DuckDB's
+    character substr disagree with the operator's byte chunking — this
+    assert turns that silent oracle divergence into a named failure."""
+    from pyspark.sql import functions as F
+
+    from hha_spark.sources.tables import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf, "documents")
+        bad = docs.where(
+            F.length("text") != F.octet_length("text")
+        ).count()
+        assert bad == 0, f"{sf}: {bad} multi-byte docs"
