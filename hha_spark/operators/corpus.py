@@ -776,13 +776,25 @@ def mixture_readout(
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("w_sqrt").alias("total_w"),
     )
-    target = (
-        f"CAST((CAST(total_tokens AS DECIMAL(38,0)) * {budget_frac_pct}"
-        " div 100) * w_sqrt div total_w AS BIGINT)"
-    )
+    # budget fits int64 for any total_tokens < 2^53 (the isqrt bound);
+    # the DANGEROUS product is budget * w_sqrt, lifted to DECIMAL.
+    # NOTE Spark's `div` returns BIGINT, so the decimal cast must wrap
+    # the product DIRECTLY — `(DEC div 100) * w` would collapse back
+    # to int64 mid-chain and wrap silently (caught by
+    # test_mixture_readout_exact_past_int64_wrap).
     return (
         weighted.join(F.broadcast(totals))
-        .withColumn("target_tokens", F.expr(target))
+        .withColumn(
+            "budget_tokens",
+            F.expr(f"total_tokens * {budget_frac_pct} div 100"),
+        )
+        .withColumn(
+            "target_tokens",
+            F.expr(
+                "CAST(CAST(budget_tokens AS DECIMAL(38,0)) * w_sqrt"
+                " div total_w AS BIGINT)"
+            ),
+        )
         .select(
             "source",
             "n_docs",

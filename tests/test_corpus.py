@@ -361,3 +361,36 @@ def test_ngram_novelty_hand_computed(spark, monkeypatch):
     assert out[1]["n_novel_grams"] == 0 and out[1]["novelty_ppm"] == 0
     assert out[2]["n_distinct_grams"] == 2
     assert out[2]["n_novel_grams"] == 1 and out[2]["novelty_ppm"] == 500_000
+
+
+def test_mixture_readout_exact_past_int64_wrap(spark):
+    """Sufficient statistics at ~5e15 tokens/source (a 100 TB-scale
+    corpus): budget*w_sqrt exceeds int64, so the DECIMAL(38,0) path
+    must still produce the exact Python-bigint values — the int64
+    formulation would wrap negative here."""
+    import math
+
+    from hha_spark.operators.corpus import mixture_readout
+
+    stats = [("a", 10**6, 5_000_000_000_000_000),
+             ("b", 10**6, 1_250_000_000_000_000),
+             ("c", 10**6, 9_000_000_000_000)]
+    df = spark.createDataFrame(
+        stats, "source string, n_docs long, n_tokens long"
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_readout(df, budget_frac_pct=50).collect()
+    }
+    total = sum(n for _, _, n in stats)
+    ws = {s: math.isqrt(n) for s, _, n in stats}
+    total_w = sum(ws.values())
+    budget = total * 50 // 100
+    for s, _, n in stats:
+        target = budget * ws[s] // total_w
+        assert budget * ws[s] > 2**63, "fixture must actually wrap int64"
+        assert out[s]["w_sqrt"] == ws[s]
+        assert out[s]["share_ppm"] == ws[s] * 1_000_000 // total_w
+        assert out[s]["target_tokens"] == target
+        assert out[s]["sampled_tokens"] == min(n, target)
+        assert out[s]["oversample_ppm"] == target * 1_000_000 // n
