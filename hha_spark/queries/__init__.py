@@ -59,22 +59,24 @@ _MODULES = (
 # Order is the driver's verification window: it oracle-checks the FIRST
 # 50 names yielded. Round-6 rotation — with every query driver-verified
 # green after r5 (cumulative 161/161), the policy shifts from COVERAGE
-# to FRESHNESS (r5 VERDICT "Next round" #2): positions 1-10 are this
-# round's NEW gates (trained logreg quality classifier, incremental
-# strip-spans admission gate, Gopher repetition rules, benchmark
-# decontamination, bigram-LM transition score, the stateful cross-batch
-# streaming sessionizer, mutual-kNN graph, blocklist scrub, stratified
-# sample); 10-14 are round-5 greens whose operator code changed this
-# round (containment set-ifies tokens, BM25 dl fused into the postings
-# key + matched-postings persist, attribution watermark raised to
-# max_delay, bpe pair explode de-quadraticized) and so need fresh rows;
-# 15-50 are the STALEST greens ordered by oldest verification round —
-# the full r1 vintage (dedup/ANN/text/temporal flagships), the r2
-# window suite, and the oldest r3 relational rows (names listed past
-# position 50 rotate, with the remaining r3-vintage greens, next round
-# — keeping max staleness bounded). Names here that fall out of the
-# registry are ignored defensively; queries not listed follow in module
-# order. Policy: COVERAGE.md "Registry rotation".
+# to FRESHNESS (r5 VERDICT "Next round" #2): positions 1-31 are this
+# round's NEVER-CHECKED new gates (sessions 6a-6d: trained quality
+# classifier, incremental strip-spans, Gopher rules, decontamination,
+# bigram LM, streaming sessionizer/hopping/native-dedup/CMS/mixture,
+# mutual-kNN, blocklist scrub, stratified sample, winnowing, SQ8
+# family, semantic decontaminate, cluster mixture, health report,
+# n-gram novelty, DSIR, gate agreement, temperature mixture, CCNet
+# buckets, canonical pick, budget fill, IVF ingest, frame-sample
+# fan-out); next 5 are round-5 greens whose operator code changed this
+# round (containment set-ifies tokens, BM25 dl fused, attribution
+# watermark raised to max_delay, bpe pair explode de-quadraticized)
+# and so need fresh rows; the remaining slots are the STALEST greens
+# (r1 vintage first). The r2 window suite and all r3-vintage greens
+# fell past position 50 this round and rotate in next round, with the
+# round-4 curation/sketches/scoring rows after them — keeping max
+# staleness bounded. Names here that fall out of the registry are
+# ignored defensively; queries not listed follow in module order.
+# Policy: COVERAGE.md "Registry rotation".
 _NEVER_CHECKED_FIRST = (
     # -- 9 round-6 new gates, never driver-checked --
     "quality_classifier_trained", "corpus_strip_spans_incremental",
