@@ -57,55 +57,30 @@ _MODULES = (
 )
 
 # Order is the driver's verification window: it oracle-checks the FIRST
-# 50 names yielded. Round-6 rotation — with every query driver-verified
-# green after r5 (cumulative 161/161), the policy shifts from COVERAGE
-# to FRESHNESS (r5 VERDICT "Next round" #2): positions 1-31 are this
-# round's NEVER-CHECKED new gates (sessions 6a-6d: trained quality
-# classifier, incremental strip-spans, Gopher rules, decontamination,
-# bigram LM, streaming sessionizer/hopping/native-dedup/CMS/mixture,
-# mutual-kNN, blocklist scrub, stratified sample, winnowing, SQ8
-# family, semantic decontaminate, cluster mixture, health report,
-# n-gram novelty, DSIR, gate agreement, temperature mixture, CCNet
-# buckets, canonical pick, budget fill, IVF ingest, frame-sample
-# fan-out); next 5 are round-5 greens whose operator code changed this
-# round (containment set-ifies tokens, BM25 dl fused, attribution
-# watermark raised to max_delay, bpe pair explode de-quadraticized)
-# and so need fresh rows; the remaining slots are the STALEST greens
-# (r1 vintage first). The r2 window suite and all r3-vintage greens
-# fell past position 50 this round and rotate in next round, with the
-# round-4 curation/sketches/scoring rows after them — keeping max
-# staleness bounded. Names here that fall out of the registry are
-# ignored defensively; queries not listed follow in module order.
+# 50 names yielded. Round-7 rotation — after r6 every one of the 189
+# registry queries has a driver-verified green row, but 47 of those
+# rows are r1-r3 vintage (r6 VERDICT "Next round" #1). This round's
+# window finishes the freshness cycle: positions 1-2 are round-7
+# NEVER-CHECKED new gates (bounded-disorder sessionization; graph-
+# cluster mixture completing the mutual-kNN family), position 3 is the
+# one round-7 code-touched re-gate (corpus_dsir_weights: ratio lifted
+# to DECIMAL(38,0)/HUGEINT per r6 ADVICE — arithmetic changed on both
+# engines, needs a fresh row), and positions 4-50 are ALL 47 stale
+# greens in staleness order (1 r1, 1 r2, 45 r3). After a green r7
+# window, max driver-row staleness is <= 3 rounds registry-wide.
+# Names here that fall out of the registry are ignored defensively;
+# queries not listed follow in module order.
 # Policy: COVERAGE.md "Registry rotation".
 _NEVER_CHECKED_FIRST = (
-    # -- 9 round-6 new gates, never driver-checked --
-    "quality_classifier_trained", "corpus_strip_spans_incremental",
-    "text_gopher_quality", "corpus_decontaminate", "text_bigram_lm_score",
-    "stream_sessionize_incremental", "knn_graph_mutual",
-    "corpus_blocklist_scrub", "corpus_stratified_sample",
-    "stream_events_hopping", "corpus_winnowing_fps",
-    "stream_native_dedup",
-    # -- session-6c embedding-ops gates, never driver-checked --
-    "ann_topk_sq8", "ann_sq8_recall", "corpus_semantic_decontaminate",
-    "corpus_cluster_mixture", "embedding_health_report",
-    "corpus_ngram_novelty", "stream_cms_heavy", "corpus_dsir_weights",
-    "quality_gate_agreement", "corpus_temperature_mixture",
-    "corpus_ccnet_buckets", "dedup_canonical_pick",
-    "corpus_token_budget_fill", "stream_temperature_mixture",
-    "ann_ivf_assign_incremental", "multimodal_frame_sample",
-    # -- 5 round-6 code-touched re-gates --
-    "dedup_containment", "dedup_containment_incremental",
-    "text_bm25_topk", "stream_attribution_join", "bpe_merge_candidates",
-    # -- 18 r1-vintage greens (stalest) --
-    "dedup_ngram_jaccard", "dedup_trigram_jaccard", "dedup_minhash_recall",
-    "dedup_simhash", "ann_topk_cosine", "ann_topk_ivf",
-    "embedding_cosine_pairs", "doc_array_features", "corpus_vocabulary",
-    "doc_top_terms", "text_stats_docs", "text_langid", "text_quality",
-    "doc_fingerprint", "text_token_count", "multimodal_blob_stats",
-    "events_asof_last_purchase", "events_pairs_within_30min",
+    # -- 2 round-7 new gates, never driver-checked --
+    "stream_sessionize_disorder", "corpus_graph_cluster_mixture",
+    # -- 1 round-7 code-touched re-gate (DECIMAL lift, r6 ADVICE) --
+    "corpus_dsir_weights",
+    # -- 1 r1-vintage green (stalest row registry-wide) --
+    "events_pairs_within_30min",
     # -- 1 r2-vintage --
     "customer_window_suite",
-    # -- 23 oldest r3-vintage --
+    # -- 45 r3-vintage greens --
     "top_revenue_orders", "customer_order_stats", "nation_region_rollup",
     "distinct_parts_per_flag", "top3_customers_per_nation",
     "customers_without_orders", "suppliers_in_rich_nations",
@@ -114,7 +89,16 @@ _NEVER_CHECKED_FIRST = (
     "lineitem_status_pivot", "orders_cube", "median_qty_per_flag",
     "approx_stats", "orders_with_big_lineitem", "customer_name_features",
     "nations_customers_only", "customer_running_spend", "order_gap_days",
-    "customer_balance_quartiles",
+    "customer_balance_quartiles", "events_value_histogram",
+    "event_value_stats", "sql_nation_revenue", "q3_shipping_priority",
+    "q5_local_supplier_volume", "stratified_sample_docs",
+    "corpus_train_val_test", "corpus_select_training", "dedup_survivors",
+    "events_session_window", "q4_priority_returns", "q7_volume_shipping",
+    "q12_priority_lines", "q14_promo_revenue", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q21_exclusive_returns",
+    "q22_inactive_rich_customers", "daily_activity_fulljoin",
+    "orders_grouping_sets", "lineitem_measures_unpivot",
+    "lineitem_price_qty_corr",
 )
 
 
