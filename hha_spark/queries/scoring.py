@@ -741,6 +741,39 @@ DSIR_B = 1024
 DSIR_TARGET_LANG = "en"
 
 
+def dsir_bucket_ratios(raw):
+    """Per-bucket Laplace-smoothed target/raw probability ratio in
+    exact integer ppm, from bucket statistics
+    (bucket, c_raw, c_tgt) — factored out of corpus_dsir_weights so
+    the overflow contract is unit-testable at synthetic 100 TB-scale
+    statistics without a 100 TB corpus.
+
+    Overflow contract: the numerator (c_tgt+1)*(t_raw+B)*1e6 crosses
+    int64 around 1e8 total corpus tokens and the denominator
+    (c_raw+1)*(t_tgt+B) around 1e9 — both far inside the 100 TB
+    design envelope — so BOTH products run in DECIMAL(38,0)
+    (HUGEINT in the oracle) and only the final quotient is cast back
+    to BIGINT (~1e6-scale, always fits). Spark's `div` returns
+    BIGINT for integral inputs, so the decimal cast wraps each
+    dangerous product DIRECTLY (the mixture_readout discipline);
+    values are identical to the int64 formulation wherever that one
+    doesn't wrap (test_dsir_ratios_exact_past_int64_wrap).
+    """
+    tot = raw.agg(
+        F.sum("c_raw").cast("long").alias("t_raw"),
+        F.sum("c_tgt").cast("long").alias("t_tgt"),
+    )
+    return raw.join(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"CAST(CAST(c_tgt + 1 AS DECIMAL(38,0))"
+            f" * (t_raw + {DSIR_B}) * 1000000"
+            f" DIV (CAST(c_raw + 1 AS DECIMAL(38,0))"
+            f" * (t_tgt + {DSIR_B})) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+
+
 def corpus_dsir_weights(spark, sf_dir):
     """DSIR-style data selection with importance resampling (Xie et
     al. 2023) in its hashed-feature form: score every raw document by
@@ -783,19 +816,7 @@ def corpus_dsir_weights(spark, sf_dir):
         .cast("long")
         .alias("c_tgt"),
     )
-    tot = raw.agg(
-        F.sum("c_raw").cast("long").alias("t_raw"),
-        F.sum("c_tgt").cast("long").alias("t_tgt"),
-    )
-    ratios = raw.join(F.broadcast(tot)).select(
-        "bucket",
-        F.expr(
-            f"(c_tgt + 1) * (t_raw + {DSIR_B}) * 1000000"
-            f" DIV ((c_raw + 1) * (t_tgt + {DSIR_B}))"
-        )
-        .cast("long")
-        .alias("ratio_ppm"),
-    )
+    ratios = dsir_bucket_ratios(raw)
     scored = (
         toks.join(F.broadcast(ratios), on="bucket")
         .groupBy("doc_id")
@@ -840,10 +861,12 @@ ORACLE_DSIR = f"""
     tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
                    CAST(SUM(c_tgt) AS BIGINT) AS t_tgt FROM raw),
     ratios AS (
+      -- HUGEINT products mirror the Spark side's DECIMAL(38,0):
+      -- numerator wraps int64 ~1e8 corpus tokens, denominator ~1e9
       SELECT bucket,
-             CAST((c_tgt + 1) * (t_raw + {DSIR_B}) * 1000000
-                  // ((c_raw + 1) * (t_tgt + {DSIR_B})) AS BIGINT)
-               AS ratio_ppm
+             CAST(CAST(c_tgt + 1 AS HUGEINT) * (t_raw + {DSIR_B}) * 1000000
+                  // (CAST(c_raw + 1 AS HUGEINT) * (t_tgt + {DSIR_B}))
+                  AS BIGINT) AS ratio_ppm
       FROM raw, tot),
     scored AS (
       SELECT doc_id,

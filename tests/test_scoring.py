@@ -430,3 +430,32 @@ def test_quality_agreement_matrix_is_consistent(spark):
     assert len(out) <= 4
     for _, r in out.iterrows():
         assert r["share_ppm"] == r["n_docs"] * 1_000_000 // n_docs
+
+
+def test_dsir_ratios_exact_past_int64_wrap(spark):
+    """Bucket statistics at ~2e13 corpus tokens (100 TB-scale): the
+    ratio numerator (c_tgt+1)*(t_raw+B)*1e6 and denominator
+    (c_raw+1)*(t_tgt+B) both exceed int64, so the DECIMAL(38,0) path
+    must still produce the exact Python-bigint quotients — the int64
+    formulation wraps here (Spark non-ANSI wraps silently, which is
+    exactly the divergence this pins)."""
+    from hha_spark.queries.scoring import DSIR_B, dsir_bucket_ratios
+
+    stats = [
+        (0, 9_000_000_000_000, 5_000_000_000_000),
+        (1, 7_000_000_000_000, 1_000_000_000),
+        (2, 4_000_000_000_000, 3_999_999_999_999),
+    ]
+    df = spark.createDataFrame(
+        stats, "bucket int, c_raw long, c_tgt long"
+    )
+    t_raw = sum(c for _, c, _ in stats)
+    t_tgt = sum(c for _, _, c in stats)
+    out = {r["bucket"]: r["ratio_ppm"] for r in dsir_bucket_ratios(df).collect()}
+    wrapped = False
+    for b, c_raw, c_tgt in stats:
+        num = (c_tgt + 1) * (t_raw + DSIR_B) * 1_000_000
+        den = (c_raw + 1) * (t_tgt + DSIR_B)
+        wrapped = wrapped or num > 2**63 or den > 2**63
+        assert out[b] == num // den, (b, out[b], num // den)
+    assert wrapped, "fixture must actually exceed int64"
