@@ -62,17 +62,26 @@ QC_LABEL_NTOK = 55  # seed heuristic: quality doc <=> >= 55 tokens
 _Q = 1_000_000  # micro-unit fixed point
 
 
+# IEEE-double integer exactness limit: _tdiv's floor(abs/abs) routes
+# through double, exact only for |operand| < 2^53. Pinned, not assumed:
+# tests/test_scoring.py::test_tdiv_exact_to_double_boundary exercises
+# the boundary, and train_logreg_fixedpoint asserts each step that the
+# logit bound max|w| * max(sum x) stays under it.
+_TDIV_EXACT_BOUND = 1 << 53
+
+
 def _tdiv(col: Column, den: Column | int) -> Column:
     """Integer division truncating toward zero, engine-portable: both
     operands are routed through abs() so only non-negative division —
     where trunc and floor agree everywhere — ever executes.
 
     Exactness bound: floor(abs/abs) goes through IEEE double, which is
-    exact only below 2^53. That holds by construction for every
+    exact only below 2^53 (_TDIV_EXACT_BOUND). That holds for every
     Spark-side call site — logits are bounded by (B+1) * max|w| *
-    max(x) ~ 1e9 and labels by 1e6 — because the one place big
-    integers arise (gradient SUMS, ~n_docs * 1e9) is divided
-    DRIVER-side in arbitrary-precision Python ints
+    max(x) ~ 1e9 (ENFORCED per training step, see
+    train_logreg_fixedpoint) and labels by 1e6 — because the one
+    place big integers arise (gradient SUMS, ~n_docs * 1e9) is
+    divided DRIVER-side in arbitrary-precision Python ints
     (train_logreg_fixedpoint.upd), never through this helper."""
     d = F.lit(den) if isinstance(den, int) else den
     q = F.floor(F.abs(col) / F.abs(d)).cast("long")
@@ -145,6 +154,12 @@ def train_logreg_fixedpoint(
             feat.select(e, *cols)
             .agg(
                 F.count(F.lit(1)).alias("n"),
+                # max feature-vector mass: one extra combinable max
+                # that lets the driver pin the _tdiv exactness bound
+                # on the NEXT step's logits (|z| <= max|w| * sum x)
+                F.max(
+                    sum((F.col(c) for c in cols), F.lit(0).cast("long"))
+                ).alias("mx"),
                 *[
                     F.sum(F.col("e") * F.col(c)).cast("long").alias(f"g{i}")
                     for i, c in enumerate(cols)
@@ -160,6 +175,17 @@ def train_logreg_fixedpoint(
             return wj - (-q if gj < 0 else q)
 
         w = [upd(w[i], int(row[f"g{i}"])) for i in range(len(cols))]
+        # the weights just computed feed the next step's logit z (and,
+        # after the last step, logreg_scores over this same feature
+        # frame); _tdiv(z, 4) is exact only for |z| < 2^53, so pin the
+        # invariant here in exact Python-int arithmetic rather than
+        # assuming the docstring's magnitude argument
+        z_bound = max(abs(x) for x in w) * int(row["mx"])
+        if z_bound >= _TDIV_EXACT_BOUND:
+            raise OverflowError(
+                f"logit bound {z_bound} exceeds _tdiv's 2^53 double-"
+                "exactness limit; rescale weights/features (quality.py)"
+            )
     return w
 
 

@@ -459,3 +459,48 @@ def test_dsir_ratios_exact_past_int64_wrap(spark):
         wrapped = wrapped or num > 2**63 or den > 2**63
         assert out[b] == num // den, (b, out[b], num // den)
     assert wrapped, "fixture must actually exceed int64"
+
+
+def test_tdiv_exact_to_double_boundary(spark):
+    """_tdiv routes |x|/|d| through IEEE double; exactness holds for
+    |x| < 2^53 (_TDIV_EXACT_BOUND) and demonstrably breaks above it.
+    Adversarial cases hug the boundary from below with divisors that
+    stress the mantissa; the 2^53+1 case pins WHY the trainer enforces
+    the bound (the double rounds x itself before dividing)."""
+    from hha_spark.operators.quality import _TDIV_EXACT_BOUND, _tdiv
+
+    assert _TDIV_EXACT_BOUND == 2**53
+    cases = []
+    for k in (1, 2, 3, 5, 7):
+        for d in (1, 3, 4, 7, 97, 1_000_000):
+            x = 2**53 - k
+            cases.append((x, d))
+            cases.append((-x, d))
+    cases += [(0, 4), (7, 4), (-7, 4), (2**31 + 1, 3), (-(2**31 + 1), 3)]
+    df = spark.createDataFrame(cases, "x long, d long")
+    out = df.select("x", "d", _tdiv(F.col("x"), F.col("d")).alias("q")).collect()
+    for r in out:
+        want = -(abs(r["x"]) // r["d"]) if r["x"] < 0 else r["x"] // r["d"]
+        assert r["q"] == want, (r["x"], r["d"], r["q"], want)
+    # above the bound the helper is WRONG — this is the failure the
+    # training-loop OverflowError guard exists to keep unreachable
+    bad = spark.createDataFrame([(2**53 + 1, 1)], "x long, d long")
+    (got,) = bad.select(_tdiv(F.col("x"), F.col("d")).alias("q")).collect()
+    assert got["q"] == 2**53 != 2**53 + 1
+
+
+def test_trainer_guard_trips_past_tdiv_bound(spark):
+    """A feature frame engineered so the first weight update lands
+    max|w| * max(sum x) past 2^53 must raise, not silently train on
+    inexact logits."""
+    import pytest
+
+    from hha_spark.operators.quality import train_logreg_fixedpoint
+
+    # one doc, one huge bucket count: gradient g0 = (sig - ym) * x0 =
+    # (500000 - 1000000) * 4e9 => w0 becomes ~2e13 after step 1 with
+    # lr_den=1; z_bound ~ 2e13 * 4e9 >> 2^53
+    row = [(1, 1_000_000, 4_000_000_000, 1)]
+    feat = spark.createDataFrame(row, "doc_id long, ym long, x0 long, xb long")
+    with pytest.raises(OverflowError, match="2\\^53"):
+        train_logreg_fixedpoint(feat, n_buckets=1, steps=2, lr_den=1)
