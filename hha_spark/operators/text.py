@@ -188,7 +188,7 @@ def fingerprint(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 
 def unigram_lm_scores(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
-    head_k: int = 1024,
+    head_k: int = 1024, carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Corpus-unigram-LM document scoring — the KenLM-perplexity-filter
     shape (CCNet / Gopher pipelines) with an integer-exact surrogate:
@@ -202,6 +202,14 @@ def unigram_lm_scores(
     what the filter consumes, and tf-order equals (-log p)-reverse-
     order exactly.
 
+    `carry_cols` are doc-constant columns (e.g. lang) carried through
+    the token frame into the per-doc groupBy keys, so callers needing
+    them avoid re-joining the scores back to the doc table on id —
+    that join is a second full exchange of a doc-level projection,
+    while carrying a short doc-constant column costs only its bytes
+    inside the one token shuffle that already happens (the vocabulary
+    branch prunes it entirely).
+
     Scale shape: the token->count join is the classic skew trap — a
     stopword head token can carry 5%+ of ALL rows. Mitigation here is
     the standard head/tail split: the top `head_k` vocabulary entries
@@ -214,10 +222,22 @@ def unigram_lm_scores(
     """
     toks = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     )
-    vocab = toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    from hha_spark.caching import tracked_persist
+
+    # the DAG references vocab from THREE branches (head top-k, the
+    # broadcast tag, the tail join); Spark's exchange reuse does not
+    # unify them across the union, so without a persist the
+    # vocabulary aggregate's shuffle runs three times (plan-verified:
+    # exchanges at each branch). vocab is vocabulary-sized — the
+    # aggregate output, never the token stream — so pinning it is the
+    # bounded-artifact persist the caching contract exists for.
+    vocab = tracked_persist(
+        toks.groupBy("token").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
     )
     # TakeOrdered top-k — vocab-sized sort, never data-sized
     head = vocab.orderBy(F.desc("tf"), F.asc("token")).limit(head_k)
@@ -228,7 +248,7 @@ def unigram_lm_scores(
         .join(vocab, on="token")  # head keys removed -> no hot reducer
     )
     scored = tagged.where(F.col("tf").isNotNull()).unionByName(tail_scored)
-    return scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col, *carry_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum("tf").cast("long").alias("sum_tf"),
         F.min("tf").cast("long").alias("min_tf"),
@@ -254,7 +274,10 @@ def perplexity_buckets(
     depending on either engine's NTILE tie semantics.
 
     Scale shape: scoring inherits unigram_lm_scores' skew-split
-    vocabulary join; the per-language rank is a window over the
+    vocabulary join, with lang CARRIED through the scoring aggregate
+    (carry_cols) rather than re-joined on doc_id — the join was a
+    second full exchange of a doc-level projection on top of the
+    aggregate's own; the per-language rank is then a window over the
     (doc_id, lang, avg_tf) projection — three narrow columns, one
     shuffle keyed by language. A single language dominating the
     corpus makes that window one giant partition; the scale fix is
@@ -265,10 +288,10 @@ def perplexity_buckets(
     """
     from pyspark.sql import Window
 
-    scores = unigram_lm_scores(
-        df, text_col=text_col, id_col=id_col, head_k=head_k
+    labeled = unigram_lm_scores(
+        df, text_col=text_col, id_col=id_col, head_k=head_k,
+        carry_cols=(lang_col,),
     )
-    labeled = df.select(id_col, lang_col).join(scores, id_col)
     w_rank = Window.partitionBy(lang_col).orderBy(
         F.col("avg_tf").desc(), F.col(id_col).asc()
     )
