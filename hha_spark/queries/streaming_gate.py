@@ -636,24 +636,37 @@ def _write_time_slices(ev: DataFrame, tmp: str, n_slices: int) -> str:
     """Write (user_id, ts_us) into n chronological parquet files with
     strictly increasing mtimes, so the file source (maxFilesPerTrigger
     =1) replays them as ordered micro-batches — the per-user
-    time-ordered ingest contract streaming/sessionize.py documents."""
+    time-ordered ingest contract streaming/sessionize.py documents.
+
+    One pass: slice id is a derived column, repartition("_slice")
+    puts each slice's rows in a single partition, and the dynamic-
+    partitioned write emits exactly one file per slice directory —
+    vs. the previous n single-task filtered scans of the whole
+    table."""
     import glob
     import os
     import shutil
     import time
 
     lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = hi - lo + 1
+    (
+        ev.withColumn(
+            "_slice",
+            F.expr(
+                f"least({n_slices - 1} + 0L,"
+                f" (ts_us - {lo}) * {n_slices} div {span})"
+            ),
+        )
+        .repartition("_slice")
+        .write.partitionBy("_slice")
+        .parquet(f"{tmp}/sliced")
+    )
     in_dir = f"{tmp}/in"
     os.makedirs(in_dir)
     base = time.time() - 1000
     for i in range(n_slices):
-        a = lo + (hi - lo + 1) * i // n_slices
-        b = lo + (hi - lo + 1) * (i + 1) // n_slices
-        part_dir = f"{tmp}/slice{i}"
-        ev.where((F.col("ts_us") >= a) & (F.col("ts_us") < b)).coalesce(
-            1
-        ).write.parquet(part_dir)
-        (part,) = glob.glob(f"{part_dir}/part-*.parquet")
+        (part,) = glob.glob(f"{tmp}/sliced/_slice={i}/part-*.parquet")
         dst = f"{in_dir}/slice{i}.parquet"
         shutil.move(part, dst)
         os.utime(dst, (base + 10 * i, base + 10 * i))
@@ -664,13 +677,18 @@ def stream_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     """The fifth streaming topology under the oracle gate: stateful
     CROSS-MICRO-BATCH sessionization (streaming/sessionize.py). The
     events table is split into three chronological files replayed as
-    three micro-batches (maxFilesPerTrigger=1 + availableNow); open
-    sessions carry forward in a versioned state table and merge with
-    the next batch, so a session spanning a slice boundary is
-    reassembled across state — the thing the other four topologies
-    never exercise. The final per-user rollup (closed sessions + end-
-    of-stream flush) must equal one-shot batch sessionization, which
-    is the DuckDB gaps-and-islands oracle.
+    TWO micro-batches (maxFilesPerTrigger=2 + availableNow — two
+    files then one, so the source's multi-file batching and the
+    cross-batch state boundary are both exercised); open sessions
+    carry forward in a versioned state table and merge with the next
+    batch, so a session spanning the batch boundary is reassembled
+    across state — the thing the other four topologies never
+    exercise. (Measured: each extra micro-batch costs ~1 s of fixed
+    engine+commit overhead at any sf, so the gate uses the fewest
+    batches that still cross state; the 3-batch replay stays covered
+    by tests/test_sessionize_stream.py.) The final per-user rollup
+    (closed sessions + end-of-stream flush) must equal one-shot batch
+    sessionization, which is the DuckDB gaps-and-islands oracle.
 
     Scale: state is one open session per active user; each batch does
     one user-keyed window + a semi/anti state split. See the module
@@ -693,7 +711,7 @@ def stream_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             closed_path=f"{tmp}/closed",
             checkpoint=f"{tmp}/ckpt",
             gap_us=SESS_GAP_US,
-            max_files_per_trigger=1,
+            max_files_per_trigger=2,
             available_now=True,
         )
         q.awaitTermination()
