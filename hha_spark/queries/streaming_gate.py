@@ -979,3 +979,149 @@ from hha_spark.queries.corpus import (  # noqa: E402
 ORACLES["stream_temperature_mixture"] = _CORPUS_ORACLES[
     "corpus_temperature_mixture"
 ]
+
+
+# bounded-disorder delivery for the sessionize-disorder gate: events
+# within this window below a slice boundary may arrive one file late
+SESS_DISORDER_US = 6 * 3600 * 1_000_000  # 6h (gap is 12h)
+
+
+def _write_disorder_slices(
+    ev: DataFrame, tmp: str, n_slices: int, delay_us: int
+) -> str:
+    """Time-sliced files with bounded-LATE delivery: an event within
+    delay_us below its slice's top boundary moves to the NEXT file
+    when a deterministic md5 parity selects it. The arrival stream
+    then violates per-user time order (the ordered processor's
+    contract) while honoring the bounded-disorder contract with
+    disorder_us = delay_us: files before f top out at T_{f-1}-1, and
+    every late event in f has ts > T_{f-1} - delay_us > max_seen -
+    delay_us. One pass, one file per slice, mtime-ordered replay —
+    same mechanics as _write_time_slices."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from hha_spark.operators.sketch import md5_mod
+
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = hi - lo + 1
+    base = F.expr(
+        f"least({n_slices - 1} + 0L,"
+        f" (ts_us - {lo}) * {n_slices} div {span})"
+    )
+    # exclusive top boundary of the base slice: slice(ts) = s  <=>
+    # lo + ceil(s*span/n) <= ts < lo + ceil((s+1)*span/n)
+    top = F.expr(
+        f"{lo} + ((_base + 1) * {span} + {n_slices - 1}) div {n_slices}"
+    )
+    delayed = (
+        (F.col("ts_us") > F.col("_top") - delay_us)
+        & (F.col("_base") < n_slices - 1)
+        & (
+            md5_mod(
+                "sessdelay|",
+                F.concat_ws(":", F.col("user_id"), F.col("ts_us")),
+                2,
+            )
+            == 0
+        )
+    )
+    (
+        ev.withColumn("_base", base)
+        .withColumn("_top", top)
+        .withColumn(
+            "_file", F.col("_base") + delayed.cast("long")
+        )
+        .drop("_base", "_top")
+        .repartition("_file")
+        .write.partitionBy("_file")
+        .parquet(f"{tmp}/sliced")
+    )
+    in_dir = f"{tmp}/in"
+    os.makedirs(in_dir)
+    mtime = time.time() - 1000
+    for i in range(n_slices):
+        (part,) = glob.glob(f"{tmp}/sliced/_file={i}/part-*.parquet")
+        dst = f"{in_dir}/slice{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (mtime + 10 * i, mtime + 10 * i))
+    return in_dir
+
+
+def stream_sessionize_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-disorder sessionization under the oracle gate: the
+    events table replays as three mtime-ordered files in which
+    boundary events are delivered one file LATE (bounded by
+    SESS_DISORDER_US), so per-user arrival order is genuinely
+    violated across micro-batches — the contract the ordered
+    sessionizer cannot handle. The watermark processor
+    (streaming/sessionize.py::make_disorder_sessionize_processor)
+    buffers immature events, sessionizes the mature stream in global
+    time order, and closes sessions only once the watermark passes
+    end + gap; closed epochs + the end-of-stream flush must equal
+    one-shot batch sessionization — the SAME DuckDB gaps-and-islands
+    oracle as the ordered gate, which is the point: delivery order
+    changed, the answer may not.
+
+    Scale: state adds an event buffer bounded by disorder window x
+    event rate on top of the O(active users) open sessions — the
+    same cost Spark's own watermarking pays; everything else is the
+    ordered processor's per-batch shape (one user-keyed shuffle, one
+    semi/anti state split).
+    """
+    from hha_spark.streaming.sessionize import (
+        final_sessions_disorder,
+        run_disorder_sessionizer,
+    )
+
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select("user_id", events_ts_us(ev_raw).alias("ts_us"))
+    with _gate_scratch("hha_stream_sessdis_") as tmp, _gate_shuffle(spark):
+        in_dir = _write_disorder_slices(
+            ev, tmp, SESS_SLICES, SESS_DISORDER_US
+        )
+        q = run_disorder_sessionizer(
+            spark,
+            data_root=in_dir,
+            schema="user_id long, ts_us long",
+            state_root=f"{tmp}/state",
+            buffer_root=f"{tmp}/buffer",
+            closed_path=f"{tmp}/closed",
+            checkpoint=f"{tmp}/ckpt",
+            gap_us=SESS_GAP_US,
+            disorder_us=SESS_DISORDER_US,
+            max_files_per_trigger=1,
+            available_now=True,
+        )
+        q.awaitTermination()
+        sessions = final_sessions_disorder(
+            spark,
+            state_root=f"{tmp}/state",
+            buffer_root=f"{tmp}/buffer",
+            closed_path=f"{tmp}/closed",
+            gap_us=SESS_GAP_US,
+        )
+        out = sessions.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max(F.col("end_us") - F.col("start_us"))
+            .cast("long")
+            .alias("max_len_us"),
+            F.sum(F.col("end_us") - F.col("start_us"))
+            .cast("long")
+            .alias("sum_len_us"),
+        )
+        rows = out.collect()
+    return spark.createDataFrame(
+        rows,
+        "user_id long, n_sessions long, n_events long, "
+        "max_len_us long, sum_len_us long",
+    )
+
+
+QUERIES["stream_sessionize_disorder"] = stream_sessionize_disorder
+# delivery order changed, the event SET did not: the ordered gate's
+# batch oracle is verbatim the disorder gate's oracle
+ORACLES["stream_sessionize_disorder"] = ORACLE_STREAM_SESSIONIZE

@@ -175,3 +175,186 @@ def test_empty_state_and_absent_closed(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == [
         "user_id", "start_us", "end_us", "n_events",
     ]
+
+
+# --- bounded-disorder variant -----------------------------------------
+# same sessions as ROWS plus user 4, whose early event (4, 80) is
+# delivered TWO batches of progress late (lateness 520 vs the file max
+# 600 already seen) — the case the ordered processor gets wrong
+ROWS_D = ROWS + [(4, 0), (4, 80), (4, 600)]
+DIS_W = 520  # disorder bound: max lateness below goes exactly to 520
+# delivery: (2,450) arrives one file late (lateness 150), (4,80)
+# arrives late by 520, (3,950)/(1,980) in order
+DIS_FILES = [
+    [(1, 0), (1, 50), (1, 90), (1, 400), (1, 480), (4, 0), (4, 600)],
+    [(2, 450), (1, 530), (2, 500), (1, 900), (3, 910), (4, 80)],
+    [(1, 980), (3, 950), (2, 2000)],
+]
+
+
+def _write_disorder_files(spark, tmp_path) -> str:
+    in_dir = str(tmp_path / "din")
+    os.makedirs(in_dir)
+    base = time.time() - 500
+    for i, rows in enumerate(DIS_FILES):
+        d = str(tmp_path / f"ds{i}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(d)
+        (part,) = glob.glob(f"{d}/part-*.parquet")
+        dst = f"{in_dir}/slice{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (base + 10 * i, base + 10 * i))
+    return in_dir
+
+
+def _disorder_paths(tmp_path):
+    return {
+        "state": str(tmp_path / "dstate"),
+        "buffer": str(tmp_path / "dbuffer"),
+        "closed": str(tmp_path / "dclosed"),
+        "ckpt": str(tmp_path / "dckpt"),
+    }
+
+
+def _run_disorder(spark, tmp_path):
+    from hha_spark.streaming.sessionize import run_disorder_sessionizer
+
+    paths = _disorder_paths(tmp_path)
+    q = run_disorder_sessionizer(
+        spark,
+        data_root=_write_disorder_files(spark, tmp_path),
+        schema=SCHEMA,
+        state_root=paths["state"],
+        buffer_root=paths["buffer"],
+        closed_path=paths["closed"],
+        checkpoint=paths["ckpt"],
+        gap_us=GAP,
+        disorder_us=DIS_W,
+    )
+    q.awaitTermination()
+    return paths
+
+
+def _session_key(r):
+    return (r.user_id, r.start_us, r.end_us, r.n_events)
+
+
+def test_disorder_fixture_is_genuinely_out_of_order():
+    """Bounded-disorder sanity on the fixture itself: arrivals dip
+    below the running max (real disorder) but never below max - W
+    (the contract the processor needs)."""
+    max_seen = None
+    dipped = False
+    for rows in DIS_FILES:
+        if max_seen is not None:
+            lo = min(ts for _, ts in rows)
+            dipped = dipped or lo < max_seen
+            assert lo >= max_seen - DIS_W
+        mx = max(ts for _, ts in rows)
+        max_seen = mx if max_seen is None else max(max_seen, mx)
+    assert dipped, "fixture must actually violate arrival order"
+
+
+def test_disorder_stream_equals_batch(spark, tmp_path):
+    from hha_spark.streaming.sessionize import final_sessions_disorder
+
+    paths = _run_disorder(spark, tmp_path)
+    streamed = final_sessions_disorder(
+        spark,
+        state_root=paths["state"],
+        buffer_root=paths["buffer"],
+        closed_path=paths["closed"],
+        gap_us=GAP,
+    )
+    batch = sessionize_batch(
+        spark.createDataFrame(ROWS_D, SCHEMA), gap_us=GAP
+    )
+    assert sorted(map(_session_key, streamed.collect())) == sorted(
+        map(_session_key, batch.collect())
+    )
+    # the machinery worked for its living: sessions closed mid-stream
+    # (watermark passed them) AND events sat in the buffer
+    closed_mid = spark.read.parquet(paths["closed"])
+    assert closed_mid.count() > 0
+    from hha_spark.streaming.sessionize import _EVENT_SCHEMA, _read_versioned
+
+    assert _read_versioned(spark, paths["buffer"], _EVENT_SCHEMA).count() > 0
+
+
+def test_ordered_processor_is_wrong_on_disordered_delivery(spark, tmp_path):
+    """The ordered sessionizer on the SAME late-delivery files closes
+    user 4's first session before (4, 80) arrives and splits it — the
+    exact failure the watermark buffer exists to prevent. Pinning the
+    difference proves the disorder gate is not vacuously green."""
+    paths = {
+        "state": str(tmp_path / "ostate"),
+        "closed": str(tmp_path / "oclosed"),
+        "ckpt": str(tmp_path / "ockpt"),
+    }
+    q = run_streaming_sessionizer(
+        spark,
+        data_root=_write_disorder_files(spark, tmp_path),
+        schema=SCHEMA,
+        state_root=paths["state"],
+        closed_path=paths["closed"],
+        checkpoint=paths["ckpt"],
+        gap_us=GAP,
+    )
+    q.awaitTermination()
+    ordered = sorted(
+        map(
+            _session_key,
+            final_sessions(
+                spark, state_root=paths["state"], closed_path=paths["closed"]
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(
+            _session_key,
+            sessionize_batch(
+                spark.createDataFrame(ROWS_D, SCHEMA), gap_us=GAP
+            ).collect(),
+        )
+    )
+    assert ordered != batch
+    # specifically: user 4's (0, 80) session is split in two
+    u4_ordered = [k for k in ordered if k[0] == 4]
+    u4_batch = [k for k in batch if k[0] == 4]
+    assert (4, 0, 80, 2) in u4_batch and (4, 0, 80, 2) not in u4_ordered
+
+
+def test_disorder_epoch_retry_is_idempotent(spark, tmp_path):
+    from hha_spark.streaming.sessionize import (
+        final_sessions_disorder,
+        make_disorder_sessionize_processor,
+    )
+
+    paths = _run_disorder(spark, tmp_path)
+
+    def snapshot():
+        return sorted(
+            map(
+                _session_key,
+                final_sessions_disorder(
+                    spark,
+                    state_root=paths["state"],
+                    buffer_root=paths["buffer"],
+                    closed_path=paths["closed"],
+                    gap_us=GAP,
+                ).collect(),
+            )
+        )
+
+    before = snapshot()
+    proc = make_disorder_sessionize_processor(
+        spark,
+        state_root=paths["state"],
+        buffer_root=paths["buffer"],
+        closed_path=paths["closed"],
+        gap_us=GAP,
+        disorder_us=DIS_W,
+    )
+    proc(
+        spark.createDataFrame(DIS_FILES[-1], SCHEMA), len(DIS_FILES) - 1
+    )
+    assert snapshot() == before
