@@ -595,13 +595,17 @@ def corpus_temperature_mixture(spark, sf_dir):
     return temperature_mixture(_docs(spark, sf_dir), budget_frac_pct=BUDGET_PCT)
 
 
-def _mixture_ctes() -> str:
+def _mixture_ctes(per_sql: str | None = None) -> str:
     """Shared oracle fragment: the full temperature-mixture readout as
-    a `mix` relation — ONE definition consumed by both the mixture
-    gate and the budget-fill gate, so the two can never check
-    diverging semantics. HUGEINT intermediates mirror the Spark
-    side's DECIMAL(38,0) products (overflow-free past the ~7e12-token
-    int64 wrap point); every exported column is CAST BIGINT."""
+    a `mix` relation — ONE definition consumed by the mixture gate,
+    the budget-fill gate, and (with `per_sql`) the graph-cluster
+    mixture gate, so they can never check diverging semantics.
+    `per_sql` overrides the default per-SOURCE statistics query; it
+    must yield (source, n_docs BIGINT, n_tokens BIGINT) — `source`
+    being whatever grouping the caller mixes over (corpus source,
+    cluster id, ...). HUGEINT intermediates mirror the Spark side's
+    DECIMAL(38,0) products (overflow-free past the ~7e12-token int64
+    wrap point); every exported column is CAST BIGINT."""
     from hha_spark.operators.corpus import _isqrt_sql
 
     w = _isqrt_sql("n_tokens")
@@ -609,10 +613,12 @@ def _mixture_ctes() -> str:
         f"(CAST(total_tokens AS HUGEINT) * {BUDGET_PCT} // 100)"
         " * w_sqrt // total_w"
     )
-    return f"""per AS (
+    if per_sql is None:
+        per_sql = """
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-      FROM documents GROUP BY source
+      FROM documents GROUP BY source"""
+    return f"""per AS ({per_sql}
     ),
     weighted AS (SELECT *, {w} AS w_sqrt FROM per),
     tot AS (

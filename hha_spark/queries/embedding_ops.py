@@ -367,3 +367,117 @@ ORACLES = {
     "corpus_cluster_mixture": ORACLE_CLUSTER_MIX,
     "embedding_health_report": ORACLE_EMB_HEALTH,
 }
+
+
+# minimum mutual-edge cosine for the graph-cluster mixture: below it
+# the fixture's mutual-kNN graph is one giant component (sweep: 0.1 ->
+# 1 comp, 0.25 -> 6 comps + 15 singletons at sf0.01)
+GRAPH_MIX_MIN_COS = 0.25
+
+
+def corpus_graph_cluster_mixture(spark, sf_dir):
+    """Graph-clustering mixture: the mutual-kNN similarity graph
+    (operators/similarity.py::mutual_knn_graph, same node slice and k
+    as the knn_graph_mutual gate) collapses into connected components
+    (operators/cluster.py — the dedup clustering kernel, reused
+    verbatim with graph column names), and each component becomes a
+    mixture "source" fed through the UniMax temperature readout
+    (operators/corpus.py::mixture_readout). This completes the
+    similarity-graph family end-to-end: graph -> clusters ->
+    cluster-balanced token budget, the SemDeDup/cluster-curation
+    shape, with zero new operator surface.
+
+    Edges additionally pass a minimum-cosine cut (GRAPH_MIX_MIN_COS,
+    the SemDeDup-style similarity threshold): bare mutual-kNN at k=4
+    over the fixture slice is one giant component — thresholding is
+    what makes the partition a MIXTURE rather than a blob, exactly as
+    in production semantic curation. Cosines are the fixed-order IEEE
+    chains the knn_graph_mutual gate already hash-matches across
+    engines, so the cut is cross-engine deterministic. Singleton
+    nodes (no surviving edge) are their own cluster
+    (coalesce(label, node)) so the mixture covers the whole node set.
+
+    Scale: edges are k-bounded (<= k x |nodes|), components run the
+    published O(log n) kernels, per-cluster stats are one combinable
+    aggregate, and the readout is cluster-count-sized with broadcast
+    totals. The oracle re-derives the entire chain: top-k both ways,
+    mutuality, a recursive-CTE reachability closure, and the shared
+    `mix` CTE (queries/corpus.py::_mixture_ctes) — a green row proves
+    graph, closure, and mixture COMPOSED, not just each stage.
+    """
+    from hha_spark.operators.cluster import connected_components
+    from hha_spark.operators.corpus import mixture_readout
+    from hha_spark.operators.similarity import mutual_knn_graph
+    from hha_spark.queries.corpus import BUDGET_PCT
+    from hha_spark.queries.llm_ops import KNN_K, KNN_NODE_MOD, _emb
+
+    emb = _emb(spark, sf_dir)
+    nodes = emb.where(F.col("vec_id") % KNN_NODE_MOD == 0)
+    edges = (
+        mutual_knn_graph(nodes, k=KNN_K)
+        .where(F.col("cosine") >= GRAPH_MIX_MIN_COS)
+        .select("vec_id_a", "vec_id_b")
+    )
+    labels = connected_components(edges, src="vec_id_a", dst="vec_id_b")
+    lab = (
+        nodes.select("vec_id")
+        .join(labels, nodes["vec_id"] == labels["node"], "left")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.coalesce("label", "vec_id").alias("cluster_id"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per = (
+        lab.join(docs, on="doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    out = mixture_readout(
+        per.select(F.col("cluster_id").alias("source"), "n_docs", "n_tokens"),
+        budget_frac_pct=BUDGET_PCT,
+    )
+    return out.withColumnRenamed("source", "cluster_id")
+
+
+def _graph_cluster_mixture_oracle() -> str:
+    from hha_spark.queries.corpus import _mixture_ctes
+    from hha_spark.queries.llm_ops import KNN_NODE_MOD, ORACLE_KNN_MUTUAL
+
+    per_sql = """
+      SELECT lab.cluster_id AS source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+               AS n_tokens
+      FROM lab JOIN documents d USING (doc_id)
+      GROUP BY lab.cluster_id"""
+    return f"""
+    WITH RECURSIVE
+    mut AS (SELECT * FROM ({ORACLE_KNN_MUTUAL})
+            WHERE cosine >= {GRAPH_MIX_MIN_COS}),
+    e AS (SELECT vec_id_a AS u, vec_id_b AS v FROM mut
+          UNION SELECT vec_id_b, vec_id_a FROM mut),
+    reach(node, r) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e2.u, reach.r FROM e e2 JOIN reach ON e2.v = reach.node),
+    lbl AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node),
+    gnodes AS (SELECT vec_id FROM embeddings
+               WHERE vec_id % {KNN_NODE_MOD} = 0),
+    lab AS (
+      SELECT n.vec_id AS doc_id, COALESCE(l.cid, n.vec_id) AS cluster_id
+      FROM gnodes n LEFT JOIN lbl l ON l.node = n.vec_id),
+    {_mixture_ctes(per_sql)}
+    SELECT source AS cluster_id, n_docs, n_tokens, w_sqrt, share_ppm,
+           target_tokens, sampled_tokens, oversample_ppm
+    FROM mix
+"""
+
+
+QUERIES["corpus_graph_cluster_mixture"] = corpus_graph_cluster_mixture
+ORACLES["corpus_graph_cluster_mixture"] = _graph_cluster_mixture_oracle()

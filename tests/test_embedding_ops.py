@@ -123,3 +123,32 @@ def test_health_report_detects_zero_vectors(spark):
     assert r["n_vecs"] == 3 and r["n_zero_vecs"] == 1
     # opposed vectors cancel: the center is exactly zero
     assert r["center_norm_sq_micro2"] == 0.0
+
+
+def test_graph_cluster_mixture_is_consistent(spark):
+    """Clusters partition the node slice (doc counts sum to the node
+    count), every cluster_id is the min member id, shares are exact
+    floors summing to <= 1e6, and the threshold left a non-degenerate
+    partition (more than 3 clusters — the pre-threshold graph was one
+    giant component)."""
+    from pyspark.sql import functions as F
+
+    from hha_spark.queries.embedding_ops import corpus_graph_cluster_mixture
+    from hha_spark.queries.llm_ops import KNN_NODE_MOD
+    from hha_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = corpus_graph_cluster_mixture(spark, sf).toPandas()
+    n_nodes = (
+        load_table(spark, sf, "embeddings")
+        .where(F.col("vec_id") % KNN_NODE_MOD == 0)
+        .count()
+    )
+    assert out["n_docs"].sum() == n_nodes
+    assert len(out) > 3
+    assert out["share_ppm"].sum() <= 1_000_000
+    assert (out["sampled_tokens"] <= out["n_tokens"]).all()
+    assert (out["sampled_tokens"] <= out["target_tokens"]).all()
+    # min-member labelling: every cluster id is itself a node id of
+    # the slice (the component's minimum reachable id)
+    assert (out["cluster_id"] % KNN_NODE_MOD == 0).all()
