@@ -43,6 +43,12 @@ def normalize(formatted: str) -> str:
     s = re.sub(r"plan_id=\d+", "plan_id=N", s)
     s = re.sub(r"codegen id : \d+", "codegen id : N", s)
     s = re.sub(r"0x[0-9a-f]{6,}", "0xN", s)
+    # lambda-variable serials and RDD ids are allocated from global
+    # counters — they shift whenever an unrelated query runs earlier
+    # in the session, which is exactly the cross-sweep churn this
+    # normalization exists to suppress.
+    s = re.sub(r"lambda ([A-Za-z]+)_\d+", r"lambda \1_N", s)
+    s = re.sub(r"RDD\[\d+\]", "RDD[N]", s)
     return s
 
 
