@@ -316,7 +316,11 @@ def probes(spark, k: int):
 
 
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    # numeric args are K values; non-numeric args select a probe
+    # subset by name (deep-K runs on the heavy ops only, without
+    # paying a full 35-probe sweep at K=64)
+    ks = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 16]
+    only = {a for a in sys.argv[1:] if not a.isdigit()}
     spark = get_spark("scale_probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
 
@@ -326,6 +330,11 @@ def main() -> None:
         from hha_spark.caching import release_tracked
 
         fns, frames = probes(spark, k)
+        if only:
+            unknown = only - fns.keys()
+            if unknown:
+                raise SystemExit(f"unknown probe names: {sorted(unknown)}")
+            fns = {n: f for n, f in fns.items() if n in only}
         results[k], rows[k] = {}, {}
         for name, build in fns.items():
             t0 = time.perf_counter()
