@@ -1056,7 +1056,15 @@ def stream_sessionize_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary events are delivered one file LATE (bounded by
     SESS_DISORDER_US), so per-user arrival order is genuinely
     violated across micro-batches — the contract the ordered
-    sessionizer cannot handle. The watermark processor
+    sessionizer cannot handle. Like the ordered gate, the three
+    files batch as TWO micro-batches (maxFilesPerTrigger=2 — each
+    extra batch is ~1 s of fixed engine+commit cost): slice-1 tail
+    events delayed into file 3 still arrive one BATCH after their
+    time-peers, so cross-batch disorder is exercised for real, and
+    grouping files only lowers the number of watermark advances —
+    the arrival-bound contract is unchanged. The 3-batch
+    one-file-per-trigger replay stays covered by
+    tests/test_sessionize_stream.py. The watermark processor
     (streaming/sessionize.py::make_disorder_sessionize_processor)
     buffers immature events, sessionizes the mature stream in global
     time order, and closes sessions only once the watermark passes
@@ -1092,7 +1100,7 @@ def stream_sessionize_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint=f"{tmp}/ckpt",
             gap_us=SESS_GAP_US,
             disorder_us=SESS_DISORDER_US,
-            max_files_per_trigger=1,
+            max_files_per_trigger=2,
             available_now=True,
         )
         q.awaitTermination()
