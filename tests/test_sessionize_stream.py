@@ -358,3 +358,83 @@ def test_disorder_epoch_retry_is_idempotent(spark, tmp_path):
         spark.createDataFrame(DIS_FILES[-1], SCHEMA), len(DIS_FILES) - 1
     )
     assert snapshot() == before
+
+
+def test_disorder_restart_from_checkpoint_across_queries(spark, tmp_path):
+    """Kill the stream between micro-batches and START A NEW QUERY on
+    the same checkpoint: the file source must resume at the right
+    offset and the versioned state/buffer must carry across processes,
+    so the final result still equals one-shot batch sessionization.
+    This is the recovery contract a real deployment leans on — the
+    epoch-retry test covers redelivery WITHIN a process; this covers
+    the restart WITH a fresh StreamingQuery."""
+    from hha_spark.streaming.sessionize import (
+        final_sessions_disorder,
+        run_disorder_sessionizer,
+    )
+
+    in_dir = str(tmp_path / "din")
+    os.makedirs(in_dir)
+    base = time.time() - 500
+
+    def write_file(i):
+        d = str(tmp_path / f"ds{i}")
+        spark.createDataFrame(DIS_FILES[i], SCHEMA).coalesce(1).write.parquet(d)
+        (part,) = glob.glob(f"{d}/part-*.parquet")
+        dst = f"{in_dir}/slice{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (base + 10 * i, base + 10 * i))
+
+    paths = _disorder_paths(tmp_path)
+
+    def start():
+        return run_disorder_sessionizer(
+            spark,
+            data_root=in_dir,
+            schema=SCHEMA,
+            state_root=paths["state"],
+            buffer_root=paths["buffer"],
+            closed_path=paths["closed"],
+            checkpoint=paths["ckpt"],
+            gap_us=GAP,
+            disorder_us=DIS_W,
+        )
+
+    # first incarnation sees only files 0 and 1, drains them, dies
+    write_file(0)
+    write_file(1)
+    q1 = start()
+    q1.awaitTermination()
+    mid_versions = {
+        d for d in os.listdir(paths["state"]) if d.startswith("v")
+    }
+
+    # file 2 lands while the process is down; a NEW query on the same
+    # checkpoint must pick up exactly there (epoch 2), not reprocess
+    write_file(2)
+    q2 = start()
+    q2.awaitTermination()
+    assert "v2" in set(os.listdir(paths["state"]))
+    assert "v2" not in mid_versions  # epoch 2 ran in the second query
+
+    streamed = sorted(
+        map(
+            _session_key,
+            final_sessions_disorder(
+                spark,
+                state_root=paths["state"],
+                buffer_root=paths["buffer"],
+                closed_path=paths["closed"],
+                gap_us=GAP,
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(
+            _session_key,
+            sessionize_batch(
+                spark.createDataFrame(ROWS_D, SCHEMA), gap_us=GAP
+            ).collect(),
+        )
+    )
+    assert streamed == batch
