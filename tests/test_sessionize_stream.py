@@ -438,3 +438,105 @@ def test_disorder_restart_from_checkpoint_across_queries(spark, tmp_path):
         )
     )
     assert streamed == batch
+
+
+# --- property: random bounded-disorder delivery == batch -------------------
+
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PROP_W = 300  # disorder bound for the property
+
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user_id
+        st.integers(min_value=0, max_value=1500),   # ts_us
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_disorder_processor_matches_batch_on_random_delivery(spark, data):
+    """For ANY event set, ANY arrival order within the disorder bound
+    (arrival key = ts + jitter in [0, W] implies every arrival's ts >=
+    max_seen - W), and ANY split of that arrival sequence into
+    micro-batches (empty batches allowed), the processor chain plus
+    the end-of-stream flush equals one-shot batch sessionization.
+    The fixture tests pin specific topologies; this pins the
+    CONTRACT."""
+    from hha_spark.streaming.sessionize import (
+        final_sessions_disorder,
+        make_disorder_sessionize_processor,
+    )
+
+    events = data.draw(_events_strategy)
+    jitter = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=_PROP_W),
+            min_size=len(events),
+            max_size=len(events),
+        )
+    )
+    arrival = [
+        e
+        for _, e in sorted(
+            enumerate(events), key=lambda p: (p[1][1] + jitter[p[0]], p[0])
+        )
+    ]
+    n_batches = data.draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(arrival)),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            )
+        )
+    )
+    bounds = [0, *cuts, len(arrival)]
+    batches = [arrival[a:b] for a, b in zip(bounds, bounds[1:])]
+
+    tmp = tempfile.mkdtemp(prefix="hha_prop_sessdis_")
+    try:
+        proc = make_disorder_sessionize_processor(
+            spark,
+            state_root=f"{tmp}/state",
+            buffer_root=f"{tmp}/buffer",
+            closed_path=f"{tmp}/closed",
+            gap_us=GAP,
+            disorder_us=_PROP_W,
+        )
+        for epoch, chunk in enumerate(batches):
+            proc(spark.createDataFrame(chunk, SCHEMA), epoch)
+        streamed = sorted(
+            map(
+                _session_key,
+                final_sessions_disorder(
+                    spark,
+                    state_root=f"{tmp}/state",
+                    buffer_root=f"{tmp}/buffer",
+                    closed_path=f"{tmp}/closed",
+                    gap_us=GAP,
+                ).collect(),
+            )
+        )
+        batch = sorted(
+            map(
+                _session_key,
+                sessionize_batch(
+                    spark.createDataFrame(events, SCHEMA), gap_us=GAP
+                ).collect(),
+            )
+        )
+        assert streamed == batch
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
