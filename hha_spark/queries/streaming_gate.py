@@ -632,45 +632,93 @@ SESS_GAP_US = 12 * 3600 * 1_000_000  # 12h gap => sessions chain across slices
 SESS_SLICES = 3
 
 
-def _write_time_slices(ev: DataFrame, tmp: str, n_slices: int) -> str:
-    """Write (user_id, ts_us) into n chronological parquet files with
-    strictly increasing mtimes, so the file source (maxFilesPerTrigger
-    =1) replays them as ordered micro-batches — the per-user
-    time-ordered ingest contract streaming/sessionize.py documents.
+def _slice_bounds(ev: DataFrame, n_slices: int):
+    """(lo, span, base-slice SQL) for equal-width time bands:
+    slice(ts) = s  <=>  lo + ceil(s*span/n) <= ts < lo + ceil((s+1)*span/n).
+    The slice expression is returned as SQL text so callers can
+    compose it into larger expressions (the disorder writer inlines
+    it twice)."""
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = hi - lo + 1
+    base_sql = (
+        f"least({n_slices - 1} + 0L, (ts_us - {lo}) * {n_slices} div {span})"
+    )
+    return lo, span, base_sql
 
-    One pass: slice id is a derived column, repartition("_slice")
-    puts each slice's rows in a single partition, and the dynamic-
-    partitioned write emits exactly one file per slice directory —
-    vs. the previous n single-task filtered scans of the whole
-    table."""
+
+def _write_file_slices(
+    ev: DataFrame, file_col, tmp: str, n_slices: int
+) -> str:
+    """Shared writer behind both sessionize gates: route each event to
+    the file index `file_col` yields, then emit n parquet files with
+    strictly increasing mtimes so the file source (maxFilesPerTrigger)
+    replays them as ordered micro-batches.
+
+    One pass: repartition("_file") puts each file's rows in a single
+    partition and the dynamic-partitioned write emits exactly one part
+    per non-empty index — vs. n single-task filtered scans of the
+    whole table. An index no event maps to (a quiet time band) gets a
+    schema-only parquet file, so the band still replays as an empty
+    micro-batch instead of crashing the glob — the behavior the
+    per-slice coalesce(1) writer used to provide."""
     import glob
     import os
     import shutil
     import time
 
-    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
-    span = hi - lo + 1
     (
-        ev.withColumn(
-            "_slice",
-            F.expr(
-                f"least({n_slices - 1} + 0L,"
-                f" (ts_us - {lo}) * {n_slices} div {span})"
-            ),
-        )
-        .repartition("_slice")
-        .write.partitionBy("_slice")
+        ev.withColumn("_file", file_col)
+        .repartition("_file")
+        .write.partitionBy("_file")
         .parquet(f"{tmp}/sliced")
     )
     in_dir = f"{tmp}/in"
     os.makedirs(in_dir)
     base = time.time() - 1000
     for i in range(n_slices):
-        (part,) = glob.glob(f"{tmp}/sliced/_slice={i}/part-*.parquet")
+        parts = glob.glob(f"{tmp}/sliced/_file={i}/part-*.parquet")
         dst = f"{in_dir}/slice{i}.parquet"
-        shutil.move(part, dst)
+        if parts:
+            (part,) = parts
+            shutil.move(part, dst)
+        else:  # empty band: schema-only file, empty micro-batch
+            d = f"{tmp}/empty{i}"
+            ev.limit(0).coalesce(1).write.parquet(d)
+            (part,) = glob.glob(f"{d}/part-*.parquet")
+            shutil.move(part, dst)
         os.utime(dst, (base + 10 * i, base + 10 * i))
     return in_dir
+
+
+def _write_time_slices(ev: DataFrame, tmp: str, n_slices: int) -> str:
+    """Write (user_id, ts_us) into n chronological parquet files —
+    the per-user time-ordered ingest contract streaming/sessionize.py
+    documents (each event goes to its own time band's file)."""
+    _, _, base_sql = _slice_bounds(ev, n_slices)
+    return _write_file_slices(ev, F.expr(base_sql), tmp, n_slices)
+
+
+_SESS_ROLLUP_SCHEMA = (
+    "user_id long, n_sessions long, n_events long, "
+    "max_len_us long, sum_len_us long"
+)
+
+
+def _sessions_rollup(spark: SparkSession, sessions: DataFrame) -> DataFrame:
+    """Per-user rollup both sessionize gates return (must stay in
+    lockstep with ORACLE_STREAM_SESSIONIZE's output columns), collected
+    before the gate's scratch directories vanish; one row per user."""
+    out = sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max(F.col("end_us") - F.col("start_us"))
+        .cast("long")
+        .alias("max_len_us"),
+        F.sum(F.col("end_us") - F.col("start_us"))
+        .cast("long")
+        .alias("sum_len_us"),
+    )
+    return spark.createDataFrame(out.collect(), _SESS_ROLLUP_SCHEMA)
 
 
 def stream_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,23 +766,7 @@ def stream_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         sessions = final_sessions(
             spark, state_root=f"{tmp}/state", closed_path=f"{tmp}/closed"
         )
-        out = sessions.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            F.sum("n_events").cast("long").alias("n_events"),
-            F.max(F.col("end_us") - F.col("start_us"))
-            .cast("long")
-            .alias("max_len_us"),
-            F.sum(F.col("end_us") - F.col("start_us"))
-            .cast("long")
-            .alias("sum_len_us"),
-        )
-        # materialize before the scratch dirs vanish; one row per user
-        rows = out.collect()
-    return spark.createDataFrame(
-        rows,
-        "user_id long, n_sessions long, n_events long, "
-        "max_len_us long, sum_len_us long",
-    )
+        return _sessions_rollup(spark, sessions)
 
 
 ORACLE_STREAM_SESSIONIZE = f"""
@@ -996,29 +1028,20 @@ def _write_disorder_slices(
     contract) while honoring the bounded-disorder contract with
     disorder_us = delay_us: files before f top out at T_{f-1}-1, and
     every late event in f has ts > T_{f-1} - delay_us > max_seen -
-    delay_us. One pass, one file per slice, mtime-ordered replay —
-    same mechanics as _write_time_slices."""
-    import glob
-    import os
-    import shutil
-    import time
-
+    delay_us. File emission (one pass, one file per slice,
+    mtime-ordered replay, empty-band tolerance) is the shared
+    _write_file_slices."""
     from hha_spark.operators.sketch import md5_mod
 
-    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
-    span = hi - lo + 1
-    base = F.expr(
-        f"least({n_slices - 1} + 0L,"
-        f" (ts_us - {lo}) * {n_slices} div {span})"
-    )
-    # exclusive top boundary of the base slice: slice(ts) = s  <=>
-    # lo + ceil(s*span/n) <= ts < lo + ceil((s+1)*span/n)
-    top = F.expr(
-        f"{lo} + ((_base + 1) * {span} + {n_slices - 1}) div {n_slices}"
+    lo, span, base_sql = _slice_bounds(ev, n_slices)
+    # exclusive top boundary of the base slice (see _slice_bounds)
+    top_sql = (
+        f"({lo} + (({base_sql} + 1) * {span} + {n_slices - 1})"
+        f" div {n_slices})"
     )
     delayed = (
-        (F.col("ts_us") > F.col("_top") - delay_us)
-        & (F.col("_base") < n_slices - 1)
+        (F.col("ts_us") > F.expr(top_sql) - delay_us)
+        & (F.expr(base_sql) < n_slices - 1)
         & (
             md5_mod(
                 "sessdelay|",
@@ -1028,26 +1051,9 @@ def _write_disorder_slices(
             == 0
         )
     )
-    (
-        ev.withColumn("_base", base)
-        .withColumn("_top", top)
-        .withColumn(
-            "_file", F.col("_base") + delayed.cast("long")
-        )
-        .drop("_base", "_top")
-        .repartition("_file")
-        .write.partitionBy("_file")
-        .parquet(f"{tmp}/sliced")
+    return _write_file_slices(
+        ev, F.expr(base_sql) + delayed.cast("long"), tmp, n_slices
     )
-    in_dir = f"{tmp}/in"
-    os.makedirs(in_dir)
-    mtime = time.time() - 1000
-    for i in range(n_slices):
-        (part,) = glob.glob(f"{tmp}/sliced/_file={i}/part-*.parquet")
-        dst = f"{in_dir}/slice{i}.parquet"
-        shutil.move(part, dst)
-        os.utime(dst, (mtime + 10 * i, mtime + 10 * i))
-    return in_dir
 
 
 def stream_sessionize_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,22 +1117,7 @@ def stream_sessionize_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             closed_path=f"{tmp}/closed",
             gap_us=SESS_GAP_US,
         )
-        out = sessions.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            F.sum("n_events").cast("long").alias("n_events"),
-            F.max(F.col("end_us") - F.col("start_us"))
-            .cast("long")
-            .alias("max_len_us"),
-            F.sum(F.col("end_us") - F.col("start_us"))
-            .cast("long")
-            .alias("sum_len_us"),
-        )
-        rows = out.collect()
-    return spark.createDataFrame(
-        rows,
-        "user_id long, n_sessions long, n_events long, "
-        "max_len_us long, sum_len_us long",
-    )
+        return _sessions_rollup(spark, sessions)
 
 
 QUERIES["stream_sessionize_disorder"] = stream_sessionize_disorder

@@ -60,6 +60,13 @@ def _silence_stream_shutdown_logs(spark: SparkSession) -> None:
     can overflow the grading driver's tail capture and null its parse
     (observed in the round-6 bench artifact).
 
+    Scope: OFF only on the stream-EXECUTION-thread loggers that emit
+    the shutdown traces (StreamExecution and its MicroBatch subclass),
+    plus ERROR on their parent packages to drop WARN chatter; state
+    store, commit log, and file-source diagnostics keep logging at
+    ERROR, so a genuinely sick stream still leaves a trail beyond the
+    awaitTermination() exception.
+
     Must run AFTER ``setLogLevel`` — that call reconfigures the root
     level and would not reset these per-logger levels, but ordering
     keeps the intent obvious.
@@ -68,11 +75,27 @@ def _silence_stream_shutdown_logs(spark: SparkSession) -> None:
         jvm = spark._jvm  # noqa: SLF001 — py4j access is the only route
         configurator = jvm.org.apache.logging.log4j.core.config.Configurator
         off = jvm.org.apache.logging.log4j.Level.OFF
+        error = jvm.org.apache.logging.log4j.Level.ERROR
         for pkg in (
-            # covers MicroBatchExecution + runtime.StreamExecution
             "org.apache.spark.sql.execution.streaming",
             "org.apache.spark.sql.streaming",
         ):
-            configurator.setLevel(pkg, off)
+            configurator.setLevel(pkg, error)
+        for cls in (
+            # the loggers that print abnormal-shutdown stack traces;
+            # Spark's Logging trait names loggers by concrete class, so
+            # list the subclass too (spark-sql 4.1.2 puts them under
+            # .streaming.runtime; the unsuffixed names cover older
+            # layouts at zero cost)
+            "org.apache.spark.sql.execution.streaming.StreamExecution",
+            "org.apache.spark.sql.execution.streaming.MicroBatchExecution",
+            "org.apache.spark.sql.execution.streaming"
+            ".runtime.StreamExecution",
+            "org.apache.spark.sql.execution.streaming"
+            ".runtime.MicroBatchExecution",
+            "org.apache.spark.sql.execution.streaming"
+            ".runtime.AsyncProgressTrackingMicroBatchExecution",
+        ):
+            configurator.setLevel(cls, off)
     except Exception:  # noqa: BLE001 — logging polish must never fail a session
         pass

@@ -540,3 +540,33 @@ def test_disorder_processor_matches_batch_on_random_delivery(spark, data):
         assert streamed == batch
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_slice_writers_tolerate_empty_time_bands(spark, tmp_path):
+    """All events sharing one timestamp collapse every band but the
+    first to zero rows; both gate slice writers must still emit one
+    (schema-only) file per band so the replay sees empty micro-batches
+    instead of crashing — the behavior the per-slice coalesce(1)
+    writer provided before the one-pass rewrite."""
+    from hha_spark.queries.streaming_gate import (
+        _write_disorder_slices,
+        _write_time_slices,
+    )
+
+    ev = spark.createDataFrame([(1, 500), (2, 500), (1, 500)], SCHEMA)
+    for writer, sub in (
+        (lambda e, t: _write_time_slices(e, t, 3), "ord"),
+        (lambda e, t: _write_disorder_slices(e, t, 3, 100), "dis"),
+    ):
+        out = writer(ev, str(tmp_path / sub))
+        files = sorted(os.listdir(out))
+        assert files == ["slice0.parquet", "slice1.parquet", "slice2.parquet"]
+        total = sum(
+            spark.read.schema(SCHEMA).parquet(f"{out}/{f}").count()
+            for f in files
+        )
+        assert total == 3
+        # empty files still carry the schema the stream reader needs
+        empty = spark.read.schema(SCHEMA).parquet(f"{out}/slice2.parquet")
+        assert [f.name for f in empty.schema.fields] == ["user_id", "ts_us"]
+        assert empty.count() == 0
