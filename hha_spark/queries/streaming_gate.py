@@ -824,8 +824,10 @@ def stream_cms_heavy(
     spark: SparkSession, sf_dir: str, *, batch_log: list | None = None
 ) -> DataFrame:
     """Streaming maintenance of a count-min sketch: the corpus
-    arrives as a multi-file stream (maxFilesPerTrigger=1 forces
-    several micro-batches), each micro-batch builds its own bounded
+    arrives as a multi-file stream (4 files at maxFilesPerTrigger=2 —
+    two micro-batches, the fewest that still exercise the cross-batch
+    merge; each extra batch is ~1 s of fixed engine cost), each
+    micro-batch builds its own bounded
     d x w counter grid DISTRIBUTED (map-side-combinable, exactly
     operators/sketch.py::cms_counters), and the driver merges grids
     by cell addition — legitimate precisely because a CMS is a
@@ -878,7 +880,7 @@ def stream_cms_heavy(
         stream = (
             spark.readStream.schema(docs.schema)
             .format("parquet")
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", 2)
             .load(f"{tmp}/in")
         )
         q = (
@@ -933,8 +935,9 @@ def stream_temperature_mixture(
     spark: SparkSession, sf_dir: str, *, batch_log: list | None = None
 ) -> DataFrame:
     """Streaming maintenance of mixture statistics: the corpus
-    arrives as a multi-file stream (maxFilesPerTrigger=1 forces
-    several micro-batches); each micro-batch computes its per-source
+    arrives as a multi-file stream (4 files at maxFilesPerTrigger=2 —
+    two micro-batches, the fewest that still exercise the cross-batch
+    merge); each micro-batch computes its per-source
     (n_docs, n_tokens) DISTRIBUTED (one map-side-combinable groupBy)
     and the driver merges by plain addition — sound because those are
     ADDITIVE sufficient statistics. The NONLINEAR readout (exact
@@ -982,7 +985,7 @@ def stream_temperature_mixture(
         stream = (
             spark.readStream.schema(docs.schema)
             .format("parquet")
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", 2)
             .load(f"{tmp}/in")
         )
         q = (
