@@ -318,6 +318,24 @@ def perplexity_buckets(
     )
 
 
+def bigram_q_col():
+    """The bigram conditional-probability surrogate as a Column over
+    (c1, c2) stats: CAST(c2 AS DECIMAL(38,0)) * 1e6 DIV c1, cast back
+    to BIGINT.
+
+    Overflow contract (the dsir_bucket_ratios discipline): c2 * 1e6
+    wraps int64 once a single bigram passes ~9.2e12 occurrences —
+    inside the 100 TB envelope for a boilerplate-heavy crawl (a 10%%
+    boilerplate bigram over ~1e13 tokens is within an order of it),
+    and Spark (non-ANSI) wraps silently where DuckDB raises, so the
+    product runs in DECIMAL(38,0) (HUGEINT in the oracle). The
+    quotient always fits BIGINT: c2 <= c1, so q <= 1e6. Unit-tested
+    past the wrap in test_scoring.py."""
+    return F.expr(
+        "CAST(CAST(c2 AS DECIMAL(38,0)) * 1000000 DIV c1 AS BIGINT)"
+    ).alias("q")
+
+
 def bigram_lm_scores(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -333,7 +351,9 @@ def bigram_lm_scores(
     bigram occurrence is a w1 occurrence), so q is in [0, 1e6]. Per
     doc: n_bigrams, sum_q, min_q (the rare-transition flag — one
     never-seen-elsewhere transition drives it to the floor), and
-    avg_q = sum_q DIV n_bigrams.
+    avg_q = sum_q DIV n_bigrams. The q product runs past int64 (see
+    :func:`bigram_q_col`); sum_q is int64-safe by a wide margin
+    (q <= 1e6 times doc length).
 
     Scale shape: one pair explode (narrow; pairs built from the
     pre-split `toks` array, never by re-splitting per window), two
@@ -364,11 +384,7 @@ def bigram_lm_scores(
         .agg(F.count(F.lit(1)).alias("c1"))
     )
     c2 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    stats = c2.join(c1, "w1").select(
-        "w1",
-        "w2",
-        F.expr("(c2 * 1000000) DIV c1").cast("long").alias("q"),
-    )
+    stats = c2.join(c1, "w1").select("w1", "w2", bigram_q_col())
     scored = (
         occ.join(stats, ["w1", "w2"])
         .groupBy("doc_id")

@@ -714,7 +714,9 @@ ORACLE_BIGRAM_LM = """
       SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
       FROM occ GROUP BY w1, w2),
     st AS (
-      SELECT w1, w2, CAST((c2 * 1000000) // c1 AS BIGINT) AS q
+      -- HUGEINT product mirrors the Spark side's DECIMAL(38,0):
+      -- c2 * 1e6 wraps int64 past ~9.2e12 occurrences of one bigram
+      SELECT w1, w2, CAST(CAST(c2 AS HUGEINT) * 1000000 // c1 AS BIGINT) AS q
       FROM big JOIN uni USING (w1)),
     sc AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,

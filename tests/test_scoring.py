@@ -504,3 +504,39 @@ def test_trainer_guard_trips_past_tdiv_bound(spark):
     feat = spark.createDataFrame(row, "doc_id long, ym long, x0 long, xb long")
     with pytest.raises(OverflowError, match="2\\^53"):
         train_logreg_fixedpoint(feat, n_buckets=1, steps=2, lr_den=1)
+
+
+def test_bigram_q_exact_past_int64_wrap(spark):
+    """Bigram stats at 100 TB-boilerplate scale: c2 * 1e6 exceeds
+    int64 once one bigram passes ~9.2e12 occurrences, so the
+    DECIMAL(38,0) product (HUGEINT in the oracle) must still produce
+    the exact Python-bigint quotient — the int64 formulation wraps
+    here (Spark non-ANSI wraps silently, which is exactly the
+    divergence this pins). Also pins q <= 1e6 (c2 <= c1), the bound
+    that makes the final BIGINT cast safe."""
+    import duckdb
+
+    from hha_spark.operators.text import bigram_q_col
+
+    stats = [
+        ("a", "b", 13_000_000_000_000, 12_999_999_999_999),  # wraps
+        ("a", "c", 13_000_000_000_000, 1),
+        ("d", "e", 9_300_000_000_000, 9_300_000_000_000),    # q == 1e6
+    ]
+    df = spark.createDataFrame(stats, "w1 string, w2 string, c1 long, c2 long")
+    got = {
+        (r["w1"], r["w2"]): r["q"]
+        for r in df.select("w1", "w2", bigram_q_col()).collect()
+    }
+    wrapped = False
+    for w1, w2, c1, c2 in stats:
+        want = (c2 * 1_000_000) // c1
+        wrapped = wrapped or c2 * 1_000_000 > 2**63
+        assert got[(w1, w2)] == want, ((w1, w2), got[(w1, w2)], want)
+        assert got[(w1, w2)] <= 1_000_000
+        duck = duckdb.sql(
+            f"SELECT CAST(CAST({c2} AS HUGEINT) * 1000000 // {c1}"
+            " AS BIGINT) AS q"
+        ).fetchone()[0]
+        assert duck == want
+    assert wrapped, "fixture must actually exceed int64"
