@@ -150,7 +150,8 @@ def test_cms_counters_are_streaming_maintainable(spark, tmp_path):
 def test_stream_cms_merges_across_micro_batches(spark):
     """The streamed sketch must equal the batch sketch exactly (CMS
     linearity), and the replay must actually cross micro-batch
-    boundaries — 4 input files at maxFilesPerTrigger=1."""
+    boundaries — 4 input files at maxFilesPerTrigger=2, i.e. two
+    micro-batches, the minimum the >=2 assertion accepts."""
     from hha_spark.queries.sketches import cms_heavy_tokens
     from hha_spark.queries.streaming_gate import stream_cms_heavy
 
