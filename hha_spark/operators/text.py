@@ -202,6 +202,17 @@ def unigram_lm_scores(
     what the filter consumes, and tf-order equals (-log p)-reverse-
     order exactly.
 
+    int64 envelope (sum_tf): bounded by doc length x top-token corpus
+    count. At ~1e13 corpus tokens the Zipf head tops out around 1e12,
+    so wrap needs a single document past ~9e6 tokens made ENTIRELY of
+    that one token — outside this operator's intended input (chunked
+    docs; doc_chunking upstream). This is a declared-schema bound,
+    not an intermediate-arithmetic one (contrast bigram_q_col, whose
+    product wraps while its OUTPUT always fits and therefore runs in
+    DECIMAL): a sum_tf past int64 cannot be emitted as BIGINT at all,
+    so the contract documents the envelope instead of widening the
+    column.
+
     `carry_cols` are doc-constant columns (e.g. lang) carried through
     the token frame into the per-doc groupBy keys, so callers needing
     them avoid re-joining the scores back to the doc table on id —
