@@ -34,6 +34,19 @@ dec_sum helpers below are safe unchanged through the tested scales
 around sf100 on the largest money sums — route through a string
 before running there).
 
+int64-product envelope (rounds 6-7 discipline): any product of a
+count with another count or a ppm constant gets an explicit envelope
+argument at 100 TB scale (~1e13 tokens / ~1e11 docs). Where the
+product can wrap int64 inside that envelope while the QUOTIENT still
+fits BIGINT, the product runs in DECIMAL(38,0) on the Spark side and
+HUGEINT in the oracle, with a past-wrap unit test — Spark (non-ANSI)
+wraps silently exactly where DuckDB raises, so the gate cannot see
+the divergence otherwise. Instances: mixture_readout
+(operators/corpus.py), dsir_bucket_ratios (queries/scoring.py),
+bigram_q_col (operators/text.py). Where the OUTPUT column itself
+would exceed BIGINT, the declared-schema bound is documented at the
+operator instead (unigram_lm_scores sum_tf).
+
 These are written as SQL expression strings (F.expr) so the Spark
 fragment and the oracle fragment are textually reviewable
 side-by-side.
