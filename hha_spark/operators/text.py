@@ -336,7 +336,7 @@ def bigram_q_col():
 
     Overflow contract (the dsir_bucket_ratios discipline): c2 * 1e6
     wraps int64 once a single bigram passes ~9.2e12 occurrences —
-    inside the 100 TB envelope for a boilerplate-heavy crawl (a 10%%
+    inside the 100 TB envelope for a boilerplate-heavy crawl (a 10%
     boilerplate bigram over ~1e13 tokens is within an order of it),
     and Spark (non-ANSI) wraps silently where DuckDB raises, so the
     product runs in DECIMAL(38,0) (HUGEINT in the oracle). The

@@ -678,6 +678,17 @@ def _write_file_slices(
     for i in range(n_slices):
         parts = glob.glob(f"{tmp}/sliced/_file={i}/part-*.parquet")
         dst = f"{in_dir}/slice{i}.parquet"
+        if len(parts) > 1:
+            # repartition("_file") guarantees one task per index, but a
+            # session configured with spark.sql.files.maxRecordsPerFile
+            # (or a future writer option) would split the task's output
+            # into several part files; name the condition instead of
+            # dying in an opaque unpacking ValueError
+            raise RuntimeError(
+                f"expected exactly one part file under "
+                f"{tmp}/sliced/_file={i}, found {len(parts)}: {parts} "
+                f"(is spark.sql.files.maxRecordsPerFile set?)"
+            )
         if parts:
             (part,) = parts
             shutil.move(part, dst)
