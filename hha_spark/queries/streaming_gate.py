@@ -750,8 +750,9 @@ def stream_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     sessionization, which is the DuckDB gaps-and-islands oracle.
 
     Scale: state is one open session per active user; each batch does
-    one user-keyed window + a semi/anti state split. See the module
-    docstring for the 100 TB notes and the ordering contract.
+    one user-keyed window pass (state and events gap-merge together)
+    and one kind-partitioned write. See the module docstring for the
+    100 TB notes and the ordering contract.
     """
     from hha_spark.streaming.sessionize import (
         final_sessions,
@@ -766,17 +767,14 @@ def stream_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             spark,
             data_root=in_dir,
             schema="user_id long, ts_us long",
-            state_root=f"{tmp}/state",
-            closed_path=f"{tmp}/closed",
+            store_root=f"{tmp}/store",
             checkpoint=f"{tmp}/ckpt",
             gap_us=SESS_GAP_US,
             max_files_per_trigger=2,
             available_now=True,
         )
         q.awaitTermination()
-        sessions = final_sessions(
-            spark, state_root=f"{tmp}/state", closed_path=f"{tmp}/closed"
-        )
+        sessions = final_sessions(spark, store_root=f"{tmp}/store")
         return _sessions_rollup(spark, sessions)
 
 
@@ -1114,9 +1112,7 @@ def stream_sessionize_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             data_root=in_dir,
             schema="user_id long, ts_us long",
-            state_root=f"{tmp}/state",
-            buffer_root=f"{tmp}/buffer",
-            closed_path=f"{tmp}/closed",
+            store_root=f"{tmp}/store",
             checkpoint=f"{tmp}/ckpt",
             gap_us=SESS_GAP_US,
             disorder_us=SESS_DISORDER_US,
@@ -1126,9 +1122,7 @@ def stream_sessionize_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         sessions = final_sessions_disorder(
             spark,
-            state_root=f"{tmp}/state",
-            buffer_root=f"{tmp}/buffer",
-            closed_path=f"{tmp}/closed",
+            store_root=f"{tmp}/store",
             gap_us=SESS_GAP_US,
         )
         return _sessions_rollup(spark, sessions)

@@ -47,13 +47,15 @@ Streamed result equals batch sessionization row-for-row, pinned by
 the stream_sessionize_disorder driver gate replaying time-sliced
 files with boundary events delivered one file late.
 
-Scale: per batch, one shuffle keyed by user_id (the within-batch
-sessionize window), one semi/anti split of the state table, one
-merge window over (touched open sessions UNION batch sessions) whose
-left side is <=1 row per active user — state volume is O(active
-users), never O(events). Closed sessions append; the open-state
-rewrite is a full copy of a bounded table (at 100 TB: a bucketed
-table so the semi-join and the merge co-locate without a shuffle).
+Scale: per batch, ONE shuffle keyed by user_id — open state and new
+events gap-merge together in a single window pass (events ride as
+degenerate intervals, see _as_intervals; untouched users' sessions
+pass through the window unchanged) — and ONE kind-partitioned write
+carrying this epoch's closed sessions, the open state, and (disorder
+variant) the event buffer. State volume is O(active users), never
+O(events); the open-state rewrite is a full copy of a bounded table
+(at 100 TB: a bucketed table so the merge co-locates without a
+shuffle).
 """
 
 from __future__ import annotations
@@ -65,7 +67,6 @@ from hha_spark.sources import fs
 
 SESSION_COLS = ("user_id", "start_us", "end_us", "n_events")
 _SESSION_SCHEMA = "user_id long, start_us long, end_us long, n_events long"
-_EVENT_SCHEMA = "user_id long, ts_us long"
 
 
 def sessionize_batch(events: DataFrame, *, gap_us: int) -> DataFrame:
@@ -134,6 +135,61 @@ def merge_adjacent_sessions(sessions: DataFrame, *, gap_us: int) -> DataFrame:
     )
 
 
+def _merge_intervals_nonested(
+    intervals: DataFrame, *, gap_us: int
+) -> DataFrame:
+    """merge_adjacent_sessions specialized to inputs with NO NESTED
+    intervals (sorted by start within a user, ends monotone — the
+    disorder processor's regime: every admissible new event's ts >=
+    the previous watermark >= every open session's end, see
+    _as_intervals).
+
+    Same gap-chain grouping, but instead of a groupBy(user, chain)
+    aggregation — whose (user_id, _gid) grouping key Spark cannot
+    prove co-located with the window's hash(user_id) partitioning, so
+    it pays a second exchange — this emits the CLOSING row of each
+    chain directly from the window pass, carrying the chain's start
+    and event count as running-window expressions. One exchange per
+    merge instead of two; all window specs share one partitioning and
+    sort. Monotonicity arguments: starts are the sort key; _rs is a
+    running sum, so both max(when(_new=1, ...)) carries pick the
+    CURRENT chain's opening row; the closing row's end_us is the
+    chain max because ends are monotone (no nesting).
+    """
+    w = Window.partitionBy("user_id").orderBy("start_us", "end_us")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x = (
+        intervals.withColumn(
+            "_new",
+            F.when(
+                F.lag("end_us").over(w).isNull()
+                | (F.col("start_us") - F.lag("end_us").over(w) > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_rs", F.sum("n_events").over(run))
+        .withColumn(
+            "_gstart",
+            F.max(F.when(F.col("_new") == 1, F.col("start_us"))).over(run),
+        )
+        .withColumn(
+            "_gbase",
+            F.max(
+                F.when(F.col("_new") == 1, F.col("_rs") - F.col("n_events"))
+            ).over(run),
+        )
+        .withColumn("_next_new", F.lead("_new").over(w))
+    )
+    return x.where(
+        F.col("_next_new").isNull() | (F.col("_next_new") == 1)
+    ).select(
+        "user_id",
+        F.col("_gstart").alias("start_us"),
+        "end_us",
+        (F.col("_rs") - F.col("_gbase")).alias("n_events"),
+    )
+
+
 def _state_versions(spark: SparkSession, state_root: str) -> list[int]:
     return sorted(
         int(d[1:])
@@ -143,9 +199,10 @@ def _state_versions(spark: SparkSession, state_root: str) -> list[int]:
 
 
 def read_open_state(
-    spark: SparkSession, state_root: str, *, before_epoch: int | None = None
+    spark: SparkSession, store_root: str, *, before_epoch: int | None = None
 ) -> DataFrame:
-    """Open-session state (empty frame before the first write).
+    """Open-session rows of the newest store version (empty frame
+    before the first write).
 
     Versions are EPOCH-KEYED (v<epoch_id>), which is what makes the
     processor idempotent under foreachBatch retries: a redelivered
@@ -156,9 +213,10 @@ def read_open_state(
     contains it would double-count n_events. Final readers pass no
     bound and get the newest complete version.
     """
-    return _read_versioned(
-        spark, state_root, _SESSION_SCHEMA, before_epoch=before_epoch
+    store = _read_versioned(
+        spark, store_root, _STORE_SCHEMA, before_epoch=before_epoch
     )
+    return store.where(F.col("kind") == _KIND_OPEN).select(*SESSION_COLS)
 
 
 def _read_versioned(
@@ -182,53 +240,55 @@ def _read_versioned(
 def make_sessionize_processor(
     spark: SparkSession,
     *,
-    state_root: str,
-    closed_path: str,
+    store_root: str,
     gap_us: int,
 ):
-    """Per-micro-batch body: sessionize the batch, merge with open
-    state, append closed sessions, rewrite open state."""
+    """Per-micro-batch body (ordered contract): gap-merge the batch's
+    events — as degenerate intervals — together with ALL open-session
+    state in one _merge_intervals_nonested window pass (per-user
+    ordering guarantees every new event >= its user's open-session
+    end, so no nesting); the LAST session per user stays open (later
+    batches may extend it), everything earlier closes now.
+
+    Per-epoch actions: an isEmpty probe and ONE kind-partitioned
+    write carrying both the closed sessions and the open state
+    (kind=closed / kind=open) — the round-8 rewrite that replaced the
+    original sessionize-then-merge double window, the semi/anti state
+    split, and the two separate sink writes; the open/closed split
+    rides the same window exchange as the merge (an unbounded
+    max(start_us) per user).
+
+    Idempotence: the store version is a deterministic function of the
+    epoch's true pre-state (the newest version strictly below this
+    epoch, see read_open_state), so a redelivered epoch rewrites the
+    same bytes instead of duplicating rows — effectively-exactly-once
+    on top of the file source's at-least-once replay."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         epoch = int(epoch_id)
-        batch_sessions = sessionize_batch(batch_df, gap_us=gap_us)
-        # pre-state = newest version strictly below this epoch, so a
-        # RETRIED epoch recomputes from its true inputs (idempotence;
-        # see read_open_state)
-        state = read_open_state(spark, state_root, before_epoch=epoch)
-        users = batch_df.select("user_id").distinct()
-        touched = state.join(users, "user_id", "left_semi")
-        untouched = state.join(users, "user_id", "left_anti")
-
-        merged = merge_adjacent_sessions(
-            touched.unionByName(batch_sessions), gap_us=gap_us
-        ).persist()
-        try:
-            # the LAST session per touched user stays open (later
-            # batches may extend it); everything earlier closes now
-            w = Window.partitionBy("user_id").orderBy(F.desc("start_us"))
-            with_pos = merged.withColumn("_pos", F.row_number().over(w))
-            closed = with_pos.where(F.col("_pos") > 1).select(*SESSION_COLS)
-            still_open = with_pos.where(F.col("_pos") == 1).select(*SESSION_COLS)
-
-            # per-epoch OVERWRITE (not append) + epoch-keyed state
-            # version: both sinks are deterministic functions of the
-            # epoch, so redelivery rewrites the same bytes instead of
-            # duplicating rows — effectively-exactly-once on top of
-            # the file source's at-least-once replay
-            closed.write.mode("overwrite").parquet(
-                f"{closed_path}/epoch={epoch}"
-            )
-            still_open.unionByName(untouched).write.mode("overwrite").parquet(
-                f"{state_root}/v{epoch}"
-            )
-            # keep v(epoch-1) until the NEXT epoch commits (a retry of
-            # this epoch still needs it); drop everything older
-            for v in _state_versions(spark, state_root):
-                if v < epoch - 1:
-                    fs.delete(spark, f"{state_root}/v{v}")
-        finally:
-            merged.unpersist()
+        if batch_df.isEmpty():
+            return  # no events: state is exact, versions need not move
+        state = read_open_state(spark, store_root, before_epoch=epoch)
+        merged = _merge_intervals_nonested(
+            state.unionByName(
+                _as_intervals(batch_df.select("user_id", "ts_us"))
+            ),
+            gap_us=gap_us,
+        )
+        w = Window.partitionBy("user_id")
+        tagged = merged.withColumn(
+            "kind",
+            F.when(
+                F.col("start_us") == F.max("start_us").over(w),
+                F.lit(_KIND_OPEN),
+            ).otherwise(F.lit(_KIND_CLOSED)),
+        ).select(*SESSION_COLS, "kind")
+        # non-empty by construction: a non-empty batch leaves every
+        # active user exactly one kind=open row
+        tagged.write.partitionBy("kind").mode("overwrite").parquet(
+            f"{store_root}/v{epoch}"
+        )
+        _prune_store_versions(spark, store_root, current_epoch=epoch)
 
     return process
 
@@ -238,8 +298,7 @@ def run_streaming_sessionizer(
     *,
     data_root: str,
     schema,
-    state_root: str,
-    closed_path: str,
+    store_root: str,
     checkpoint: str,
     gap_us: int,
     max_files_per_trigger: int = 1,
@@ -259,8 +318,7 @@ def run_streaming_sessionizer(
     writer = stream.writeStream.foreachBatch(
         make_sessionize_processor(
             spark,
-            state_root=state_root,
-            closed_path=closed_path,
+            store_root=store_root,
             gap_us=gap_us,
         )
     ).option("checkpointLocation", checkpoint)
@@ -270,44 +328,97 @@ def run_streaming_sessionizer(
 
 
 def final_sessions(
-    spark: SparkSession, *, state_root: str, closed_path: str
+    spark: SparkSession, *, store_root: str
 ) -> DataFrame:
     """Closed sessions + end-of-stream flush of still-open state."""
-    try:
-        # epoch=N partition dirs surface as an `epoch` column; the
-        # session identity is SESSION_COLS, so project it away
-        closed = spark.read.parquet(closed_path).select(*SESSION_COLS)
-    except Exception:  # no session ever closed
-        closed = spark.createDataFrame([], _SESSION_SCHEMA)
-    return closed.unionByName(read_open_state(spark, state_root))
+    return read_closed_sessions(spark, store_root).unionByName(
+        read_open_state(spark, store_root)
+    )
 
 
-def _keep_latest_versions(
-    spark: SparkSession, root: str, *, current_epoch: int
+# Unified per-epoch store (BOTH processors): ONE versioned,
+# kind-partitioned table per epoch carries this epoch's closed
+# sessions (kind=closed), the open-session state (kind=open), and —
+# disorder variant only — the immature event buffer (kind=buf, events
+# as degenerate one-event intervals). One write job per epoch instead
+# of the original two/three (closed append + state rewrite [+ buffer
+# rewrite]) — write-job fixed cost was the gates' dominant term
+# (r7 verdict "Next round" #3).
+# Version pruning keeps each version's closed partition (append-only
+# history the flush unions) and drops only stale open/buf partitions.
+_STORE_SCHEMA = (
+    "user_id long, start_us long, end_us long, n_events long, kind string"
+)
+_KIND_OPEN = "open"
+_KIND_BUF = "buf"
+_KIND_CLOSED = "closed"
+
+
+def _split_store(store: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(open sessions, buffered events) from one unified store read."""
+    opens = store.where(F.col("kind") == _KIND_OPEN).select(*SESSION_COLS)
+    buf = store.where(F.col("kind") == _KIND_BUF).select(
+        "user_id", F.col("start_us").alias("ts_us")
+    )
+    return opens, buf
+
+
+def _as_intervals(events: DataFrame) -> DataFrame:
+    """Events as degenerate one-event session intervals
+    (start=end=ts, n_events=1). Gap-merging degenerate intervals IS
+    sessionization, so merge_adjacent_sessions over
+    (open state ∪ _as_intervals(mature)) replaces the two-pass
+    sessionize_batch-then-merge — one window shuffle per epoch
+    instead of two. Correct because no interval nesting can occur:
+    every admissible new event's ts >= the previous watermark >= every
+    open session's end (sessions only ever contain events at or below
+    the watermark of their merge epoch), so sorted-by-start gap
+    chaining with lag(end) sees monotone ends.
+    """
+    return events.select(
+        "user_id",
+        F.col("ts_us").alias("start_us"),
+        F.col("ts_us").alias("end_us"),
+        F.lit(1).cast("long").alias("n_events"),
+    )
+
+
+def read_closed_sessions(spark: SparkSession, store_root: str) -> DataFrame:
+    """Union of every epoch's closed partition (all store versions —
+    pruning preserves kind=closed)."""
+    dirs = [
+        d
+        for d in (
+            f"{store_root}/v{v}/kind={_KIND_CLOSED}"
+            for v in _state_versions(spark, store_root)
+        )
+        if fs.exists(spark, d)
+    ]
+    if not dirs:
+        return spark.createDataFrame([], _SESSION_SCHEMA)
+    return spark.read.parquet(*dirs).select(*SESSION_COLS)
+
+
+def _prune_store_versions(
+    spark: SparkSession, store_root: str, *, current_epoch: int
 ) -> None:
-    """Drop every state version except the current epoch's write and
-    the newest one strictly below it (a retry of the NEXT epoch still
-    reads that one). Pure housekeeping — readers always take the
-    newest eligible version, so deleting lazily would also be correct.
-
-    Unlike the `v < epoch - 1` arithmetic this is robust to epochs
-    that wrote nothing (an empty micro-batch leaves no version, so
-    "epoch - 1" may not exist while an older version is still the
-    live pre-state)."""
-    versions = _state_versions(spark, root)
+    """_keep_latest_versions, store flavor: stale versions lose only
+    their open/buf partitions; closed partitions are append-only
+    history the final flush reads, so every version directory
+    survives as a (possibly closed-only) stub."""
+    versions = _state_versions(spark, store_root)
     prev = [v for v in versions if v < current_epoch]
     keep = {current_epoch} | set(prev[-1:])
     for v in versions:
         if v not in keep:
-            fs.delete(spark, f"{root}/v{v}")
+            for kind in (_KIND_OPEN, _KIND_BUF):
+                fs.delete(spark, f"{store_root}/v{v}/kind={kind}")
 
 
 def make_disorder_sessionize_processor(
     spark: SparkSession,
     *,
-    state_root: str,
-    buffer_root: str,
-    closed_path: str,
+    store_root: str,
     gap_us: int,
     disorder_us: int,
 ):
@@ -315,65 +426,74 @@ def make_disorder_sessionize_processor(
     for the contract and the watermark argument).
 
     Per batch: (buffered ∪ batch) events split at the watermark
-    wm = max_seen - disorder_us; the mature side (ts <= wm) is
-    sessionized and merged into open-session state exactly like the
-    ordered processor; the immature side becomes the next buffer
-    version. max_seen never needs its own state table: the maximum
-    event is by definition younger than wm, so it is always sitting
-    in the buffer.
+    wm = max_seen - disorder_us; the mature side (ts <= wm) gap-merges
+    as degenerate intervals together with ALL open-session state in a
+    single merge_adjacent_sessions pass (see _as_intervals for why
+    that equals sessionize-then-merge; untouched users' sessions pass
+    through the window unchanged); the immature side becomes the
+    buffer partition of the next store version. max_seen never needs
+    its own state table: the maximum event is by definition younger
+    than wm, so it is always sitting in the buffer.
 
     Closure rule: a session closes once end_us < wm - gap_us (no
     admissible future event can be within gap of it); everything
     else stays open — watermark-driven, unlike the ordered
-    processor's last-session-per-user rule.
+    processor's last-session-per-user rule, and applied uniformly to
+    every open session (a session whose user saw no new events still
+    closes once the watermark passes it — same flushed result, less
+    carried state).
 
-    Idempotence: all three sinks (closed epoch dir, state version,
-    buffer version) are deterministic functions of the epoch's true
-    pre-state, which a retried epoch re-reads via before_epoch —
-    same discipline as make_sessionize_processor."""
+    Per-epoch actions: ONE tiny max aggregate (which doubles as the
+    empty-epoch probe and materializes the cached event union) and
+    ONE write job — closed/open/buf leave in a single
+    kind-partitioned write.
+
+    Idempotence: the store version is a deterministic function of the
+    epoch's true pre-state, which a retried epoch re-reads via
+    before_epoch — same discipline as make_sessionize_processor, with
+    the closed partition epoch-keyed inside the version directory.
+    """
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         epoch = int(epoch_id)
-        buf = _read_versioned(
-            spark, buffer_root, _EVENT_SCHEMA, before_epoch=epoch
+        state, buf = _split_store(
+            _read_versioned(
+                spark, store_root, _STORE_SCHEMA, before_epoch=epoch
+            )
         )
         all_ev = (
             batch_df.select("user_id", "ts_us").unionByName(buf).persist()
         )
         try:
+            # one driver-side action doubles as the empty-epoch probe
+            # AND materializes the persist the write job reuses; wm
+            # then enters the write plan as a literal
             (mx,) = all_ev.agg(F.max("ts_us")).first()
             if mx is None:  # empty batch AND empty buffer: no-op epoch
                 return
             wm = int(mx) - disorder_us
             mature = all_ev.where(F.col("ts_us") <= wm)
             immature = all_ev.where(F.col("ts_us") > wm)
-
-            state = read_open_state(spark, state_root, before_epoch=epoch)
-            users = mature.select("user_id").distinct()
-            touched = state.join(users, "user_id", "left_semi")
-            untouched = state.join(users, "user_id", "left_anti")
-            merged = merge_adjacent_sessions(
-                touched.unionByName(
-                    sessionize_batch(mature, gap_us=gap_us)
-                ),
-                gap_us=gap_us,
-            ).persist()
-            try:
-                closed = merged.where(F.col("end_us") < wm - gap_us)
-                still_open = merged.where(F.col("end_us") >= wm - gap_us)
-                closed.select(*SESSION_COLS).write.mode("overwrite").parquet(
-                    f"{closed_path}/epoch={epoch}"
+            merged = _merge_intervals_nonested(
+                state.unionByName(_as_intervals(mature)), gap_us=gap_us
+            )
+            sessions = merged.withColumn(
+                "kind",
+                F.when(
+                    F.col("end_us") < wm - gap_us, F.lit(_KIND_CLOSED)
+                ).otherwise(F.lit(_KIND_OPEN)),
+            ).select(*SESSION_COLS, "kind")
+            unified = sessions.unionByName(
+                _as_intervals(immature).withColumn(
+                    "kind", F.lit(_KIND_BUF)
                 )
-                still_open.select(*SESSION_COLS).unionByName(
-                    untouched
-                ).write.mode("overwrite").parquet(f"{state_root}/v{epoch}")
-                immature.write.mode("overwrite").parquet(
-                    f"{buffer_root}/v{epoch}"
-                )
-                _keep_latest_versions(spark, state_root, current_epoch=epoch)
-                _keep_latest_versions(spark, buffer_root, current_epoch=epoch)
-            finally:
-                merged.unpersist()
+            )
+            # non-empty by construction: the max event is always
+            # immature (disorder_us > 0), so kind=buf always exists
+            unified.write.partitionBy("kind").mode("overwrite").parquet(
+                f"{store_root}/v{epoch}"
+            )
+            _prune_store_versions(spark, store_root, current_epoch=epoch)
         finally:
             all_ev.unpersist()
 
@@ -385,9 +505,7 @@ def run_disorder_sessionizer(
     *,
     data_root: str,
     schema,
-    state_root: str,
-    buffer_root: str,
-    closed_path: str,
+    store_root: str,
     checkpoint: str,
     gap_us: int,
     disorder_us: int,
@@ -404,9 +522,7 @@ def run_disorder_sessionizer(
     writer = stream.writeStream.foreachBatch(
         make_disorder_sessionize_processor(
             spark,
-            state_root=state_root,
-            buffer_root=buffer_root,
-            closed_path=closed_path,
+            store_root=store_root,
             gap_us=gap_us,
             disorder_us=disorder_us,
         )
@@ -419,23 +535,20 @@ def run_disorder_sessionizer(
 def final_sessions_disorder(
     spark: SparkSession,
     *,
-    state_root: str,
-    buffer_root: str,
-    closed_path: str,
+    store_root: str,
     gap_us: int,
 ) -> DataFrame:
     """End-of-stream flush for the disorder variant: the remaining
-    buffer (everything still above the last watermark) sessionizes,
-    merges with the open-session state, and closes alongside the
-    already-closed epochs."""
-    buf = _read_versioned(spark, buffer_root, _EVENT_SCHEMA)
-    opens = read_open_state(spark, state_root)
-    tail = merge_adjacent_sessions(
-        opens.unionByName(sessionize_batch(buf, gap_us=gap_us)),
-        gap_us=gap_us,
+    buffer (everything still above the last watermark) gap-merges
+    with the open-session state in one pass (see _as_intervals) and
+    closes alongside the per-epoch closed partitions — one read of
+    the unified store."""
+    opens, buf = _split_store(
+        _read_versioned(spark, store_root, _STORE_SCHEMA)
     )
-    try:
-        closed = spark.read.parquet(closed_path).select(*SESSION_COLS)
-    except Exception:  # no session ever closed mid-stream
-        closed = spark.createDataFrame([], _SESSION_SCHEMA)
-    return closed.unionByName(tail.select(*SESSION_COLS))
+    tail = _merge_intervals_nonested(
+        opens.unionByName(_as_intervals(buf)), gap_us=gap_us
+    )
+    return read_closed_sessions(spark, store_root).unionByName(
+        tail.select(*SESSION_COLS)
+    )

@@ -56,16 +56,14 @@ def _write_slices(spark, tmp_path) -> str:
 
 def _run(spark, tmp_path):
     paths = {
-        "state": str(tmp_path / "state"),
-        "closed": str(tmp_path / "closed"),
+        "store": str(tmp_path / "store"),
         "ckpt": str(tmp_path / "ckpt"),
     }
     q = run_streaming_sessionizer(
         spark,
         data_root=_write_slices(spark, tmp_path),
         schema=SCHEMA,
-        state_root=paths["state"],
-        closed_path=paths["closed"],
+        store_root=paths["store"],
         checkpoint=paths["ckpt"],
         gap_us=GAP,
     )
@@ -75,9 +73,7 @@ def _run(spark, tmp_path):
 
 def test_multi_batch_stream_equals_batch(spark, tmp_path):
     paths = _run(spark, tmp_path)
-    streamed = final_sessions(
-        spark, state_root=paths["state"], closed_path=paths["closed"]
-    )
+    streamed = final_sessions(spark, store_root=paths["store"])
     batch = sessionize_batch(
         spark.createDataFrame(ROWS, SCHEMA), gap_us=GAP
     )
@@ -102,11 +98,17 @@ def test_multi_batch_stream_equals_batch(spark, tmp_path):
 def test_three_micro_batches_ran_and_state_is_bounded(spark, tmp_path):
     paths = _run(spark, tmp_path)
     # versions are epoch-keyed; the current + retry-safety previous
-    # survive, everything older is evicted
-    vers = sorted(d for d in os.listdir(paths["state"]) if d.startswith("v"))
+    # keep their open-state partition, older versions are pruned down
+    # to closed-only stubs (append-only history the flush reads)
     n = len(SLICES)
-    assert vers == [f"v{n - 2}", f"v{n - 1}"]
-    state = read_open_state(spark, paths["state"])
+    with_open = sorted(
+        d
+        for d in os.listdir(paths["store"])
+        if d.startswith("v")
+        and os.path.isdir(os.path.join(paths["store"], d, "kind=open"))
+    )
+    assert with_open == [f"v{n - 2}", f"v{n - 1}"]
+    state = read_open_state(spark, paths["store"])
     # exactly one open session per user active in the final picture
     assert state.groupBy("user_id").count().agg(F.max("count")).first()[0] == 1
 
@@ -122,15 +124,12 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
     before = sorted(
         map(
             key,
-            final_sessions(
-                spark, state_root=paths["state"], closed_path=paths["closed"]
-            ).collect(),
+            final_sessions(spark, store_root=paths["store"]).collect(),
         )
     )
     proc = make_sessionize_processor(
         spark,
-        state_root=paths["state"],
-        closed_path=paths["closed"],
+        store_root=paths["store"],
         gap_us=GAP,
     )
     a, b = SLICES[-1]
@@ -139,9 +138,7 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
     after = sorted(
         map(
             key,
-            final_sessions(
-                spark, state_root=paths["state"], closed_path=paths["closed"]
-            ).collect(),
+            final_sessions(spark, store_root=paths["store"]).collect(),
         )
     )
     assert before == after
@@ -166,11 +163,7 @@ def test_merge_adjacent_sessions_semantics(spark):
 
 def test_empty_state_and_absent_closed(spark, tmp_path):
     # final_sessions before any stream ran: empty frame, right schema
-    out = final_sessions(
-        spark,
-        state_root=str(tmp_path / "nope_state"),
-        closed_path=str(tmp_path / "nope_closed"),
-    )
+    out = final_sessions(spark, store_root=str(tmp_path / "nope_store"))
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "user_id", "start_us", "end_us", "n_events",
@@ -208,9 +201,7 @@ def _write_disorder_files(spark, tmp_path) -> str:
 
 def _disorder_paths(tmp_path):
     return {
-        "state": str(tmp_path / "dstate"),
-        "buffer": str(tmp_path / "dbuffer"),
-        "closed": str(tmp_path / "dclosed"),
+        "store": str(tmp_path / "dstore"),
         "ckpt": str(tmp_path / "dckpt"),
     }
 
@@ -223,9 +214,7 @@ def _run_disorder(spark, tmp_path):
         spark,
         data_root=_write_disorder_files(spark, tmp_path),
         schema=SCHEMA,
-        state_root=paths["state"],
-        buffer_root=paths["buffer"],
-        closed_path=paths["closed"],
+        store_root=paths["store"],
         checkpoint=paths["ckpt"],
         gap_us=GAP,
         disorder_us=DIS_W,
@@ -260,9 +249,7 @@ def test_disorder_stream_equals_batch(spark, tmp_path):
     paths = _run_disorder(spark, tmp_path)
     streamed = final_sessions_disorder(
         spark,
-        state_root=paths["state"],
-        buffer_root=paths["buffer"],
-        closed_path=paths["closed"],
+        store_root=paths["store"],
         gap_us=GAP,
     )
     batch = sessionize_batch(
@@ -273,11 +260,15 @@ def test_disorder_stream_equals_batch(spark, tmp_path):
     )
     # the machinery worked for its living: sessions closed mid-stream
     # (watermark passed them) AND events sat in the buffer
-    closed_mid = spark.read.parquet(paths["closed"])
-    assert closed_mid.count() > 0
-    from hha_spark.streaming.sessionize import _EVENT_SCHEMA, _read_versioned
+    from hha_spark.streaming.sessionize import (
+        _STORE_SCHEMA,
+        _read_versioned,
+        read_closed_sessions,
+    )
 
-    assert _read_versioned(spark, paths["buffer"], _EVENT_SCHEMA).count() > 0
+    assert read_closed_sessions(spark, paths["store"]).count() > 0
+    store = _read_versioned(spark, paths["store"], _STORE_SCHEMA)
+    assert store.where("kind = 'buf'").count() > 0  # events sat in the buffer
 
 
 def test_ordered_processor_is_wrong_on_disordered_delivery(spark, tmp_path):
@@ -286,16 +277,14 @@ def test_ordered_processor_is_wrong_on_disordered_delivery(spark, tmp_path):
     exact failure the watermark buffer exists to prevent. Pinning the
     difference proves the disorder gate is not vacuously green."""
     paths = {
-        "state": str(tmp_path / "ostate"),
-        "closed": str(tmp_path / "oclosed"),
+        "store": str(tmp_path / "ostore"),
         "ckpt": str(tmp_path / "ockpt"),
     }
     q = run_streaming_sessionizer(
         spark,
         data_root=_write_disorder_files(spark, tmp_path),
         schema=SCHEMA,
-        state_root=paths["state"],
-        closed_path=paths["closed"],
+        store_root=paths["store"],
         checkpoint=paths["ckpt"],
         gap_us=GAP,
     )
@@ -303,9 +292,7 @@ def test_ordered_processor_is_wrong_on_disordered_delivery(spark, tmp_path):
     ordered = sorted(
         map(
             _session_key,
-            final_sessions(
-                spark, state_root=paths["state"], closed_path=paths["closed"]
-            ).collect(),
+            final_sessions(spark, store_root=paths["store"]).collect(),
         )
     )
     batch = sorted(
@@ -337,9 +324,7 @@ def test_disorder_epoch_retry_is_idempotent(spark, tmp_path):
                 _session_key,
                 final_sessions_disorder(
                     spark,
-                    state_root=paths["state"],
-                    buffer_root=paths["buffer"],
-                    closed_path=paths["closed"],
+                    store_root=paths["store"],
                     gap_us=GAP,
                 ).collect(),
             )
@@ -348,9 +333,7 @@ def test_disorder_epoch_retry_is_idempotent(spark, tmp_path):
     before = snapshot()
     proc = make_disorder_sessionize_processor(
         spark,
-        state_root=paths["state"],
-        buffer_root=paths["buffer"],
-        closed_path=paths["closed"],
+        store_root=paths["store"],
         gap_us=GAP,
         disorder_us=DIS_W,
     )
@@ -392,9 +375,7 @@ def test_disorder_restart_from_checkpoint_across_queries(spark, tmp_path):
             spark,
             data_root=in_dir,
             schema=SCHEMA,
-            state_root=paths["state"],
-            buffer_root=paths["buffer"],
-            closed_path=paths["closed"],
+            store_root=paths["store"],
             checkpoint=paths["ckpt"],
             gap_us=GAP,
             disorder_us=DIS_W,
@@ -406,7 +387,7 @@ def test_disorder_restart_from_checkpoint_across_queries(spark, tmp_path):
     q1 = start()
     q1.awaitTermination()
     mid_versions = {
-        d for d in os.listdir(paths["state"]) if d.startswith("v")
+        d for d in os.listdir(paths["store"]) if d.startswith("v")
     }
 
     # file 2 lands while the process is down; a NEW query on the same
@@ -414,7 +395,7 @@ def test_disorder_restart_from_checkpoint_across_queries(spark, tmp_path):
     write_file(2)
     q2 = start()
     q2.awaitTermination()
-    assert "v2" in set(os.listdir(paths["state"]))
+    assert "v2" in set(os.listdir(paths["store"]))
     assert "v2" not in mid_versions  # epoch 2 ran in the second query
 
     streamed = sorted(
@@ -422,9 +403,7 @@ def test_disorder_restart_from_checkpoint_across_queries(spark, tmp_path):
             _session_key,
             final_sessions_disorder(
                 spark,
-                state_root=paths["state"],
-                buffer_root=paths["buffer"],
-                closed_path=paths["closed"],
+                store_root=paths["store"],
                 gap_us=GAP,
             ).collect(),
         )
@@ -509,9 +488,7 @@ def test_disorder_processor_matches_batch_on_random_delivery(spark, data):
     try:
         proc = make_disorder_sessionize_processor(
             spark,
-            state_root=f"{tmp}/state",
-            buffer_root=f"{tmp}/buffer",
-            closed_path=f"{tmp}/closed",
+            store_root=f"{tmp}/store",
             gap_us=GAP,
             disorder_us=_PROP_W,
         )
@@ -522,9 +499,7 @@ def test_disorder_processor_matches_batch_on_random_delivery(spark, data):
                 _session_key,
                 final_sessions_disorder(
                     spark,
-                    state_root=f"{tmp}/state",
-                    buffer_root=f"{tmp}/buffer",
-                    closed_path=f"{tmp}/closed",
+                    store_root=f"{tmp}/store",
                     gap_us=GAP,
                 ).collect(),
             )
