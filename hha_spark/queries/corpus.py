@@ -695,3 +695,176 @@ def _budget_fill_oracle() -> str:
 
 QUERIES["corpus_token_budget_fill"] = corpus_token_budget_fill
 ORACLES["corpus_token_budget_fill"] = _budget_fill_oracle()
+
+
+def corpus_curation_pipeline(spark, sf_dir):
+    """END-TO-END curation pipeline as ONE gate: Gopher quality rules
+    -> MinHash-LSH near-dup clustering OF THE SURVIVORS (keep the
+    minimum doc_id per transitive cluster) -> temperature mixture
+    over the deduped set -> token-budget fill, rolled up per source.
+    Every stage is an already-verified operator (text_gopher_quality;
+    the dedup_minhash_lsh/dedup_clusters pair machinery;
+    temperature_mixture; token_budget_fill); what this gate adds —
+    and what no per-stage green row proves — is that they COMPOSE:
+    the near-dup pairs and their transitive closure are computed
+    within the quality survivors (815 pairs among 191 docs at
+    sf0.01, vs 3538 corpus-wide — a different graph), the mixture
+    statistics come from the deduped set (not the raw corpus), and
+    the fill executes those recomputed targets. The oracle rebuilds
+    the entire chain from `documents` in one SQL statement
+    (gopher CTE -> parameterized minhash-pairs CTE -> recursive-CTE
+    closure -> min-id survivors -> shared mixture CTEs -> fill).
+
+    Output: one row per raw source with exact-integer funnel counts —
+    n_docs_raw -> n_docs_quality -> n_docs_unique (+ token mass,
+    mixture target, kept docs/tokens). A source filtered away
+    entirely reports zeros (LEFT joins from the raw side).
+
+    Scale shape: the quality verdict is a doc-keyed semi-join; pairs
+    are banded LSH (never all-pairs) with bucket caps; the closure is
+    the O(log n) label-propagation kernel; mixture targets are a
+    source-count-sized broadcast inside token_budget_fill; the final
+    rollup joins are over source-count-sized aggregates (broadcast).
+    No stage materializes more than the surviving docs.
+    """
+    from hha_spark.caching import tracked_persist
+    from hha_spark.operators.cluster import cluster_members
+    from hha_spark.operators.corpus import token_budget_fill
+    from hha_spark.operators.dedup import with_token_set
+    from hha_spark.queries.llm_ops import (
+        _minhash_lsh_from,
+        text_gopher_quality,
+    )
+
+    docs = _docs(spark, sf_dir)
+    keep_ids = text_gopher_quality(spark, sf_dir).where("keep").select(
+        "doc_id"
+    )
+    quality = tracked_persist(
+        docs.join(keep_ids, "doc_id", "left_semi").select(
+            "doc_id", "source", "text"
+        )
+    )
+    pairs = _minhash_lsh_from(with_token_set(quality)).select(
+        "doc_id_a", "doc_id_b"
+    )
+    # min-label components: cluster_id IS the minimum member doc_id,
+    # so the keep-min-id dedup policy is a doc_id != cluster_id drop
+    drops = (
+        cluster_members(pairs)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    unique = quality.join(drops, "doc_id", "left_anti")
+    fill = token_budget_fill(
+        unique, budget_frac_pct=BUDGET_PCT, salt=FILL_SALT
+    )
+    fill_stats = fill.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_unique"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_unique"),
+        F.min("target_tokens").cast("long").alias("target_tokens"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("kept_docs"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    raw_stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_raw")
+    )
+    q_stats = quality.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_quality")
+    )
+    out = (
+        raw_stats.join(F.broadcast(q_stats), "source", "left")
+        .join(F.broadcast(fill_stats), "source", "left")
+    )
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "source",
+        "n_docs_raw",
+        F.coalesce("n_docs_quality", zero).alias("n_docs_quality"),
+        F.coalesce("n_docs_unique", zero).alias("n_docs_unique"),
+        F.coalesce("n_tokens_unique", zero).alias("n_tokens_unique"),
+        F.coalesce("target_tokens", zero).alias("target_tokens"),
+        F.coalesce("kept_docs", zero).alias("kept_docs"),
+        F.coalesce("kept_tokens", zero).alias("kept_tokens"),
+    )
+
+
+def _curation_pipeline_oracle() -> str:
+    from hha_spark.queries.llm_ops import ORACLE_GOPHER, _minhash_pairs_sql
+
+    uniq_stats = """
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM uniq GROUP BY source"""
+    return f"""
+    WITH RECURSIVE
+    gop AS (SELECT doc_id FROM ({ORACLE_GOPHER}) g WHERE g.keep),
+    qd AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN gop USING (doc_id)
+    ),
+    pairs AS (
+      SELECT doc_id_a, doc_id_b FROM ({_minhash_pairs_sql("qd")}) p
+    ),
+    e AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+          UNION SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e2.u, reach.r FROM e e2 JOIN reach ON e2.v = reach.node),
+    labels AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    uniq AS (
+      SELECT qd.doc_id, qd.source, qd.text
+      FROM qd LEFT JOIN labels ON qd.doc_id = labels.node
+      WHERE labels.node IS NULL OR qd.doc_id = labels.cluster_id
+    ),
+    {_mixture_ctes(per_sql=uniq_stats)},
+    d2 AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR) || '|{FILL_SALT}') AS h
+      FROM uniq
+    ),
+    r AS (
+      SELECT source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum
+      FROM d2
+    ),
+    fill AS (
+      SELECT r.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_unique,
+             CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens_unique,
+             CAST(MIN(m.target_tokens) AS BIGINT) AS target_tokens,
+             CAST(SUM(CASE WHEN r.cum - r.n_tokens < m.target_tokens
+                           THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+             CAST(SUM(CASE WHEN r.cum - r.n_tokens < m.target_tokens
+                           THEN r.n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+      FROM r JOIN mix m USING (source) GROUP BY r.source
+    ),
+    raw AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_raw
+      FROM documents GROUP BY source
+    ),
+    qc AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_quality
+      FROM qd GROUP BY source
+    )
+    SELECT raw.source, raw.n_docs_raw,
+           CAST(COALESCE(qc.n_docs_quality, 0) AS BIGINT) AS n_docs_quality,
+           CAST(COALESCE(f.n_docs_unique, 0) AS BIGINT) AS n_docs_unique,
+           CAST(COALESCE(f.n_tokens_unique, 0) AS BIGINT) AS n_tokens_unique,
+           CAST(COALESCE(f.target_tokens, 0) AS BIGINT) AS target_tokens,
+           CAST(COALESCE(f.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(f.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM raw LEFT JOIN qc USING (source) LEFT JOIN fill f USING (source)
+"""
+
+
+QUERIES["corpus_curation_pipeline"] = corpus_curation_pipeline
+ORACLES["corpus_curation_pipeline"] = _curation_pipeline_oracle()

@@ -363,10 +363,14 @@ _BANDS = " UNION ALL ".join(
 )
 MAX_LSH_BUCKET_SQL = 64  # mirrors operators.dedup.MAX_LSH_BUCKET
 
-ORACLE_MINHASH = f"""
+def _minhash_pairs_sql(docs_rel: str = "documents") -> str:
+    """The MinHash-LSH verified-pairs oracle, parameterized by the
+    document relation so composed gates (corpus_curation_pipeline)
+    can run the identical pair semantics over a filtered subset."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
-      FROM documents),
+      FROM {docs_rel}),
     sigs AS (SELECT doc_id, tokens, {_SIG_COLS} FROM toks),
     bands_all AS ({_BANDS}),
     bands AS (
@@ -388,6 +392,9 @@ ORACLE_MINHASH = f"""
     WHERE 10 * len(list_intersect(ta.tokens, tb.tokens))
           >= 7 * len(list_distinct(list_concat(ta.tokens, tb.tokens)))
 """
+
+
+ORACLE_MINHASH = _minhash_pairs_sql()
 
 
 

@@ -632,16 +632,18 @@ SESS_GAP_US = 12 * 3600 * 1_000_000  # 12h gap => sessions chain across slices
 SESS_SLICES = 3
 
 
-def _slice_bounds(ev: DataFrame, n_slices: int):
+def _slice_bounds(ev: DataFrame, n_slices: int, ts_col: str = "ts_us"):
     """(lo, span, base-slice SQL) for equal-width time bands:
     slice(ts) = s  <=>  lo + ceil(s*span/n) <= ts < lo + ceil((s+1)*span/n).
     The slice expression is returned as SQL text so callers can
     compose it into larger expressions (the disorder writer inlines
-    it twice)."""
-    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    it twice). `ts_col` is any integer event-time column (micros for
+    the sessionize gates, seconds for the attribution gate)."""
+    lo, hi = ev.agg(F.min(ts_col), F.max(ts_col)).first()
     span = hi - lo + 1
     base_sql = (
-        f"least({n_slices - 1} + 0L, (ts_us - {lo}) * {n_slices} div {span})"
+        f"least({n_slices - 1} + 0L, ({ts_col} - {lo}) * {n_slices}"
+        f" div {span})"
     )
     return lo, span, base_sql
 
@@ -1031,7 +1033,8 @@ SESS_DISORDER_US = 6 * 3600 * 1_000_000  # 6h (gap is 12h)
 
 
 def _write_disorder_slices(
-    ev: DataFrame, tmp: str, n_slices: int, delay_us: int
+    ev: DataFrame, tmp: str, n_slices: int, delay_us: int,
+    ts_col: str = "ts_us",
 ) -> str:
     """Time-sliced files with bounded-LATE delivery: an event within
     delay_us below its slice's top boundary moves to the NEXT file
@@ -1045,19 +1048,19 @@ def _write_disorder_slices(
     _write_file_slices."""
     from hha_spark.operators.sketch import md5_mod
 
-    lo, span, base_sql = _slice_bounds(ev, n_slices)
+    lo, span, base_sql = _slice_bounds(ev, n_slices, ts_col)
     # exclusive top boundary of the base slice (see _slice_bounds)
     top_sql = (
         f"({lo} + (({base_sql} + 1) * {span} + {n_slices - 1})"
         f" div {n_slices})"
     )
     delayed = (
-        (F.col("ts_us") > F.expr(top_sql) - delay_us)
+        (F.col(ts_col) > F.expr(top_sql) - delay_us)
         & (F.expr(base_sql) < n_slices - 1)
         & (
             md5_mod(
                 "sessdelay|",
-                F.concat_ws(":", F.col("user_id"), F.col("ts_us")),
+                F.concat_ws(":", F.col("user_id"), F.col(ts_col)),
                 2,
             )
             == 0
@@ -1132,3 +1135,91 @@ QUERIES["stream_sessionize_disorder"] = stream_sessionize_disorder
 # delivery order changed, the event SET did not: the ordered gate's
 # batch oracle is verbatim the disorder gate's oracle
 ORACLES["stream_sessionize_disorder"] = ORACLE_STREAM_SESSIONIZE
+
+
+# bounded-disorder delivery for the attribution gate: events within
+# this window below a slice boundary may arrive one file late — late
+# CLICKS must still pair with purchases that matured a batch earlier
+ATTR_DISORDER_SEC = 6 * 3600  # 6h (max_delay is 4h)
+
+_ATTR_ROLLUP_SCHEMA = (
+    "user_id long, n_attr long, sum_delay long, min_delay long"
+)
+
+
+def stream_attribution_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join under bounded-DISORDER
+    delivery — the eleventh streaming topology and the delivery shape
+    the native watermarked join gate (stream_attribution_join) never
+    exercises: clicks and purchases replay as three mtime-ordered
+    files in which boundary events are delivered one file LATE
+    (bounded by ATTR_DISORDER_SEC), so a click can arrive a
+    micro-batch AFTER a purchase it must pair with. The watermark-
+    buffer processor (streaming/joins.py::
+    make_disorder_attribution_processor — the sessionize disorder
+    discipline applied to dual-input join state) buffers immature
+    events, joins each purchase exactly once at maturity against the
+    bounded click state, and flushes the remaining buffer at end of
+    stream; the result must equal the batch interval join — the SAME
+    DuckDB oracle as the ordered attribution gate, which is the
+    point: delivery order changed, the answer may not. Three files
+    batch as TWO micro-batches (maxFilesPerTrigger=2), so late
+    slice-1-tail events still arrive one BATCH after their
+    time-peers.
+
+    Scale: click state is bounded by max_delay + the disorder
+    buffer per key — the same eviction bound Spark's symmetric hash
+    join derives; per epoch one user-keyed join + one
+    kind-partitioned write (emitted pairs are append-only history).
+    """
+    from hha_spark.streaming.joins import (
+        final_attributions,
+        run_disorder_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    two = ev.where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        (events_ts_us(ev) / F.lit(1_000_000)).cast("long").alias("ts_s"),
+        F.col("event_type").alias("etype"),
+    )
+    with _gate_scratch("hha_stream_attrdis_") as tmp, _gate_shuffle(spark):
+        in_dir = _write_disorder_slices(
+            two, tmp, SESS_SLICES, ATTR_DISORDER_SEC, ts_col="ts_s"
+        )
+        q = run_disorder_attribution(
+            spark,
+            data_root=in_dir,
+            schema="user_id long, ts_s long, etype string",
+            store_root=f"{tmp}/store",
+            checkpoint=f"{tmp}/ckpt",
+            max_delay_sec=ATTR_MAX_DELAY_SEC,
+            disorder_sec=ATTR_DISORDER_SEC,
+            max_files_per_trigger=2,
+            available_now=True,
+        )
+        q.awaitTermination()
+        pairs = final_attributions(
+            spark,
+            store_root=f"{tmp}/store",
+            max_delay_sec=ATTR_MAX_DELAY_SEC,
+        )
+        out = pairs.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_attr"),
+            F.sum(F.col("ts2_s") - F.col("ts_s"))
+            .cast("long")
+            .alias("sum_delay"),
+            F.min(F.col("ts2_s") - F.col("ts_s"))
+            .cast("long")
+            .alias("min_delay"),
+        )
+        # collected before the gate's scratch directories vanish
+        return spark.createDataFrame(out.collect(), _ATTR_ROLLUP_SCHEMA)
+
+
+QUERIES["stream_attribution_disorder"] = stream_attribution_disorder
+# delivery order changed, the event SET did not: the ordered
+# attribution gate's batch oracle is verbatim the disorder oracle
+ORACLES["stream_attribution_disorder"] = ORACLE_STREAM_ATTRIBUTION

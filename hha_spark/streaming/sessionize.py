@@ -383,35 +383,55 @@ def _as_intervals(events: DataFrame) -> DataFrame:
     )
 
 
-def read_closed_sessions(spark: SparkSession, store_root: str) -> DataFrame:
-    """Union of every epoch's closed partition (all store versions —
-    pruning preserves kind=closed)."""
+def read_kind_history(
+    spark: SparkSession,
+    store_root: str,
+    kind: str,
+    schema: str,
+    cols: tuple[str, ...],
+) -> DataFrame:
+    """Union of one kind's partition across ALL store versions —
+    the append-only-history read (pruning preserves these kinds).
+    Shared by the sessionize stores (kind=closed) and the disorder
+    attribution store (kind=attr, streaming/joins.py)."""
     dirs = [
         d
         for d in (
-            f"{store_root}/v{v}/kind={_KIND_CLOSED}"
+            f"{store_root}/v{v}/kind={kind}"
             for v in _state_versions(spark, store_root)
         )
         if fs.exists(spark, d)
     ]
     if not dirs:
-        return spark.createDataFrame([], _SESSION_SCHEMA)
-    return spark.read.parquet(*dirs).select(*SESSION_COLS)
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*dirs).select(*cols)
+
+
+def read_closed_sessions(spark: SparkSession, store_root: str) -> DataFrame:
+    """Union of every epoch's closed partition (all store versions —
+    pruning preserves kind=closed)."""
+    return read_kind_history(
+        spark, store_root, _KIND_CLOSED, _SESSION_SCHEMA, SESSION_COLS
+    )
 
 
 def _prune_store_versions(
-    spark: SparkSession, store_root: str, *, current_epoch: int
+    spark: SparkSession,
+    store_root: str,
+    *,
+    current_epoch: int,
+    prune_kinds: tuple[str, ...] = ("open", "buf"),
 ) -> None:
     """_keep_latest_versions, store flavor: stale versions lose only
-    their open/buf partitions; closed partitions are append-only
-    history the final flush reads, so every version directory
-    survives as a (possibly closed-only) stub."""
+    their carried-state partitions (`prune_kinds`); the remaining
+    kinds are append-only history the final flush reads, so every
+    version directory survives as a (possibly history-only) stub."""
     versions = _state_versions(spark, store_root)
     prev = [v for v in versions if v < current_epoch]
     keep = {current_epoch} | set(prev[-1:])
     for v in versions:
         if v not in keep:
-            for kind in (_KIND_OPEN, _KIND_BUF):
+            for kind in prune_kinds:
                 fs.delete(spark, f"{store_root}/v{v}/kind={kind}")
 
 
