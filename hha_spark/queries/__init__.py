@@ -57,48 +57,48 @@ _MODULES = (
 )
 
 # Order is the driver's verification window: it oracle-checks the FIRST
-# 50 names yielded. Round-7 rotation — after r6 every one of the 189
-# registry queries has a driver-verified green row, but 47 of those
-# rows are r1-r3 vintage (r6 VERDICT "Next round" #1). This round's
-# window finishes the freshness cycle: positions 1-2 are round-7
-# NEVER-CHECKED new gates (bounded-disorder sessionization; graph-
-# cluster mixture completing the mutual-kNN family), position 3 is the
-# one round-7 code-touched re-gate (corpus_dsir_weights: ratio lifted
-# to DECIMAL(38,0)/HUGEINT per r6 ADVICE — arithmetic changed on both
-# engines, needs a fresh row), and positions 4-50 are ALL 47 stale
-# greens in staleness order (1 r1, 1 r2, 45 r3). After a green r7
-# window, max driver-row staleness is <= 3 rounds registry-wide.
+# 50 names yielded. Round-8 rotation — after the green r7 window the
+# stalest driver rows registry-wide are the 47 r4-vintage greens (the
+# dedup/ANN/text/temporal/relational-q vintage; r7 verdict "Next
+# round" #1 demanded rotating onto them). This round's window:
+# positions 1-2 are the round-8 NEVER-CHECKED new gates (the composed
+# end-to-end curation pipeline; the bounded-disorder stream-stream
+# attribution join), positions 3-4 are the round-8 code-touched
+# re-gates (BOTH sessionize processors were rewritten to the unified
+# one-write store with the single-pass interval merge — plan and
+# state layout changed, each needs a fresh row), and positions 5-50
+# are 46 of the 47 r4-vintage greens in registry order. The 47th
+# (lineitem_price_deciles) plus the r5 vintage rotate in round 9 —
+# two new gates + two genuine re-gates outrank one slot of
+# same-vintage freshness. After a green r8 window, max driver-row
+# staleness is 4 rounds for exactly one query and <= 3 for the rest.
 # Names here that fall out of the registry are ignored defensively;
 # queries not listed follow in module order.
 # Policy: COVERAGE.md "Registry rotation".
 _NEVER_CHECKED_FIRST = (
-    # -- 2 round-7 new gates, never driver-checked --
-    "stream_sessionize_disorder", "corpus_graph_cluster_mixture",
-    # -- 1 round-7 code-touched re-gate (DECIMAL lift, r6 ADVICE) --
-    "corpus_dsir_weights",
-    # -- 1 r1-vintage green (stalest row registry-wide) --
-    "events_pairs_within_30min",
-    # -- 1 r2-vintage --
-    "customer_window_suite",
-    # -- 45 r3-vintage greens --
-    "top_revenue_orders", "customer_order_stats", "nation_region_rollup",
-    "distinct_parts_per_flag", "top3_customers_per_nation",
-    "customers_without_orders", "suppliers_in_rich_nations",
-    "part_size_classes", "orders_by_month", "nations_with_both",
-    "events_json_extract", "events_sessionize", "avg_qty_per_part",
-    "lineitem_status_pivot", "orders_cube", "median_qty_per_flag",
-    "approx_stats", "orders_with_big_lineitem", "customer_name_features",
-    "nations_customers_only", "customer_running_spend", "order_gap_days",
-    "customer_balance_quartiles", "events_value_histogram",
-    "event_value_stats", "sql_nation_revenue", "q3_shipping_priority",
-    "q5_local_supplier_volume", "stratified_sample_docs",
-    "corpus_train_val_test", "corpus_select_training", "dedup_survivors",
-    "events_session_window", "q4_priority_returns", "q7_volume_shipping",
-    "q12_priority_lines", "q14_promo_revenue", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q21_exclusive_returns",
-    "q22_inactive_rich_customers", "daily_activity_fulljoin",
-    "orders_grouping_sets", "lineitem_measures_unpivot",
-    "lineitem_price_qty_corr",
+    # -- 2 round-8 new gates, never driver-checked --
+    "corpus_curation_pipeline", "stream_attribution_disorder",
+    # -- 2 round-8 code-touched re-gates (sessionize store rewrite) --
+    "stream_sessionize_disorder", "stream_sessionize_incremental",
+    # -- 46 r4-vintage greens (of 47; see note above) --
+    "dedup_incremental", "dedup_simhash_pairs", "dedup_graph_pagerank",
+    "dedup_quality_survivors", "dedup_clusters", "dedup_clusters_star",
+    "dedup_graph_triangles", "doc_token_count_map", "text_normalize",
+    "doc_chunking", "ann_topk_ivf_trained", "ann_ivf_recall",
+    "dedup_embedding_lsh", "benchmark_contamination", "text_repetition",
+    "stream_dedup_incremental", "events_resample_daily", "events_funnel",
+    "scd2_user_event_history", "hll_daily_users_merge",
+    "events_hourly_to_daily", "events_sliding_7day",
+    "user_retention_cohorts", "weekly_revenue_growth",
+    "user_activity_streaks", "corpus_dup_spans", "corpus_source_overlap",
+    "corpus_pii_scrub", "corpus_mixture_weights", "q6_forecast_revenue",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q13_order_distribution", "q15_top_supplier",
+    "q19_disjunctive_revenue", "copurchase_part_pairs",
+    "nation_revenue_share", "null_semantics_suite", "top_status_per_flag",
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q16_supplier_relationship", "q20_promotion_suppliers",
+    "region_pair_matrix", "part_name_fuzzy_pairs",
 )
 
 
