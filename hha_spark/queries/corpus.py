@@ -697,49 +697,22 @@ QUERIES["corpus_token_budget_fill"] = corpus_token_budget_fill
 ORACLES["corpus_token_budget_fill"] = _budget_fill_oracle()
 
 
-def corpus_curation_pipeline(spark, sf_dir):
-    """END-TO-END curation pipeline as ONE gate: Gopher quality rules
-    -> MinHash-LSH near-dup clustering OF THE SURVIVORS (keep the
-    minimum doc_id per transitive cluster) -> temperature mixture
-    over the deduped set -> token-budget fill, rolled up per source.
-    Every stage is an already-verified operator (text_gopher_quality;
-    the dedup_minhash_lsh/dedup_clusters pair machinery;
-    temperature_mixture; token_budget_fill); what this gate adds —
-    and what no per-stage green row proves — is that they COMPOSE:
-    the near-dup pairs and their transitive closure are computed
-    within the quality survivors (815 pairs among 191 docs at
-    sf0.01, vs 3538 corpus-wide — a different graph), the mixture
-    statistics come from the deduped set (not the raw corpus), and
-    the fill executes those recomputed targets. The oracle rebuilds
-    the entire chain from `documents` in one SQL statement
-    (gopher CTE -> parameterized minhash-pairs CTE -> recursive-CTE
-    closure -> min-id survivors -> shared mixture CTEs -> fill).
+def curation_funnel(docs: DataFrame) -> DataFrame:
+    """The reusable docs-frame chain behind corpus_curation_pipeline
+    (and the weak-scaling probe): Gopher rules -> near-dup dedup of
+    the survivors -> temperature mixture -> budget fill -> per-source
+    funnel rollup. See corpus_curation_pipeline for semantics and the
+    scale argument."""
+    from pyspark.sql import Window
 
-    Output: one row per raw source with exact-integer funnel counts —
-    n_docs_raw -> n_docs_quality -> n_docs_unique (+ token mass,
-    mixture target, kept docs/tokens). A source filtered away
-    entirely reports zeros (LEFT joins from the raw side).
-
-    Scale shape: the quality verdict is a doc-keyed semi-join; pairs
-    are banded LSH (never all-pairs) with bucket caps; the closure is
-    the O(log n) label-propagation kernel; mixture targets are a
-    source-count-sized broadcast inside token_budget_fill; the final
-    rollup joins are over source-count-sized aggregates (broadcast).
-    No stage materializes more than the surviving docs.
-    """
     from hha_spark.caching import tracked_persist
     from hha_spark.operators.cluster import cluster_members
     from hha_spark.operators.corpus import token_budget_fill
     from hha_spark.operators.dedup import with_token_set
-    from hha_spark.queries.llm_ops import (
-        _minhash_lsh_from,
-        text_gopher_quality,
-    )
+    from hha_spark.operators.text import gopher_repetition_rules
+    from hha_spark.queries.llm_ops import _minhash_lsh_from
 
-    docs = _docs(spark, sf_dir)
-    keep_ids = text_gopher_quality(spark, sf_dir).where("keep").select(
-        "doc_id"
-    )
+    keep_ids = gopher_repetition_rules(docs).where("keep").select("doc_id")
     quality = tracked_persist(
         docs.join(keep_ids, "doc_id", "left_semi").select(
             "doc_id", "source", "text"
@@ -791,6 +764,41 @@ def corpus_curation_pipeline(spark, sf_dir):
         F.coalesce("kept_docs", zero).alias("kept_docs"),
         F.coalesce("kept_tokens", zero).alias("kept_tokens"),
     )
+
+
+def corpus_curation_pipeline(spark, sf_dir):
+    """END-TO-END curation pipeline as ONE gate: Gopher quality rules
+    -> MinHash-LSH near-dup clustering OF THE SURVIVORS (keep the
+    minimum doc_id per transitive cluster) -> temperature mixture
+    over the deduped set -> token-budget fill, rolled up per source.
+    Every stage is an already-verified operator (text_gopher_quality;
+    the dedup_minhash_lsh/dedup_clusters pair machinery;
+    temperature_mixture; token_budget_fill); what this gate adds —
+    and what no per-stage green row proves — is that they COMPOSE:
+    the near-dup pairs and their transitive closure are computed
+    within the quality survivors (815 pairs among 191 docs at
+    sf0.01, vs 3538 corpus-wide — a different graph), the mixture
+    statistics come from the deduped set (not the raw corpus), and
+    the fill executes those recomputed targets. The oracle rebuilds
+    the entire chain from `documents` in one SQL statement
+    (gopher CTE -> parameterized minhash-pairs CTE -> recursive-CTE
+    closure -> min-id survivors -> shared mixture CTEs -> fill).
+
+    Output: one row per raw source with exact-integer funnel counts —
+    n_docs_raw -> n_docs_quality -> n_docs_unique (+ token mass,
+    mixture target, kept docs/tokens). A source filtered away
+    entirely reports zeros (LEFT joins from the raw side).
+
+    Scale shape: the quality verdict is a doc-keyed semi-join; pairs
+    are banded LSH (never all-pairs) with bucket caps; the closure is
+    the O(log n) label-propagation kernel; mixture targets are a
+    source-count-sized broadcast inside token_budget_fill; the final
+    rollup joins are over source-count-sized aggregates (broadcast).
+    No stage materializes more than the surviving docs. Weak-scaling
+    measured in the round-8 deep probe (tools/scale_probe.py
+    curation_pipeline).
+    """
+    return curation_funnel(_docs(spark, sf_dir))
 
 
 def _curation_pipeline_oracle() -> str:

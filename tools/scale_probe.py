@@ -88,6 +88,7 @@ def probes(spark, k: int):
         token_budget_fill,
         winnowing_fingerprints,
     )
+    from hha_spark.queries.corpus import curation_funnel
     from hha_spark.streaming.sessionize import sessionize_batch
     from hha_spark.operators.quality import (
         doc_features,
@@ -306,6 +307,12 @@ def probes(spark, k: int):
         # gram map + per-doc frame MIN + fingerprint-df aggregate —
         # expect linear in grams (cross-copy grams are disjoint)
         "winnowing": lambda: winnowing_fingerprints(docs, k=4, w=4),
+        # the composed round-8 gate chain (gopher -> LSH dedup of the
+        # survivors -> mixture -> fill): output is one row per source
+        # (sources fixed across copies), so time ratio vs K measures
+        # the full funnel's scaling — dominated by the banded LSH
+        # pair stage, which is copy-disjoint by construction
+        "curation_pipeline": lambda: curation_funnel(docs),
         # NOTE mutual_knn_graph is deliberately absent: its exact
         # kernel is quadratic in the NODE SET by documented contract
         # (nodes = a bounded selection; scale path = LSH/IVF candidate
