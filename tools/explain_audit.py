@@ -49,6 +49,9 @@ def normalize(formatted: str) -> str:
     # normalization exists to suppress.
     s = re.sub(r"lambda ([A-Za-z]+)_\d+", r"lambda \1_N", s)
     s = re.sub(r"RDD\[\d+\]", "RDD[N]", s)
+    # subexpression-elimination aliases are numbered from a
+    # per-session counter too (observed shifting in round 8)
+    s = re.sub(r"_common_expr_\d+", "_common_expr_N", s)
     return s
 
 
