@@ -135,3 +135,97 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
     )
     proc(spark.createDataFrame(FILES[-1], SCHEMA), len(FILES) - 1)
     assert _pairs(spark, store) == before
+
+
+# --- property: random bounded-disorder delivery == batch join --------------
+
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PROP_W = 300  # disorder bound for the property
+
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),        # user_id
+        st.integers(min_value=0, max_value=1500),     # ts_s
+        st.sampled_from(["click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _batch_pairs(events):
+    """Reference interval join in plain Python."""
+    return sorted(
+        (u, c, p)
+        for (u, c, et) in events
+        if et == "click"
+        for (u2, p, et2) in events
+        if et2 == "purchase" and u2 == u and c <= p <= c + D
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_disorder_attribution_matches_batch_on_random_delivery(spark, data):
+    """For ANY event set, ANY arrival order within the disorder bound
+    (arrival key = ts + jitter in [0, W] implies every arrival's ts >=
+    max_seen - W), and ANY split of that arrival sequence into
+    micro-batches (empty batches allowed), the processor chain plus
+    the end-of-stream flush emits exactly the batch interval join —
+    multiplicities included (duplicate events are distinct rows on
+    both sides). The fixture tests pin specific topologies; this pins
+    the CONTRACT."""
+    events = data.draw(_events_strategy)
+    jitter = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=_PROP_W),
+            min_size=len(events),
+            max_size=len(events),
+        )
+    )
+    arrival = [
+        e
+        for _, e in sorted(
+            enumerate(events), key=lambda x: (x[1][1] + jitter[x[0]], x[0])
+        )
+    ]
+    n_batches = data.draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(arrival)),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            )
+        )
+    )
+    bounds = [0, *cuts, len(arrival)]
+    batches = [arrival[a:b] for a, b in zip(bounds, bounds[1:])]
+
+    tmp = tempfile.mkdtemp(prefix="hha_prop_attrdis_")
+    try:
+        proc = make_disorder_attribution_processor(
+            spark,
+            store_root=f"{tmp}/store",
+            max_delay_sec=D,
+            disorder_sec=_PROP_W,
+        )
+        for epoch, chunk in enumerate(batches):
+            proc(spark.createDataFrame(chunk, SCHEMA), epoch)
+        streamed = sorted(
+            (r.user_id, r.ts_s, r.ts2_s)
+            for r in final_attributions(
+                spark, store_root=f"{tmp}/store", max_delay_sec=D
+            ).collect()
+        )
+        assert streamed == _batch_pairs(events)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
