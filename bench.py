@@ -81,13 +81,23 @@ def main() -> None:
     spark.range(1_000).select(_warm("id")).write.format("noop").mode(
         "overwrite"
     ).save()
-    # ...and run the first registry query once UNTIMED: whichever
+    # Bench order is ALPHABETICAL, decoupled from registry order: the
+    # registry front-loads the driver's correctness window and is
+    # re-rotated every round, which used to shuffle every query's
+    # bench position — and position sits on the session's codegen
+    # warmup curve, so rotation manufactured phantom per-query deltas
+    # (rounds 6-8 each re-attributed one: part_size_classes
+    # 0.25 -> 1.32 -> 0.19 s purely from moving positions 37 -> 13 ->
+    # out). Alphabetical order is rotation-invariant, so cross-round
+    # per-query comparisons now compare like positions.
+    ordered = dict(sorted(qs.items()))
+    # ...and run the first benched query once UNTIMED: whichever
     # query sits at position 1 otherwise absorbs the remaining
     # first-job costs (parquet footer reads, codegen, shuffle service
     # spin-up) — measured +1.9 s on the same query moved from
     # position 6 to 1 across rounds 3-4
     try:
-        first_fn = next(iter(qs.values()))
+        first_fn = next(iter(ordered.values()))
         force(first_fn(spark, sf_dir))
     except Exception:  # noqa: BLE001 — warmup must never kill the run
         pass
@@ -105,7 +115,7 @@ def main() -> None:
     MEDIAN3_UNDER_SEC = 1.0
     timings: dict[str, float | None] = {}
     total = 0.0
-    for name, fn in qs.items():
+    for name, fn in ordered.items():
         t0 = time.perf_counter()
         try:
             force(fn(spark, sf_dir))
