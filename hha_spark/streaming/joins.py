@@ -79,14 +79,21 @@ def attribution_join(
 # watermark-buffer discipline streaming/sessionize.py built for
 # sessionization, applied to the dual-input interval join. Contract:
 # every arriving event's ts >= (max ts of all previously arrived
-# events) - disorder_sec. Events younger than wm = max_seen -
-# disorder_sec wait in the buffer; the mature slice is therefore
-# replayed in global time order. A purchase matures exactly once and
-# joins the click state at that moment, so every (click, purchase)
-# pair with purchase_ts - click_ts in [0, max_delay_sec] is emitted
-# exactly once:
+# events) - disorder_sec. Events at or above wm = max_seen -
+# disorder_sec wait in the buffer — TIES INCLUDED: an event with
+# ts == wm is still reachable by an admissible same-timestamp
+# arrival (arrival bound ts' >= max_seen - disorder = wm allows
+# ts' == wm), and unlike the sessionizer — whose sessions stay OPEN
+# with gap slack, so a tie can still merge later — a purchase
+# finalizes irreversibly at maturity, so maturing the tie would
+# permanently lose the zero-delay pair (round-8 self-review finding).
+# The strictly-below-wm mature slice is therefore replayed in global
+# time order. A purchase matures exactly once and joins the click
+# state at that moment, so every (click, purchase) pair with
+# purchase_ts - click_ts in [0, max_delay_sec] is emitted exactly
+# once:
 #   * a matching click matured no later than the purchase
-#     (click_ts <= purchase_ts <= wm) and is still in state, because
+#     (click_ts <= purchase_ts < wm) and is still in state, because
 #     eviction keeps click_ts + max_delay >= wm and every purchase
 #     maturing after that eviction has ts >= that wm (arrival bound);
 #   * clicks never re-join old purchases (purchases hold no state).
@@ -146,8 +153,9 @@ def make_disorder_attribution_processor(
             if mx is None:  # empty batch AND empty buffer: no-op epoch
                 return
             wm = int(mx) - disorder_sec
-            mature = all_ev.where(F.col("ts_s") <= wm)
-            immature = all_ev.where(F.col("ts_s") > wm)
+            # strict: ts == wm buffers (see module block comment)
+            mature = all_ev.where(F.col("ts_s") < wm)
+            immature = all_ev.where(F.col("ts_s") >= wm)
             m_clicks = mature.where(F.col("etype") == "click").select(
                 "user_id", "ts_s"
             )
@@ -200,8 +208,11 @@ def make_disorder_attribution_processor(
                     )
                 )
             )
-            # non-empty by construction: the max event is always
-            # immature (disorder_sec > 0), so kind=buf always exists
+            # non-empty by construction: the max event satisfies
+            # ts = max >= max - disorder_sec = wm, so it is always
+            # immature — kind=buf always exists, for ANY
+            # disorder_sec >= 0 (the strict maturity bound is what
+            # makes the zero-disorder configuration safe too)
             unified.write.partitionBy("kind").mode("overwrite").parquet(
                 f"{store_root}/v{epoch}"
             )

@@ -104,12 +104,18 @@ def sessionize_batch(events: DataFrame, *, gap_us: int) -> DataFrame:
 
 def merge_adjacent_sessions(sessions: DataFrame, *, gap_us: int) -> DataFrame:
     """Coalesce session rows whose gap start-to-previous-end is within
-    gap_us — the state-merge pass. Input/output shape = SESSION_COLS.
+    gap_us — the general-case interval merge. Input/output shape =
+    SESSION_COLS.
 
-    Used on (open state sessions UNION new batch sessions) per user:
-    within-batch sessions are already gap-separated, so at most the
-    state row fuses with the batch's first session, but the pass is
-    written generically (it would also fix up multi-source unions).
+    Since the round-8 store rewrite this is the REFERENCE
+    implementation: the production processors and flushes all use
+    _merge_intervals_nonested (one window pass, valid only under the
+    no-nesting precondition their contracts guarantee), and this
+    groupBy-based general form — correct for ANY interval set,
+    nesting included — is what the specialized variant is
+    differentially tested against
+    (tests/test_sessionize_stream.py::
+    test_nonested_merge_matches_general_merge).
     """
     w = Window.partitionBy("user_id").orderBy("start_us", "end_us")
     flagged = sessions.withColumn(

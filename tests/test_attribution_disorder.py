@@ -19,7 +19,7 @@ from hha_spark.streaming.joins import (
 )
 
 D = 100   # max click->purchase delay
-W = 50    # disorder bound
+W = 200   # disorder bound
 
 SCHEMA = "user_id long, ts_s long, etype string"
 
@@ -27,13 +27,15 @@ SCHEMA = "user_id long, ts_s long, etype string"
 #   (1, 0, 80)      both in file 0
 #   (2, 650, 700)   both in file 1; (2, 500, 700) misses (delay 200)
 #   (1, 960, 1000)  the CLICK is delivered one file AFTER its
-#                   purchase — the case a zero-disorder processor
-#                   cannot pair
+#                   purchase, and the purchase sits strictly below
+#                   the watermark the (1, 1100) event advances — the
+#                   case a zero-disorder processor cannot pair
 EXPECTED = {(1, 0, 80), (2, 650, 700), (1, 960, 1000)}
 
 FILES = [
     [(1, 0, "click"), (1, 80, "purchase"), (2, 500, "click")],
-    [(2, 650, "click"), (2, 700, "purchase"), (1, 1000, "purchase")],
+    [(2, 650, "click"), (2, 700, "purchase"), (1, 1000, "purchase"),
+     (1, 1100, "click")],
     [(1, 960, "click"), (1, 2000, "click")],
 ]
 
@@ -116,11 +118,14 @@ def test_disorder_stream_equals_batch_join(spark, tmp_path):
 
 
 def test_zero_disorder_processor_is_wrong_on_late_click(spark, tmp_path):
-    """With disorder_sec=0 every event matures on arrival: the late
-    click (1, 960) lands after purchase (1, 1000) already matured, so
-    their pair is lost — the exact failure the buffer exists to
-    prevent. Pinning the difference proves the disorder gate is not
-    vacuously green."""
+    """With disorder_sec=0 the watermark is the running max, so
+    purchase (1, 1000) matures in the epoch where (1, 1100) advances
+    the watermark past it — one epoch BEFORE its late click (1, 960)
+    arrives — and the pair is lost. The exact failure the buffer
+    exists to prevent; pinning the difference proves the disorder
+    gate is not vacuously green. (Note ties buffer even at
+    disorder_sec=0 — maturity is strictly below the watermark — so
+    the purchase needs a later event to advance wm past it.)"""
     store = _run(spark, tmp_path, disorder_sec=0)
     got = _pairs(spark, store)
     assert (1, 960, 1000) not in got
@@ -229,3 +234,27 @@ def test_disorder_attribution_matches_batch_on_random_delivery(spark, data):
         assert streamed == _batch_pairs(events)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_watermark_tie_purchase_waits_for_same_ts_click(spark, tmp_path):
+    """Round-8 self-review regression pin: a purchase sitting exactly
+    ON the watermark (ts == max_seen - W) must buffer, because an
+    admissible same-timestamp click (arrival bound ts' >= max_seen -
+    W allows ts' == wm) can still arrive a batch later. Maturing the
+    tie would finalize the purchase against an empty click state and
+    permanently lose the zero-delay pair."""
+    store = str(tmp_path / "tie_store")
+    proc = make_disorder_attribution_processor(
+        spark, store_root=store, max_delay_sec=D, disorder_sec=300
+    )
+    # epoch 0: wm = 300 - 300 = 0; the purchase at ts 0 ties the
+    # watermark and must wait
+    proc(
+        spark.createDataFrame(
+            [(1, 0, "purchase"), (1, 300, "click")], SCHEMA
+        ),
+        0,
+    )
+    # epoch 1: the admissible same-timestamp click (0 >= 300 - 300)
+    proc(spark.createDataFrame([(1, 0, "click")], SCHEMA), 1)
+    assert _pairs(spark, store) == {(1, 0, 0)}

@@ -545,3 +545,42 @@ def test_slice_writers_tolerate_empty_time_bands(spark, tmp_path):
         empty = spark.read.schema(SCHEMA).parquet(f"{out}/slice2.parquet")
         assert [f.name for f in empty.schema.fields] == ["user_id", "ts_us"]
         assert empty.count() == 0
+
+
+# --- property: specialized no-nesting merge == general merge ---------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_nonested_merge_matches_general_merge(spark, data):
+    """_merge_intervals_nonested (the one-window production merge) is
+    valid only for inputs with no nested intervals; on that domain it
+    must equal merge_adjacent_sessions, the general reference
+    implementation it replaced in the processors. Inputs are built
+    no-nested by construction: per user, intervals sorted by start
+    with ends forced monotone (overlaps, ties, and gaps all occur)."""
+    from hha_spark.streaming.sessionize import _merge_intervals_nonested
+
+    rows = []
+    for user in (1, 2):
+        n = data.draw(st.integers(min_value=0, max_value=5))
+        start, prev_end = 0, 0
+        for _ in range(n):
+            start += data.draw(st.integers(min_value=0, max_value=250))
+            delta = data.draw(st.integers(min_value=0, max_value=200))
+            end = max(prev_end, start + delta)  # monotone ends
+            rows.append((user, start, end, 1 + delta % 3))
+            prev_end = end
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id long, start_us long, end_us long, n_events long"
+    )
+    key = lambda r: (r.user_id, r.start_us, r.end_us, r.n_events)  # noqa: E731
+    got = sorted(map(key, _merge_intervals_nonested(df, gap_us=GAP).collect()))
+    ref = sorted(map(key, merge_adjacent_sessions(df, gap_us=GAP).collect()))
+    assert got == ref
