@@ -40,7 +40,16 @@ wm = max_seen - disorder_us, sessionizes only the mature slice
 stream is replayed in global time order), and closes a session only
 once wm has moved more than gap_us past its end (end_us < wm -
 gap_us), because a future event at ts' >= wm extends a session
-ending at e iff ts' - e <= gap_us. State grows by the event buffer:
+ending at e iff ts' - e <= gap_us. Watermark TIES may mature here
+(ts <= wm), unlike the disorder attribution join
+(streaming/joins.py), which must buffer them: an admissible
+same-timestamp arrival (ts' == wm) still finds every session it can
+touch OPEN — such a session has end >= wm > wm - gap_us, so the
+strict closure bound keeps it — whereas a purchase finalizes
+irreversibly at maturity. The closure bound is boundary-exact the
+other way too: end == wm - gap_us stays open because a future
+arrival at exactly ts' == wm extends it (ts' - end == gap_us).
+State grows by the event buffer:
 O(active users) open sessions + O(disorder window x event rate)
 buffered events — the exact cost Spark's own watermarking pays.
 Streamed result equals batch sessionization row-for-row, pinned by
