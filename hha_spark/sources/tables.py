@@ -19,6 +19,8 @@ stored micros).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,6 +39,13 @@ TABLE_NAMES = (
 
 NS_PER_US = 1_000
 US_PER_DAY = 86_400 * 1_000_000
+
+# session -> {(sf_dir, table, fanout): DataFrame} — reader-handle memo
+# for the static fixture tables (see load_table); weak keys so a
+# stopped session's entries die with it
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def events_ts_us(df: DataFrame, col: str = "ts") -> Column:
@@ -77,7 +86,22 @@ def load_table(
     embedding arrays) cost far more than the lost scan parallelism
     gains, and it re-runs on every re-read of an unpersisted frame. A
     production table has thousands of splits and never needs it.
+    Reads of the STATIC fixture tables (TABLE_NAMES) are memoized per
+    SparkSession: every call re-paid ~80 ms of file listing + footer
+    schema resolution, and a bench sweep makes ~300 such calls —
+    ~15% of its wall time re-deriving identical reader handles. This
+    is the register-tables-once catalog shape a real deployment gets
+    from its metastore; DataFrames are immutable, so handing back the
+    same object is semantically invisible. Non-fixture names (paths
+    tests or pipelines may still be writing) bypass the memo, which
+    also preserves try_load_table's read-retry contract for them.
     """
+    memo_key = (sf_dir, name, fanout) if name in TABLE_NAMES else None
+    if memo_key is not None:
+        per_session = _TABLE_MEMO.setdefault(spark, {})
+        cached = per_session.get(memo_key)
+        if cached is not None:
+            return cached
     if name == "events":
         # Tolerate a TIMESTAMP(NANOS) fixture ([PARQUET_TYPE_ILLEGAL]
         # by default); harmless for MICROS files. Runtime conf, safe
@@ -86,6 +110,8 @@ def load_table(
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if fanout:
         df = df.repartition(spark.sparkContext.defaultParallelism)
+    if memo_key is not None:
+        per_session[memo_key] = df
     return df
 
 
