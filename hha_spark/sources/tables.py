@@ -48,6 +48,23 @@ _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def _dir_fingerprint(path: str):
+    """Cheap local-path change token for the reader memo:
+    (mtime_ns, size) of a single-file table, plus entry count when the
+    table is a directory of part files. Rewriting the fixture (datagen
+    rerun) changes it; os errors (non-local URI, missing path — the
+    read itself will surface that) degrade to a constant so
+    memoization still works."""
+    try:
+        import os
+
+        st = os.stat(path)
+        n = len(os.listdir(path)) if os.path.isdir(path) else -1
+        return (st.st_mtime_ns, st.st_size, n)
+    except OSError:
+        return None
+
+
 def events_ts_us(df: DataFrame, col: str = "ts") -> Column:
     """`col` as exact integer microseconds-since-epoch, robust to how
     the parquet fixture encodes it.
@@ -95,8 +112,19 @@ def load_table(
     same object is semantically invisible. Non-fixture names (paths
     tests or pipelines may still be writing) bypass the memo, which
     also preserves try_load_table's read-retry contract for them.
+    A parquet reader handle snapshots its file listing at creation,
+    so the memo key carries a cheap directory fingerprint
+    (mtime + entry count): regenerating a fixture in-process (e.g. a
+    datagen rerun) invalidates the cached handle instead of returning
+    a plan over deleted part files. Non-local paths (no os.stat) fall
+    back to a constant fingerprint — the immutable-fixture assumption
+    then applies as before.
     """
-    memo_key = (sf_dir, name, fanout) if name in TABLE_NAMES else None
+    memo_key = (
+        (sf_dir, name, fanout, _dir_fingerprint(f"{sf_dir}/{name}.parquet"))
+        if name in TABLE_NAMES
+        else None
+    )
     if memo_key is not None:
         per_session = _TABLE_MEMO.setdefault(spark, {})
         cached = per_session.get(memo_key)

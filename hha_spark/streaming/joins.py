@@ -213,7 +213,11 @@ def make_disorder_attribution_processor(
             # immature — kind=buf always exists, for ANY
             # disorder_sec >= 0 (the strict maturity bound is what
             # makes the zero-disorder configuration safe too)
-            unified.write.partitionBy("kind").mode("overwrite").parquet(
+            # static overwrite pinned for retry idempotence (see
+            # sessionize.make_sessionize_processor's write)
+            unified.write.option(
+                "partitionOverwriteMode", "static"
+            ).partitionBy("kind").mode("overwrite").parquet(
                 f"{store_root}/v{epoch}"
             )
             _prune_store_versions(

@@ -299,8 +299,15 @@ def make_sessionize_processor(
             ).otherwise(F.lit(_KIND_CLOSED)),
         ).select(*SESSION_COLS, "kind")
         # non-empty by construction: a non-empty batch leaves every
-        # active user exactly one kind=open row
-        tagged.write.partitionBy("kind").mode("overwrite").parquet(
+        # active user exactly one kind=open row.
+        # partitionOverwriteMode pinned static: retry idempotence
+        # needs the whole v{epoch} dir truncated, not just the
+        # partitions the retry happens to produce (a session
+        # configured dynamic would keep a failed attempt's stale
+        # kind= dirs when the retry's partition set differs).
+        tagged.write.option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("kind").mode("overwrite").parquet(
             f"{store_root}/v{epoch}"
         )
         _prune_store_versions(spark, store_root, current_epoch=epoch)
@@ -487,7 +494,20 @@ def make_disorder_sessionize_processor(
     epoch's true pre-state, which a retried epoch re-reads via
     before_epoch — same discipline as make_sessionize_processor, with
     the closed partition epoch-keyed inside the version directory.
+
+    disorder_us must be > 0: at 0 the max event matures immediately,
+    so max_seen tracking between epochs is lost (the buffer is the
+    only carrier of max_seen) and the "kind=buf always exists"
+    non-empty-write argument fails. Zero disorder is the ordered
+    contract — use make_sessionize_processor. (The attribution join
+    handles 0 via its strict maturity bound; this processor's bound
+    is inclusive and does not.)
     """
+    if disorder_us <= 0:
+        raise ValueError(
+            "disorder_us must be > 0; use make_sessionize_processor "
+            "for ordered (zero-disorder) delivery"
+        )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         epoch = int(epoch_id)
@@ -524,8 +544,12 @@ def make_disorder_sessionize_processor(
                 )
             )
             # non-empty by construction: the max event is always
-            # immature (disorder_us > 0), so kind=buf always exists
-            unified.write.partitionBy("kind").mode("overwrite").parquet(
+            # immature (disorder_us > 0), so kind=buf always exists.
+            # static overwrite pinned for retry idempotence (see
+            # make_sessionize_processor's write).
+            unified.write.option(
+                "partitionOverwriteMode", "static"
+            ).partitionBy("kind").mode("overwrite").parquet(
                 f"{store_root}/v{epoch}"
             )
             _prune_store_versions(spark, store_root, current_epoch=epoch)
