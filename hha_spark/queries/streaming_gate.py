@@ -47,7 +47,12 @@ _QUERY_SEQ = itertools.count()
 # on a gate-sized replay (and a real knob in production too: size
 # state width to keys, not to the batch-analytics default). Scoped so
 # batch queries running after the gate see the session default again.
-GATE_SHUFFLE_PARTITIONS = "8"
+# Width 2: a gate micro-batch moves <= 100k rows through each
+# exchange, so task count and output-file count (each kind-partition
+# write emits one file per task) are the cost, not parallelism —
+# measured ~0.3 s/gate faster than 8 on the disorder gates with
+# identical results. Production sizes this to keys/volume.
+GATE_SHUFFLE_PARTITIONS = "2"
 
 
 # The gate fixtures write ~tens of MB of input + checkpoint + state;
@@ -88,13 +93,29 @@ def _gate_scratch(prefix: str):
 
 @contextmanager
 def _gate_shuffle(spark: SparkSession):
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, GATE_SHUFFLE_PARTITIONS)
+    """Gate-scoped execution knobs: few shuffle partitions (the gates
+    move tiny per-batch volumes through many fixed-cost jobs) and AQE
+    OFF. Spark itself keeps AQE disabled inside streaming plans;
+    foreachBatch bodies are batch plans, so AQE re-engages there and
+    each micro-batch pays one extra job + scheduler barrier per
+    materialized query stage — measured 5-6 jobs/epoch with AQE vs
+    3-4 without, ~0.25 s per gate at sf0.1, identical results (AQE's
+    runtime re-planning has nothing to optimize at micro-batch
+    volumes). A production deployment with large per-batch volumes
+    would leave AQE on; both knobs are execution-only and scoped to
+    the gate body."""
+    keys = {
+        "spark.sql.shuffle.partitions": GATE_SHUFFLE_PARTITIONS,
+        "spark.sql.adaptive.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        for k, v in prev.items():
+            spark.conf.set(k, v)
 
 
 def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
