@@ -837,21 +837,35 @@ def token_budget_fill(
     stratified_sample, with the same two-phase-rank refinement
     available if one source dominates the corpus.
     """
-    from pyspark.sql import Window
-
-    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|" + salt)))
     # ONE tokenize pass: the per-source sufficient statistics are
-    # derived from this narrow persisted frame, not from a second
-    # full-corpus split of the text column
-    per_doc = tracked_persist(
+    # derived from this narrow frame, not from a second full-corpus
+    # split of the text column
+    return token_budget_fill_per_doc(
         docs.select(
             "doc_id",
             "source",
             F.size(F.split(F.col("text"), " "))
             .cast("long")
             .alias("n_tokens"),
-            h.alias("h"),
-        )
+        ),
+        budget_frac_pct=budget_frac_pct,
+        salt=salt,
+    )
+
+
+def token_budget_fill_per_doc(
+    per_doc: DataFrame, *, budget_frac_pct: int = 50, salt: str = "budget-v1"
+) -> DataFrame:
+    """token_budget_fill over an already-tokenized narrow frame
+    (doc_id, source, n_tokens) — the shape a pipeline that stored
+    per-doc token counts at ingest reads back (the streaming curation
+    store, streaming/curation_stream.py). Same math, same output; the
+    pick hash is derived from doc_id + salt so no text is needed."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|" + salt)))
+    per_doc = tracked_persist(
+        per_doc.select("doc_id", "source", "n_tokens", h.alias("h"))
     )
     stats = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -877,6 +891,43 @@ def token_budget_fill(
         "target_tokens",
         ((F.col("cum_tokens") - F.col("n_tokens")) < F.col("target_tokens"))
         .alias("kept"),
+    )
+
+
+def funnel_rollup(
+    raw_stats: DataFrame, q_stats: DataFrame, fill: DataFrame
+) -> DataFrame:
+    """Per-source curation-funnel report shared by the batch funnel
+    (queries/corpus.py::curation_funnel) and the streaming store
+    flush (streaming/curation_stream.py::final_curation_funnel):
+    raw_stats (source, n_docs_raw), q_stats (source, n_docs_quality),
+    fill (a token_budget_fill frame over the unique docs). LEFT joins
+    from the raw side so a source filtered away entirely reports
+    zeros; the per-source aggregates are broadcast-sized."""
+    fill_stats = fill.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_unique"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_unique"),
+        F.min("target_tokens").cast("long").alias("target_tokens"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("kept_docs"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    out = raw_stats.join(F.broadcast(q_stats), "source", "left").join(
+        F.broadcast(fill_stats), "source", "left"
+    )
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "source",
+        "n_docs_raw",
+        F.coalesce("n_docs_quality", zero).alias("n_docs_quality"),
+        F.coalesce("n_docs_unique", zero).alias("n_docs_unique"),
+        F.coalesce("n_tokens_unique", zero).alias("n_tokens_unique"),
+        F.coalesce("target_tokens", zero).alias("target_tokens"),
+        F.coalesce("kept_docs", zero).alias("kept_docs"),
+        F.coalesce("kept_tokens", zero).alias("kept_tokens"),
     )
 
 

@@ -57,48 +57,56 @@ _MODULES = (
 )
 
 # Order is the driver's verification window: it oracle-checks the FIRST
-# 50 names yielded. Round-8 rotation — after the green r7 window the
-# stalest driver rows registry-wide are the 47 r4-vintage greens (the
-# dedup/ANN/text/temporal/relational-q vintage; r7 verdict "Next
-# round" #1 demanded rotating onto them). This round's window:
-# positions 1-2 are the round-8 NEVER-CHECKED new gates (the composed
-# end-to-end curation pipeline; the bounded-disorder stream-stream
-# attribution join), positions 3-4 are the round-8 code-touched
-# re-gates (BOTH sessionize processors were rewritten to the unified
-# one-write store with the single-pass interval merge — plan and
-# state layout changed, each needs a fresh row), and positions 5-50
-# are 46 of the 47 r4-vintage greens in registry order. The 47th
-# (lineitem_price_deciles) plus the r5 vintage rotate in round 9 —
-# two new gates + two genuine re-gates outrank one slot of
-# same-vintage freshness. After a green r8 window, max driver-row
-# staleness is 4 rounds for exactly one query and <= 3 for the rest.
+# 50 names yielded. Round-9 rotation — after the green r8 window the
+# stalest driver rows registry-wide are lineitem_price_deciles (the
+# one r4-vintage row round 8 could not fit) and the 45 r5-vintage
+# greens; the r8 verdict "Next round" #1 demanded rotating onto
+# exactly those. This round's window: position 1 is the round-9
+# NEVER-CHECKED new gate (the incremental streaming curation funnel),
+# positions 2-4 are the round-9 code-touched re-gates —
+# corpus_curation_pipeline and corpus_token_budget_fill (both rebuilt
+# on the shared token_budget_fill_per_doc / funnel_rollup helpers the
+# streaming funnel reuses) and stream_sessionize_disorder (disorder_us
+# validation + the pinned static partition overwrite on its store
+# write; also the perf-target gate of the round). The other gates
+# whose WRITER CONFIG or execution knobs changed this round
+# (stream_sessionize_incremental, stream_attribution_disorder, the
+# _gate_shuffle AQE/width scope) carry r8-fresh rows and their
+# changes are plan-semantics-neutral — selfcheck covers them and they
+# rotate next. Positions 5-50: lineitem_price_deciles (r4) then the
+# 45 r5-vintage greens in name order. After a green r9 window every
+# registry row is r6-vintage or fresher (max staleness 3 rounds).
 # Names here that fall out of the registry are ignored defensively;
 # queries not listed follow in module order.
 # Policy: COVERAGE.md "Registry rotation".
 _NEVER_CHECKED_FIRST = (
-    # -- 2 round-8 new gates, never driver-checked --
-    "corpus_curation_pipeline", "stream_attribution_disorder",
-    # -- 2 round-8 code-touched re-gates (sessionize store rewrite) --
-    "stream_sessionize_disorder", "stream_sessionize_incremental",
-    # -- 46 r4-vintage greens (of 47; see note above) --
-    "dedup_incremental", "dedup_simhash_pairs", "dedup_graph_pagerank",
-    "dedup_quality_survivors", "dedup_clusters", "dedup_clusters_star",
-    "dedup_graph_triangles", "doc_token_count_map", "text_normalize",
-    "doc_chunking", "ann_topk_ivf_trained", "ann_ivf_recall",
-    "dedup_embedding_lsh", "benchmark_contamination", "text_repetition",
-    "stream_dedup_incremental", "events_resample_daily", "events_funnel",
-    "scd2_user_event_history", "hll_daily_users_merge",
-    "events_hourly_to_daily", "events_sliding_7day",
-    "user_retention_cohorts", "weekly_revenue_growth",
-    "user_activity_streaks", "corpus_dup_spans", "corpus_source_overlap",
-    "corpus_pii_scrub", "corpus_mixture_weights", "q6_forecast_revenue",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q13_order_distribution", "q15_top_supplier",
-    "q19_disjunctive_revenue", "copurchase_part_pairs",
-    "nation_revenue_share", "null_semantics_suite", "top_status_per_flag",
-    "q2_min_cost_supplier", "q11_important_stock",
-    "q16_supplier_relationship", "q20_promotion_suppliers",
-    "region_pair_matrix", "part_name_fuzzy_pairs",
+    # -- 1 round-9 new gate, never driver-checked --
+    "stream_curation_funnel",
+    # -- 3 round-9 code-touched re-gates --
+    "corpus_curation_pipeline", "corpus_token_budget_fill",
+    "stream_sessionize_disorder",
+    # -- the r4-vintage straggler --
+    "lineitem_price_deciles",
+    # -- 45 r5-vintage greens, name order --
+    "ann_hard_negatives", "ann_ndcg_eval", "ann_pq_recall",
+    "ann_topk_ivfpq", "ann_topk_ivfpq_residual", "ann_topk_pq",
+    "ann_two_stage_rerank", "bloom_join_prune",
+    "bpe_tokenize_compression", "bpe_train_merges", "cms_heavy_tokens",
+    "corpus_boilerplate", "corpus_dedup_rate_by_source",
+    "corpus_global_shuffle", "corpus_importance_resample",
+    "corpus_snapshot_diff", "corpus_source_token_divergence",
+    "corpus_split_leakage", "corpus_strip_dup_spans", "dedup_exact_docs",
+    "dedup_minhash_lsh", "dedup_text_embedding_drift",
+    "doc_length_histogram", "doc_packing_bins", "dq_events_key_skew",
+    "dq_orders_report", "embedding_hof_features", "events_day_over_day",
+    "events_decayed_activity", "events_salted_join",
+    "events_value_mad_outliers", "events_zorder_keys",
+    "pretraining_corpus_selection", "q1_pricing_summary",
+    "quality_classifier_keep", "quality_percentile_by_source",
+    "retrieval_rrf_fusion", "semantic_prune_cells",
+    "spike_events_alerts", "spike_events_compare", "spike_events_gated",
+    "spike_events_net_rollup", "stream_events_windowed",
+    "stream_spike_alerts", "text_unigram_lm_score",
 )
 
 

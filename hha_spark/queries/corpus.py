@@ -703,11 +703,9 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
     the survivors -> temperature mixture -> budget fill -> per-source
     funnel rollup. See corpus_curation_pipeline for semantics and the
     scale argument."""
-    from pyspark.sql import Window
-
     from hha_spark.caching import tracked_persist
     from hha_spark.operators.cluster import cluster_members
-    from hha_spark.operators.corpus import token_budget_fill
+    from hha_spark.operators.corpus import funnel_rollup, token_budget_fill
     from hha_spark.operators.dedup import with_token_set
     from hha_spark.operators.text import gopher_repetition_rules
     from hha_spark.queries.llm_ops import _minhash_lsh_from
@@ -732,38 +730,13 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
     fill = token_budget_fill(
         unique, budget_frac_pct=BUDGET_PCT, salt=FILL_SALT
     )
-    fill_stats = fill.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs_unique"),
-        F.sum("n_tokens").cast("long").alias("n_tokens_unique"),
-        F.min("target_tokens").cast("long").alias("target_tokens"),
-        F.sum(F.when(F.col("kept"), 1).otherwise(0))
-        .cast("long")
-        .alias("kept_docs"),
-        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
-        .cast("long")
-        .alias("kept_tokens"),
-    )
     raw_stats = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_raw")
     )
     q_stats = quality.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_quality")
     )
-    out = (
-        raw_stats.join(F.broadcast(q_stats), "source", "left")
-        .join(F.broadcast(fill_stats), "source", "left")
-    )
-    zero = F.lit(0).cast("long")
-    return out.select(
-        "source",
-        "n_docs_raw",
-        F.coalesce("n_docs_quality", zero).alias("n_docs_quality"),
-        F.coalesce("n_docs_unique", zero).alias("n_docs_unique"),
-        F.coalesce("n_tokens_unique", zero).alias("n_tokens_unique"),
-        F.coalesce("target_tokens", zero).alias("target_tokens"),
-        F.coalesce("kept_docs", zero).alias("kept_docs"),
-        F.coalesce("kept_tokens", zero).alias("kept_tokens"),
-    )
+    return funnel_rollup(raw_stats, q_stats, fill)
 
 
 def corpus_curation_pipeline(spark, sf_dir):

@@ -1,0 +1,480 @@
+"""Incremental streaming curation funnel — the END-TO-END pipeline
+(Gopher quality rules -> MinHash-LSH near-dup clustering of the
+survivors -> temperature mixture -> token-budget fill) maintained
+ACROSS micro-batches, composing the round-8 achievements: the
+versioned kind-partitioned store discipline (streaming/sessionize.py)
+applied to the composed curation chain (queries/corpus.py::
+curation_funnel). `stream_dedup_incremental` proved the streaming
+shape for LSH screening alone; this module proves it for the whole
+funnel: the flush equals the batch funnel EXACTLY, for ANY
+micro-batch split of the corpus, with NO ordering contract — every
+stage is either stateless per doc, additive, or an order-independent
+closure.
+
+Per arriving batch of documents:
+  * Gopher verdicts are stateless per doc — computed on arrival, only
+    survivors enter the store (kind=doc: source, exact token count,
+    distinct-token set; the token set is the pipeline's corpus store,
+    needed to Jaccard-verify future candidates against old docs).
+  * MinHash signatures and LSH band keys are narrow per-row maps —
+    computed on arrival, appended (kind=band).
+  * Candidate pairs are INCREMENTAL: the batch's band keys join the
+    accumulated band table (both sides bucket-capped, see below); the
+    Jaccard>=0.7 verification joins the stored token sets. Verified
+    edges append with their (band, key) provenance (kind=edge).
+  * Cluster labels (min doc_id reachable — the keep-min-id dedup
+    policy) fold incrementally: closure over (previous labels as
+    edges) UNION (new edges) equals closure over all valid edges,
+    because folding a closure into node->label edges preserves
+    components and min ids. One union-find kernel call per epoch
+    (operators/cluster.py — driver union-find at gate scale, the
+    distributed O(log n) loop beyond).
+  * Raw per-source doc counts append additively (kind=raw).
+
+THE BUCKET-CAP RECONCILIATION ARGUMENT. The batch funnel drops LSH
+buckets larger than MAX_LSH_BUCKET (template noise) — a bucket's
+final size is only known once the stream ends, so capping is
+NON-MONOTONE and naive incremental pairing would disagree with batch
+whenever a bucket crosses the cap mid-stream (early pairs from a
+bucket that later turns out to be template noise). But bucket sizes
+only GROW, so over-cap is MONOTONE: a bucket over the cap now is over
+forever, and a bucket under the FINAL cap was under it at every
+earlier epoch. Therefore:
+  * generation is COMPLETE: for any pair (a, b) sharing a
+    final-under-cap bucket B, when the later of the two arrived B was
+    under the cap, so the edge was generated with provenance B;
+  * generation is REVOCABLE: when a bucket CROSSES the cap (previous
+    count in [2, cap], new count above it — the only case with
+    possibly-stored edges), the epoch recomputes labels from scratch
+    over the edge history filtered to currently-under-cap provenance;
+    epochs after the last crossing fold only still-valid edges.
+So the final labels equal the batch closure over exactly the
+batch-capped pair set. Crossing epochs are rare (few buckets ever
+exceed the cap — they are the template-noise tail by construction)
+and the recompute reads only the stored EDGE table (LSH-pruned,
+corpus-small), never re-pairs the corpus.
+
+Store layout (one versioned kind-partitioned write per epoch — the
+sessionize store discipline; deterministic from the pre-state read
+via before_epoch, so epoch retries rewrite the same bytes):
+  kind=doc    (doc_id, source, n_tokens, tokens)   append-only
+  kind=band   (doc_id, band, key)                  append-only
+  kind=edge   (doc_id, doc_id_b, band, key)        append-only
+  kind=raw    (source, n)                          append-only
+  kind=bcnt   (band, key, n)                       rewritten (pruned)
+  kind=label  (doc_id, label)                      rewritten (pruned)
+
+Scale: per epoch, the per-doc work (Gopher, tokenize, minhash, bands)
+is narrow and batch-sized; the candidate join is batch-bands x
+band-bucket (capped, never all-pairs); the closure folds node->label
+edges (one row per clustered doc) plus batch-sized new edges; the
+bcnt rewrite is a bucket-count-sized merge (at 100 TB: a
+merge-on-write bucketed table). State is the curated corpus itself —
+exactly what a curation pipeline must store anyway.
+
+Flush: survivors = quality docs not dropped by their cluster label;
+temperature mixture + token-budget fill run once over the stored
+narrow per-doc frame (token counts were computed at ingest — no
+re-tokenization; operators/corpus.py::token_budget_fill_per_doc),
+then the same per-source funnel rollup as the batch gate
+(operators/corpus.py::funnel_rollup).
+
+Driver gate: stream_curation_funnel (queries/streaming_gate.py)
+replays the documents table as three md5-interleaved files — every
+micro-batch holds docs from across the id space, so cross-batch
+near-dup pairs and cross-batch cluster MERGES (a later doc bridging
+two earlier clusters, retroactively dropping one keeper) happen for
+real — against the UNCHANGED corpus_curation_pipeline oracle:
+delivery changed, the answer may not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hha_spark.streaming.sessionize import (
+    _prune_store_versions,
+    _read_versioned,
+    read_kind_history,
+)
+
+_CUR_STORE_SCHEMA = (
+    "doc_id long, doc_id_b long, source string, n_tokens long, "
+    "tokens array<string>, band int, key string, n long, label long, "
+    "kind string"
+)
+_DOC_SCHEMA = (
+    "doc_id long, source string, n_tokens long, tokens array<string>"
+)
+_BAND_SCHEMA = "doc_id long, band int, key string"
+_EDGE_SCHEMA = "doc_id long, doc_id_b long, band int, key string"
+_RAW_SCHEMA = "source string, n long"
+
+_K_DOC = "doc"
+_K_BAND = "band"
+_K_EDGE = "edge"
+_K_BCNT = "bcnt"
+_K_LABEL = "label"
+_K_RAW = "raw"
+
+_WIDE_TYPES = {
+    "doc_id": "long",
+    "doc_id_b": "long",
+    "source": "string",
+    "n_tokens": "long",
+    "tokens": "array<string>",
+    "band": "int",
+    "key": "string",
+    "n": "long",
+    "label": "long",
+}
+
+
+def _wide(df: DataFrame, kind: str, **cols) -> DataFrame:
+    """Project a kind's frame onto the unified store schema; columns
+    not in `cols` become typed nulls."""
+    exprs = [
+        (
+            F.col(cols[name])
+            if name in cols
+            else F.lit(None).cast(dtype)
+        ).alias(name)
+        for name, dtype in _WIDE_TYPES.items()
+    ]
+    return df.select(*exprs, F.lit(kind).alias("kind"))
+
+
+def make_curation_funnel_processor(
+    spark: SparkSession,
+    *,
+    store_root: str,
+    max_bucket: int | None = None,
+    stats: dict | None = None,
+):
+    """Per-micro-batch body (see module docstring for the design and
+    the bucket-cap reconciliation argument). Per-epoch actions: the
+    empty probe, the cap-crossing probe (which materializes the
+    merged bucket counts), the closure kernel's two internal actions,
+    and ONE kind-partitioned write. `stats`, if given, collects
+    observability counters ('epochs', 'recomputes') so tests can
+    assert the reconciliation path actually fired."""
+    from hha_spark.operators.cluster import connected_components
+    from hha_spark.operators.dedup import (
+        MAX_LSH_BUCKET,
+        band_keys,
+        minhash_signatures,
+        with_token_set,
+    )
+    from hha_spark.operators.text import gopher_repetition_rules
+
+    cap = MAX_LSH_BUCKET if max_bucket is None else max_bucket
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch = int(epoch_id)
+        if batch_df.isEmpty():
+            return
+        cur = _read_versioned(
+            spark, store_root, _CUR_STORE_SCHEMA, before_epoch=epoch
+        )
+        prev_labels = cur.where(F.col("kind") == _K_LABEL).select(
+            "doc_id", "label"
+        )
+        prev_bcnt = cur.where(F.col("kind") == _K_BCNT).select(
+            "band", "key", F.col("n").alias("n_prev")
+        )
+        docs_hist = read_kind_history(
+            spark,
+            store_root,
+            _K_DOC,
+            _DOC_SCHEMA,
+            ("doc_id", "source", "n_tokens", "tokens"),
+            before_epoch=epoch,
+        )
+        bands_hist = read_kind_history(
+            spark,
+            store_root,
+            _K_BAND,
+            _BAND_SCHEMA,
+            ("doc_id", "band", "key"),
+            before_epoch=epoch,
+        )
+
+        batch = batch_df.select("doc_id", "source", "text")
+        keep = gopher_repetition_rules(batch).where("keep").select("doc_id")
+        qdocs = (
+            with_token_set(batch.join(keep, "doc_id", "left_semi"))
+            .select(
+                "doc_id",
+                "source",
+                # exact token COUNT (fill semantics), not |token set|
+                F.size(F.split(F.col("text"), " "))
+                .cast("long")
+                .alias("n_tokens"),
+                "tokens",
+            )
+            .persist()
+        )
+        # persisted: the minhash kernel (8 salted md5s per token per
+        # doc) feeds three consumers — bucket counts, the candidate
+        # join, and the store write
+        bands_new = band_keys(minhash_signatures(qdocs)).persist()
+        new_cnt = bands_new.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("n_new")
+        )
+        bcnt = (
+            prev_bcnt.join(new_cnt, ["band", "key"], "full_outer")
+            .select(
+                "band",
+                "key",
+                F.coalesce("n_prev", F.lit(0)).cast("long").alias("n_prev"),
+                (
+                    F.coalesce("n_prev", F.lit(0))
+                    + F.coalesce("n_new", F.lit(0))
+                )
+                .cast("long")
+                .alias("n"),
+            )
+            .persist()
+        )
+        try:
+            # cap-crossing probe (one tiny action; materializes bcnt
+            # and, via new_cnt, the qdocs persist). n_prev >= 2 is
+            # what makes a crossing REAL: a bucket born over the cap
+            # this epoch never generated an edge (generation filters
+            # on the merged counts below), so nothing needs revoking.
+            crossed = bcnt.where(
+                (F.col("n_prev") >= 2)
+                & (F.col("n_prev") <= cap)
+                & (F.col("n") > cap)
+            ).count()
+            under = bcnt.where(F.col("n") <= cap).select("band", "key")
+            all_bands = bands_hist.unionByName(bands_new)
+            cand = (
+                bands_new.join(under, ["band", "key"], "left_semi")
+                .join(
+                    all_bands.withColumnRenamed("doc_id", "_other"),
+                    ["band", "key"],
+                )
+                .where(F.col("doc_id") != F.col("_other"))
+                .select(
+                    F.least("doc_id", "_other").alias("doc_id_a"),
+                    F.greatest("doc_id", "_other").alias("doc_id_b"),
+                    "band",
+                    "key",
+                )
+                .distinct()
+            )
+            toks_all = docs_hist.select("doc_id", "tokens").unionByName(
+                qdocs.select("doc_id", "tokens")
+            )
+            edges_new = (
+                cand.join(
+                    toks_all.select(
+                        F.col("doc_id").alias("doc_id_a"),
+                        F.col("tokens").alias("_ta"),
+                    ),
+                    "doc_id_a",
+                )
+                .join(
+                    toks_all.select(
+                        F.col("doc_id").alias("doc_id_b"),
+                        F.col("tokens").alias("_tb"),
+                    ),
+                    "doc_id_b",
+                )
+                .where(
+                    F.lit(10) * F.size(F.array_intersect("_ta", "_tb"))
+                    >= F.lit(7) * F.size(F.array_union("_ta", "_tb"))
+                )
+                .select(
+                    F.col("doc_id_a").alias("doc_id"),
+                    "doc_id_b",
+                    "band",
+                    "key",
+                )
+                .persist()
+            )
+            if crossed > 0:
+                # reconciliation: labels from scratch over the edge
+                # history filtered to still-under-cap provenance
+                # (over-cap is monotone, so this equals filtering by
+                # the final cap as of this prefix)
+                edge_hist = read_kind_history(
+                    spark,
+                    store_root,
+                    _K_EDGE,
+                    _EDGE_SCHEMA,
+                    ("doc_id", "doc_id_b", "band", "key"),
+                    before_epoch=epoch,
+                )
+                valid = edge_hist.unionByName(edges_new).join(
+                    under, ["band", "key"], "left_semi"
+                )
+                label_in = valid.select(
+                    F.col("doc_id").alias("_u"),
+                    F.col("doc_id_b").alias("_v"),
+                )
+            else:
+                # incremental fold: closure over (labels as edges) U
+                # (new edges) — valid because folding a closure into
+                # node->label edges preserves components and min ids
+                label_in = prev_labels.select(
+                    F.col("doc_id").alias("_u"), F.col("label").alias("_v")
+                ).unionByName(
+                    edges_new.select(
+                        F.col("doc_id").alias("_u"),
+                        F.col("doc_id_b").alias("_v"),
+                    )
+                )
+            labels = connected_components(label_in, src="_u", dst="_v")
+            raw_rows = batch.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            )
+            unified = (
+                _wide(
+                    qdocs,
+                    _K_DOC,
+                    doc_id="doc_id",
+                    source="source",
+                    n_tokens="n_tokens",
+                    tokens="tokens",
+                )
+                .unionByName(
+                    _wide(
+                        bands_new, _K_BAND,
+                        doc_id="doc_id", band="band", key="key",
+                    )
+                )
+                .unionByName(
+                    _wide(
+                        edges_new, _K_EDGE,
+                        doc_id="doc_id", doc_id_b="doc_id_b",
+                        band="band", key="key",
+                    )
+                )
+                .unionByName(
+                    _wide(bcnt, _K_BCNT, band="band", key="key", n="n")
+                )
+                .unionByName(
+                    _wide(
+                        labels.select(
+                            F.col("node").alias("doc_id"), "label"
+                        ),
+                        _K_LABEL,
+                        doc_id="doc_id",
+                        label="label",
+                    )
+                )
+                .unionByName(_wide(raw_rows, _K_RAW, source="source", n="n"))
+            )
+            # non-empty by construction: kind=raw has >= 1 row for any
+            # non-empty batch. static overwrite pinned for retry
+            # idempotence (see sessionize.make_sessionize_processor).
+            # repartition("kind"): the 6-frame union otherwise writes
+            # one file per (input partition x kind) — ~280 files per
+            # 2-epoch store, and the commit renames dominated the
+            # write job (measured ~2 s/gate). One task per kind is
+            # right at batch scale; at 100 TB volumes add a salt
+            # column to the repartition to spread each kind.
+            unified.repartition("kind").write.option(
+                "partitionOverwriteMode", "static"
+            ).partitionBy("kind").mode("overwrite").parquet(
+                f"{store_root}/v{epoch}"
+            )
+            _prune_store_versions(
+                spark,
+                store_root,
+                current_epoch=epoch,
+                prune_kinds=(_K_BCNT, _K_LABEL),
+            )
+            if stats is not None:
+                stats["epochs"] = stats.get("epochs", 0) + 1
+                if crossed > 0:
+                    stats["recomputes"] = stats.get("recomputes", 0) + 1
+        finally:
+            for f in (qdocs, bands_new, bcnt):
+                f.unpersist()
+            # edges_new may not exist if an earlier stage raised
+            try:
+                edges_new.unpersist()
+            except NameError:
+                pass
+
+    return process
+
+
+def run_streaming_curation(
+    spark: SparkSession,
+    *,
+    data_root: str,
+    schema,
+    store_root: str,
+    checkpoint: str,
+    max_bucket: int | None = None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    stats: dict | None = None,
+):
+    """File source -> foreachBatch(incremental curation funnel).
+    Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(data_root)
+    )
+    writer = stream.writeStream.foreachBatch(
+        make_curation_funnel_processor(
+            spark,
+            store_root=store_root,
+            max_bucket=max_bucket,
+            stats=stats,
+        )
+    ).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def final_curation_funnel(
+    spark: SparkSession,
+    *,
+    store_root: str,
+    budget_frac_pct: int = 50,
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """End-of-stream readout: survivors (quality docs whose cluster
+    label is themselves, or unclustered) -> temperature mixture +
+    token-budget fill over the stored narrow per-doc frame -> the
+    shared per-source funnel rollup. Equals the batch
+    curation_funnel frame exactly (see module docstring)."""
+    from hha_spark.operators.corpus import (
+        funnel_rollup,
+        token_budget_fill_per_doc,
+    )
+
+    cur = _read_versioned(spark, store_root, _CUR_STORE_SCHEMA)
+    labels = cur.where(F.col("kind") == _K_LABEL).select("doc_id", "label")
+    feats = read_kind_history(
+        spark,
+        store_root,
+        _K_DOC,
+        _DOC_SCHEMA,
+        ("doc_id", "source", "n_tokens", "tokens"),
+    ).select("doc_id", "source", "n_tokens")
+    drops = labels.where(F.col("doc_id") != F.col("label")).select("doc_id")
+    unique = feats.join(drops, "doc_id", "left_anti")
+    fill = token_budget_fill_per_doc(
+        unique, budget_frac_pct=budget_frac_pct, salt=salt
+    )
+    raw_stats = (
+        read_kind_history(
+            spark, store_root, _K_RAW, _RAW_SCHEMA, ("source", "n")
+        )
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_docs_raw"))
+    )
+    q_stats = feats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_quality")
+    )
+    return funnel_rollup(raw_stats, q_stats, fill)

@@ -411,17 +411,24 @@ def read_kind_history(
     kind: str,
     schema: str,
     cols: tuple[str, ...],
+    *,
+    before_epoch: int | None = None,
 ) -> DataFrame:
     """Union of one kind's partition across ALL store versions —
     the append-only-history read (pruning preserves these kinds).
-    Shared by the sessionize stores (kind=closed) and the disorder
-    attribution store (kind=attr, streaming/joins.py)."""
+    Shared by the sessionize stores (kind=closed), the disorder
+    attribution store (kind=attr, streaming/joins.py), and the
+    curation store (streaming/curation_stream.py). `before_epoch`
+    bounds the read to versions strictly below an epoch — REQUIRED
+    when a processor reads history mid-stream (retry idempotence: a
+    redelivered epoch must not see its own failed attempt's rows);
+    final readers pass no bound."""
+    versions = _state_versions(spark, store_root)
+    if before_epoch is not None:
+        versions = [v for v in versions if v < before_epoch]
     dirs = [
         d
-        for d in (
-            f"{store_root}/v{v}/kind={kind}"
-            for v in _state_versions(spark, store_root)
-        )
+        for d in (f"{store_root}/v{v}/kind={kind}" for v in versions)
         if fs.exists(spark, d)
     ]
     if not dirs:

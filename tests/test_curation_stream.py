@@ -1,0 +1,214 @@
+"""Incremental streaming curation funnel
+(streaming/curation_stream.py): multi-micro-batch replay equals the
+batch curation pipeline for arbitrary (unordered) document splits,
+the bucket-cap reconciliation actually revokes edges when a bucket
+crosses the cap mid-stream, cross-batch cluster merges retroactively
+drop a keeper, and a redelivered epoch rewrites the same store."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from hha_spark.streaming.curation_stream import (
+    _CUR_STORE_SCHEMA,
+    _EDGE_SCHEMA,
+    _K_EDGE,
+    _K_LABEL,
+    _read_versioned,
+    final_curation_funnel,
+    make_curation_funnel_processor,
+    read_kind_history,
+    run_streaming_curation,
+)
+
+SCHEMA = "doc_id long, source string, text string"
+
+
+def _doc_text(seed: int, mutate: int = 0) -> str:
+    """40 distinct tokens — passes every Gopher rule (length band,
+    mode-token cap, diversity floor, bigram cap). `mutate` swaps the
+    last token so near-dup (not exact-dup) pairs exist too."""
+    toks = [f"w{seed}x{i}" for i in range(40)]
+    if mutate:
+        toks[-1] = f"m{seed}x{mutate}"
+    return " ".join(toks)
+
+
+def _write_batches(spark, tmp_path, batches) -> str:
+    """One parquet file per batch, mtime-ordered for the file source."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    base = time.time() - 500
+    for i, rows in enumerate(batches):
+        d = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(d)
+        (part,) = glob.glob(f"{d}/part-*.parquet")
+        dst = f"{in_dir}/batch{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (base + 10 * i, base + 10 * i))
+    return in_dir
+
+
+def _run_stream(spark, tmp_path, batches, *, max_bucket=None, stats=None):
+    in_dir = _write_batches(spark, tmp_path, batches)
+    q = run_streaming_curation(
+        spark,
+        data_root=in_dir,
+        schema=SCHEMA,
+        store_root=str(tmp_path / "store"),
+        checkpoint=str(tmp_path / "ckpt"),
+        max_bucket=max_bucket,
+        stats=stats,
+    )
+    q.awaitTermination()
+    return str(tmp_path / "store")
+
+
+def _rollup(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_stream_equals_batch_pipeline(spark, tmp_path):
+    """Arbitrary unordered split of a corpus with exact dups, near
+    dups, cross-batch pairs, and gopher rejects == the batch funnel.
+    Docs 1/2/9 duplicate across BOTH batches (cross-batch edges); doc
+    9 arrives last with the smallest... no — doc 1 is the min-id
+    keeper, and its cluster gains members from both batches."""
+    from hha_spark.queries.corpus import curation_funnel
+
+    rows = [
+        (1, "a", _doc_text(100)),            # keeper of cluster A
+        (2, "a", _doc_text(100)),            # exact dup of 1 (batch 0)
+        (9, "b", _doc_text(100, mutate=1)),  # near dup of 1 (batch 1)
+        (3, "a", _doc_text(200)),            # unique
+        (4, "b", _doc_text(300)),            # unique
+        (5, "b", "short doc"),               # gopher reject (too short)
+        (6, "c", _doc_text(400)),            # unique, own source
+    ]
+    # unordered split: ids interleave across batches
+    batches = [
+        [rows[1], rows[3], rows[5]],   # 2, 3, 5
+        [rows[0], rows[2], rows[4], rows[6]],  # 1, 9, 4, 6
+    ]
+    store = _run_stream(spark, tmp_path, batches)
+    streamed = _rollup(final_curation_funnel(spark, store_root=store))
+    batch = _rollup(curation_funnel(spark.createDataFrame(rows, SCHEMA)))
+    assert streamed == batch
+    # the cluster genuinely spans batches: doc 2 (batch 0) and doc 9
+    # (batch 1) both resolve to keeper 1 (batch 1!) — the keeper
+    # itself arrived AFTER a member, so no arrival-order shortcut
+    # could have produced these labels
+    labels = {
+        (r.doc_id, r.label)
+        for r in _read_versioned(spark, store, _CUR_STORE_SCHEMA)
+        .where(F.col("kind") == _K_LABEL)
+        .select("doc_id", "label")
+        .collect()
+    }
+    assert (2, 1) in labels and (9, 1) in labels
+
+
+def test_cross_batch_cluster_merge_retroactively_drops_keeper(
+    spark, tmp_path
+):
+    """Two separate clusters form in batch 0; a bridging doc in batch
+    1 is a near-dup of BOTH, merging them — so the second cluster's
+    keeper is RETROACTIVELY demoted to a member. A first-arrival-wins
+    ingest pipeline can never revisit that decision; maintaining the
+    labels as a closure is what makes it possible."""
+    from hha_spark.queries.corpus import curation_funnel
+
+    # tx and ty share 28/40 tokens: j(tx, ty) = 28/52 = 0.54 < 0.7,
+    # so X and Y are NOT near-dups of each other. The bridge sits
+    # halfway (6 of the 12 differing tokens from each side):
+    # j(bridge, tx) = j(bridge, ty) = 34/46 = 0.739 >= 0.7.
+    tx = [f"t{i}" for i in range(40)]
+    ty = tx[:28] + [f"u{i}" for i in range(12)]
+    bridge = tx[:28] + tx[28:34] + ty[34:]
+    rows0 = [
+        (10, "a", " ".join(tx)),
+        (11, "a", " ".join(tx)),   # cluster X = {10, 11}, keeper 10
+        (20, "b", " ".join(ty)),
+        (21, "b", " ".join(ty)),   # cluster Y = {20, 21}, keeper 20
+    ]
+    rows1 = [(15, "b", " ".join(bridge))]  # merges X and Y
+    store = _run_stream(spark, tmp_path, [rows0, rows1])
+    streamed = _rollup(final_curation_funnel(spark, store_root=store))
+    batch = _rollup(
+        curation_funnel(spark.createDataFrame(rows0 + rows1, SCHEMA))
+    )
+    assert streamed == batch
+    labels = {
+        (r.doc_id, r.label)
+        for r in _read_versioned(spark, store, _CUR_STORE_SCHEMA)
+        .where(F.col("kind") == _K_LABEL)
+        .select("doc_id", "label")
+        .collect()
+    }
+    # keeper 20 was demoted: the whole merged cluster labels to 10
+    assert (20, 10) in labels and (21, 10) in labels and (15, 10) in labels
+
+
+def test_cap_crossing_revokes_early_edges(spark, tmp_path):
+    """A bucket under the cap at epoch 0 (pair emitted, cluster
+    formed) crosses it at epoch 1: the reconciliation recompute must
+    fire and revoke the early edge, matching the batch semantics
+    where the full-size bucket is template noise and contributes NO
+    pairs. Cap=2; three exact dups arriving 2-then-1."""
+    dup = _doc_text(500)
+    rows0 = [(31, "a", dup), (32, "a", dup)]
+    rows1 = [(33, "a", dup)]
+    stats: dict = {}
+    store = _run_stream(
+        spark, tmp_path, [rows0, rows1], max_bucket=2, stats=stats
+    )
+    assert stats.get("recomputes", 0) >= 1
+    # the revoked edge is physically in the epoch-0 history — the
+    # scenario is not vacuous
+    edges = read_kind_history(
+        spark, store, _K_EDGE, _EDGE_SCHEMA,
+        ("doc_id", "doc_id_b", "band", "key"),
+    ).collect()
+    assert any(e.doc_id == 31 and e.doc_id_b == 32 for e in edges)
+    # ...but the final labels drop it: all three docs survive, exactly
+    # like a single-batch run (= batch semantics) at the same cap
+    streamed = _rollup(final_curation_funnel(spark, store_root=store))
+    single = _run_stream(
+        spark,
+        tmp_path.joinpath("single"),
+        [rows0 + rows1],
+        max_bucket=2,
+    )
+    assert streamed == _rollup(final_curation_funnel(spark, store_root=single))
+    labels = (
+        _read_versioned(spark, store, _CUR_STORE_SCHEMA)
+        .where(F.col("kind") == _K_LABEL)
+        .count()
+    )
+    assert labels == 0  # no surviving edges -> no clustered docs
+
+
+def test_epoch_retry_is_idempotent(spark, tmp_path):
+    """Redelivering the final epoch (foreachBatch at-least-once)
+    rewrites the same store bytes: the flush is unchanged."""
+    from hha_spark.caching import release_tracked
+
+    rows0 = [(1, "a", _doc_text(600)), (2, "a", _doc_text(600))]
+    rows1 = [(3, "b", _doc_text(600)), (4, "b", _doc_text(700))]
+    store = _run_stream(spark, tmp_path, [rows0, rows1])
+    before = _rollup(final_curation_funnel(spark, store_root=store))
+    # cycle boundary (caching.py contract): the first flush's tracked
+    # persist captured v1's file listing; the retry below rewrites v1
+    # in place, so a reader cycle spanning a store rewrite must
+    # release its caches — exactly what the session owner does
+    # between cycles
+    release_tracked()
+    proc = make_curation_funnel_processor(spark, store_root=store)
+    proc(spark.createDataFrame(rows1, SCHEMA), 1)  # redeliver epoch 1
+    after = _rollup(final_curation_funnel(spark, store_root=store))
+    assert after == before
