@@ -32,6 +32,12 @@ from hha_spark.sources.tables import US_PER_DAY, events_ts_us, load_table  # noq
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# side-channel metrics a probe wants recorded beyond out_rows (e.g.
+# the disorder attribution join's final STATE row count — the
+# boundedness claim is about state, which the output can't show);
+# cleared per K, merged into each K's JSON line and the artifact
+EXTRA: dict[str, dict] = {}
+
 
 def scaled_events(spark, k: int) -> DataFrame:
     ev = load_table(spark, SF_DIR, "events").select(
@@ -73,6 +79,87 @@ def scaled_embeddings(spark, k: int) -> DataFrame:
         (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
         "embedding",
     )
+
+
+def _attribution_disorder_probe(spark, ev: DataFrame) -> DataFrame:
+    """Replay the K-scaled click/purchase stream through the disorder
+    attribution processor as 3 epochs with bounded-late delivery
+    (the gate's slicing, in-memory), then flush. Returns the
+    attributed pairs DETACHED (collected) so the scratch store can
+    go; records the final store's state rows in EXTRA."""
+    import shutil
+    import tempfile
+
+    from hha_spark.operators.sketch import md5_mod
+    from hha_spark.queries.streaming_gate import (
+        ATTR_DISORDER_SEC,
+        ATTR_MAX_DELAY_SEC,
+    )
+    from hha_spark.streaming.joins import (
+        _ATTR_STORE_SCHEMA,
+        final_attributions,
+        make_disorder_attribution_processor,
+    )
+    from hha_spark.streaming.sessionize import _read_versioned
+
+    two = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        (F.col("ts_us") / F.lit(1_000_000)).cast("long").alias("ts_s"),
+        F.col("event_type").alias("etype"),
+    )
+    lo, hi = two.agg(F.min("ts_s"), F.max("ts_s")).first()
+    span, n = hi - lo + 1, 3
+    base = F.least(
+        F.lit(n - 1).cast("long"),
+        F.expr(f"(ts_s - {lo}) * {n} div {span}"),
+    )
+    top = F.expr(
+        f"({lo} + ((least({n - 1}, (ts_s - {lo}) * {n} div {span}) + 1)"
+        f" * {span} + {n - 1}) div {n})"
+    )
+    delayed = (
+        (F.col("ts_s") > top - ATTR_DISORDER_SEC)
+        & (base < n - 1)
+        & (
+            md5_mod(
+                "sessdelay|",
+                F.concat_ws(":", F.col("user_id"), F.col("ts_s")),
+                2,
+            )
+            == 0
+        )
+    )
+    sliced = two.withColumn(
+        "_sl", base + delayed.cast("long")
+    ).persist()
+    tmp = tempfile.mkdtemp(prefix="hha_probe_attr_")
+    try:
+        proc = make_disorder_attribution_processor(
+            spark,
+            store_root=f"{tmp}/store",
+            max_delay_sec=ATTR_MAX_DELAY_SEC,
+            disorder_sec=ATTR_DISORDER_SEC,
+        )
+        for i in range(n):
+            proc(sliced.where(F.col("_sl") == i).drop("_sl"), i)
+        pairs = final_attributions(
+            spark,
+            store_root=f"{tmp}/store",
+            max_delay_sec=ATTR_MAX_DELAY_SEC,
+        )
+        detached = spark.createDataFrame(
+            pairs.collect(), "user_id long, ts_s long, ts2_s long"
+        )
+        state_rows = (
+            _read_versioned(spark, f"{tmp}/store", _ATTR_STORE_SCHEMA)
+            .where(F.col("kind").isin("click", "buf"))
+            .count()
+        )
+        EXTRA["attribution_disorder"] = {"state_rows": state_rows}
+        return detached
+    finally:
+        sliced.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def probes(spark, k: int):
@@ -313,6 +400,16 @@ def probes(spark, k: int):
         # the full funnel's scaling — dominated by the banded LSH
         # pair stage, which is copy-disjoint by construction
         "curation_pipeline": lambda: curation_funnel(docs),
+        # the bounded-disorder stream-stream attribution PROCESSOR
+        # (streaming/joins.py) replayed over 3 disorder-delivered
+        # slices of the K-scaled event stream: keys scale with K, the
+        # time axis does not, so state (clicks within max_delay +
+        # disorder buffer) and pairs should both scale ~K while the
+        # watermark math stays fixed. EXTRA records the final state
+        # rows (the boundedness claim; r8 verdict "Next round" #6).
+        "attribution_disorder": lambda: _attribution_disorder_probe(
+            spark, ev
+        ),
         # NOTE mutual_knn_graph is deliberately absent: its exact
         # kernel is quadratic in the NODE SET by documented contract
         # (nodes = a bounded selection; scale path = LSH/IVF candidate
@@ -333,6 +430,7 @@ def main() -> None:
 
     results: dict[int, dict[str, float]] = {}
     rows: dict[int, dict[str, int]] = {}
+    extras: dict[int, dict] = {}
     for k in ks:
         from hha_spark.caching import release_tracked
 
@@ -343,6 +441,7 @@ def main() -> None:
                 raise SystemExit(f"unknown probe names: {sorted(unknown)}")
             fns = {n: f for n, f in fns.items() if n in only}
         results[k], rows[k] = {}, {}
+        EXTRA.clear()
         for name, build in fns.items():
             t0 = time.perf_counter()
             df = build()
@@ -352,7 +451,17 @@ def main() -> None:
             release_tracked()
         for f in frames:
             f.unpersist()
-        print(json.dumps({"k": k, "secs": results[k], "out_rows": rows[k]}))
+        extras[k] = dict(EXTRA)
+        print(
+            json.dumps(
+                {
+                    "k": k,
+                    "secs": results[k],
+                    "out_rows": rows[k],
+                    "extra": extras[k],
+                }
+            )
+        )
 
     base = ks[0]
     summary = {
@@ -365,6 +474,7 @@ def main() -> None:
             for name in results[base]
         },
         "out_rows": rows,
+        "extra": extras,
     }
     os.makedirs(".benchmarks", exist_ok=True)
     with open(".benchmarks/scale_probe_last.json", "w") as f:
