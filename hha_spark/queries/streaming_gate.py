@@ -1075,6 +1075,20 @@ def _write_disorder_slices(
     delay_us. File emission (one pass, one file per slice,
     mtime-ordered replay, empty-band tolerance) is the shared
     _write_file_slices."""
+    return _write_file_slices(
+        ev, disorder_slice_col(ev, n_slices, delay_us, ts_col), tmp,
+        n_slices,
+    )
+
+
+def disorder_slice_col(
+    ev: DataFrame, n_slices: int, delay_us: int, ts_col: str = "ts_us"
+):
+    """The bounded-late slice index as a Column — the ONE definition
+    of the disorder delivery shape, shared by the gate writers above
+    and the scale probe's in-memory replay
+    (tools/scale_probe.py::_attribution_disorder_probe), so the probe
+    can never drift from what the gates replay."""
     from hha_spark.operators.sketch import md5_mod
 
     lo, span, base_sql = _slice_bounds(ev, n_slices, ts_col)
@@ -1095,9 +1109,7 @@ def _write_disorder_slices(
             == 0
         )
     )
-    return _write_file_slices(
-        ev, F.expr(base_sql) + delayed.cast("long"), tmp, n_slices
-    )
+    return F.expr(base_sql) + delayed.cast("long")
 
 
 def stream_sessionize_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:

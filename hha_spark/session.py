@@ -97,7 +97,8 @@ def _silence_stream_shutdown_logs(spark: SparkSession) -> None:
 
     Scope: the stream-EXECUTION-thread loggers get additivity=false
     LoggerConfigs whose only appender is a file
-    (``$HHA_STREAM_LOG``, default ``/tmp/hha_streaming_errors.log``) —
+    (``$HHA_STREAM_LOG``, default ``STREAM_LOG_DEFAULT`` — a per-user
+    ``$TMPDIR/hha_streaming_errors_<uid>.log``) —
     so a genuine mid-stream failure's full trace survives on disk for
     diagnosis instead of being dropped, as the round-7 advisor asked.
     Their parent packages stay at ERROR on console, so state store,

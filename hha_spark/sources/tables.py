@@ -50,17 +50,19 @@ _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 def _dir_fingerprint(path: str):
     """Cheap local-path change token for the reader memo:
-    (mtime_ns, size) of a single-file table, plus entry count when the
-    table is a directory of part files. Rewriting the fixture (datagen
-    rerun) changes it; os errors (non-local URI, missing path — the
-    read itself will surface that) degrade to a constant so
-    memoization still works."""
+    (inode, mtime_ns, size) of a single-file table, plus entry count
+    when the table is a directory of part files. Rewriting the
+    fixture (datagen rerun) changes it — the inode guards even the
+    coarse-mtime case (same-second rewrite, same size): a recreated
+    file/directory gets a new inode. os errors (non-local URI,
+    missing path — the read itself will surface that) degrade to a
+    constant so memoization still works."""
     try:
         import os
 
         st = os.stat(path)
         n = len(os.listdir(path)) if os.path.isdir(path) else -1
-        return (st.st_mtime_ns, st.st_size, n)
+        return (st.st_ino, st.st_mtime_ns, st.st_size, n)
     except OSError:
         return None
 
@@ -113,23 +115,24 @@ def load_table(
     tests or pipelines may still be writing) bypass the memo, which
     also preserves try_load_table's read-retry contract for them.
     A parquet reader handle snapshots its file listing at creation,
-    so the memo key carries a cheap directory fingerprint
-    (mtime + entry count): regenerating a fixture in-process (e.g. a
-    datagen rerun) invalidates the cached handle instead of returning
-    a plan over deleted part files. Non-local paths (no os.stat) fall
-    back to a constant fingerprint — the immutable-fixture assumption
-    then applies as before.
+    so each memo entry carries a cheap path fingerprint
+    (inode + mtime + size + entry count) VALIDATED on every hit:
+    regenerating a fixture in-process (e.g. a datagen rerun) replaces
+    the cached handle instead of returning a plan over deleted part
+    files — and replacement (fingerprint in the value, not the key)
+    keeps at most one live entry per table, so a regeneration loop
+    cannot accumulate dead handles. Non-local paths (no os.stat) get
+    a constant fingerprint — the immutable-fixture assumption then
+    applies as before.
     """
-    memo_key = (
-        (sf_dir, name, fanout, _dir_fingerprint(f"{sf_dir}/{name}.parquet"))
-        if name in TABLE_NAMES
-        else None
-    )
+    memo_key = (sf_dir, name, fanout) if name in TABLE_NAMES else None
+    fp = None
     if memo_key is not None:
+        fp = _dir_fingerprint(f"{sf_dir}/{name}.parquet")
         per_session = _TABLE_MEMO.setdefault(spark, {})
         cached = per_session.get(memo_key)
-        if cached is not None:
-            return cached
+        if cached is not None and cached[0] == fp:
+            return cached[1]
     if name == "events":
         # Tolerate a TIMESTAMP(NANOS) fixture ([PARQUET_TYPE_ILLEGAL]
         # by default); harmless for MICROS files. Runtime conf, safe
@@ -139,7 +142,7 @@ def load_table(
     if fanout:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     if memo_key is not None:
-        per_session[memo_key] = df
+        per_session[memo_key] = (fp, df)
     return df
 
 

@@ -76,9 +76,9 @@ def _rollup(df):
 def test_stream_equals_batch_pipeline(spark, tmp_path):
     """Arbitrary unordered split of a corpus with exact dups, near
     dups, cross-batch pairs, and gopher rejects == the batch funnel.
-    Docs 1/2/9 duplicate across BOTH batches (cross-batch edges); doc
-    9 arrives last with the smallest... no — doc 1 is the min-id
-    keeper, and its cluster gains members from both batches."""
+    Cluster {1, 2, 9} spans both batches: member 2 arrives in batch 0,
+    keeper 1 (the min id) and near-dup 9 in batch 1 — so the keeper
+    arrives AFTER a member it must claim."""
     from hha_spark.queries.corpus import curation_funnel
 
     rows = [

@@ -90,10 +90,10 @@ def _attribution_disorder_probe(spark, ev: DataFrame) -> DataFrame:
     import shutil
     import tempfile
 
-    from hha_spark.operators.sketch import md5_mod
     from hha_spark.queries.streaming_gate import (
         ATTR_DISORDER_SEC,
         ATTR_MAX_DELAY_SEC,
+        disorder_slice_col,
     )
     from hha_spark.streaming.joins import (
         _ATTR_STORE_SCHEMA,
@@ -107,30 +107,11 @@ def _attribution_disorder_probe(spark, ev: DataFrame) -> DataFrame:
         (F.col("ts_us") / F.lit(1_000_000)).cast("long").alias("ts_s"),
         F.col("event_type").alias("etype"),
     )
-    lo, hi = two.agg(F.min("ts_s"), F.max("ts_s")).first()
-    span, n = hi - lo + 1, 3
-    base = F.least(
-        F.lit(n - 1).cast("long"),
-        F.expr(f"(ts_s - {lo}) * {n} div {span}"),
-    )
-    top = F.expr(
-        f"({lo} + ((least({n - 1}, (ts_s - {lo}) * {n} div {span}) + 1)"
-        f" * {span} + {n - 1}) div {n})"
-    )
-    delayed = (
-        (F.col("ts_s") > top - ATTR_DISORDER_SEC)
-        & (base < n - 1)
-        & (
-            md5_mod(
-                "sessdelay|",
-                F.concat_ws(":", F.col("user_id"), F.col("ts_s")),
-                2,
-            )
-            == 0
-        )
-    )
+    # the gate's OWN slice/delay definition — only the file emission
+    # is skipped (batches stay in-memory frames here)
+    n = 3
     sliced = two.withColumn(
-        "_sl", base + delayed.cast("long")
+        "_sl", disorder_slice_col(two, n, ATTR_DISORDER_SEC, ts_col="ts_s")
     ).persist()
     tmp = tempfile.mkdtemp(prefix="hha_probe_attr_")
     try:
