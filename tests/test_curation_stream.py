@@ -193,6 +193,54 @@ def test_cap_crossing_revokes_early_edges(spark, tmp_path):
     assert labels == 0  # no surviving edges -> no clustered docs
 
 
+def test_random_corpora_random_splits_match_batch(spark, tmp_path):
+    """Deterministic randomized differential test: random corpora
+    (exact-dup groups, near-dup chains, gopher rejects, uneven
+    sources) under random 3-way batch splits — the flush must equal
+    the batch funnel on every one. Drives the processors directly
+    (no streaming engine) so four corpora stay cheap; the engine
+    path is covered by the fixture/gate tests above."""
+    import random
+
+    from hha_spark.caching import release_tracked
+    from hha_spark.queries.corpus import curation_funnel
+
+    for seed in (11, 23, 37, 59):
+        rng = random.Random(seed)
+        rows = []
+        next_id = 1
+        for g in range(rng.randint(3, 6)):  # dup groups of size 1-4
+            base = _doc_text(1000 * seed + g)
+            for m in range(rng.randint(1, 4)):
+                # half the members are exact dups, half 1-token
+                # mutations (jaccard 39/41 >= 0.7)
+                toks = base.split(" ")
+                if m and rng.random() < 0.5:
+                    toks[-1] = f"v{g}m{m}"
+                rows.append(
+                    (next_id, rng.choice("abc"), " ".join(toks))
+                )
+                next_id += 1
+        for _ in range(rng.randint(1, 3)):  # gopher rejects
+            rows.append((next_id, rng.choice("abc"), "too short"))
+            next_id += 1
+        rng.shuffle(rows)
+        splits = [[], [], []]
+        for r in rows:
+            splits[rng.randrange(3)].append(r)
+        store = str(tmp_path / f"store{seed}")
+        proc = make_curation_funnel_processor(spark, store_root=store)
+        for epoch, batch in enumerate(splits):
+            if batch:
+                proc(spark.createDataFrame(batch, SCHEMA), epoch)
+        streamed = _rollup(final_curation_funnel(spark, store_root=store))
+        batch_ref = _rollup(
+            curation_funnel(spark.createDataFrame(rows, SCHEMA))
+        )
+        assert streamed == batch_ref, f"seed {seed}"
+        release_tracked()
+
+
 def test_epoch_retry_is_idempotent(spark, tmp_path):
     """Redelivering the final epoch (foreachBatch at-least-once)
     rewrites the same store bytes: the flush is unchanged."""
