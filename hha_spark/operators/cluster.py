@@ -79,6 +79,13 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
     # payload in driver memory; Arrow columns + to_pylist keep the
     # envelope at plain-object size (see SMALL_GRAPH_EDGES sizing).
     tbl = edges.select(src, dst).toArrow()
+    node_type = dict(zip(edges.schema.names, edges.schema.fields))[src].dataType
+    return _union_find_arrow(edges.sparkSession, tbl, node_type)
+
+
+def _union_find_arrow(spark, tbl, node_type) -> DataFrame:
+    """Core driver union-find over a collected Arrow edge table
+    (column 0 = src, column 1 = dst)."""
     src_vals = tbl.column(0).to_pylist()
     dst_vals = tbl.column(1).to_pylist()
     parent: dict = {}
@@ -100,11 +107,10 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
                 ra, rb = rb, ra
             parent[rb] = ra  # larger root under smaller -> root == min
 
-    node_type = dict(zip(edges.schema.names, edges.schema.fields))[src].dataType
     out = [(n, find(n)) for n in parent]
     from pyspark.sql.types import StructField, StructType
 
-    return edges.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         out,
         StructType(
             [StructField("node", node_type), StructField("label", node_type)]
@@ -150,9 +156,17 @@ def connected_components(
         .select("e.u", "e.v")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if sym.count() <= 2 * small_graph_edges:
+    # ONE action decides the path AND, in the common small case,
+    # already holds every row: CollectLimitExec streams partitions to
+    # the driver until the limit is hit, so a graph under the envelope
+    # is fully collected by the probe itself (the count-then-collect
+    # shape paid a second full job for the same bytes).
+    probe_cap = 2 * small_graph_edges
+    head = sym.limit(probe_cap + 1).toArrow()
+    if head.num_rows <= probe_cap:
+        node_type = sym.schema.fields[0].dataType
         try:
-            return _driver_union_find(sym, "u", "v")
+            return _union_find_arrow(sym.sparkSession, head, node_type)
         finally:
             sym.unpersist()
     labels = (

@@ -170,10 +170,24 @@ def make_curation_funnel_processor(
 
     cap = MAX_LSH_BUCKET if max_bucket is None else max_bucket
 
+    def _clock(key: str, t0: float) -> float:
+        """Accumulate wall seconds per phase into `stats` (no-op when
+        stats is None); returns a fresh t0 for the next phase."""
+        import time
+
+        t1 = time.monotonic()
+        if stats is not None:
+            stats[key] = stats.get(key, 0.0) + (t1 - t0)
+        return t1
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        import time
+
         epoch = int(epoch_id)
+        t = time.monotonic()
         if batch_df.isEmpty():
             return
+        t = _clock("t_empty_probe", t)
         cur = _read_versioned(
             spark, store_root, _CUR_STORE_SCHEMA, before_epoch=epoch
         )
@@ -248,6 +262,7 @@ def make_curation_funnel_processor(
                 & (F.col("n_prev") <= cap)
                 & (F.col("n") > cap)
             ).count()
+            t = _clock("t_cross_probe", t)
             under = bcnt.where(F.col("n") <= cap).select("band", "key")
             all_bands = bands_hist.unionByName(bands_new)
             cand = (
@@ -328,6 +343,7 @@ def make_curation_funnel_processor(
                     )
                 )
             labels = connected_components(label_in, src="_u", dst="_v")
+            t = _clock("t_closure", t)
             raw_rows = batch.groupBy("source").agg(
                 F.count(F.lit(1)).cast("long").alias("n")
             )
@@ -382,12 +398,14 @@ def make_curation_funnel_processor(
             ).partitionBy("kind").mode("overwrite").parquet(
                 f"{store_root}/v{epoch}"
             )
+            t = _clock("t_write", t)
             _prune_store_versions(
                 spark,
                 store_root,
                 current_epoch=epoch,
                 prune_kinds=(_K_BCNT, _K_LABEL),
             )
+            t = _clock("t_prune", t)
             if stats is not None:
                 stats["epochs"] = stats.get("epochs", 0) + 1
                 if crossed > 0:
