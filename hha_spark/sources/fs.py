@@ -57,6 +57,40 @@ def rename(spark: SparkSession | None, src: str, dst: str) -> bool:
     return bool(fs.rename(s, d))
 
 
+def write_text(spark: SparkSession | None, path: str, content: str) -> None:
+    """Create (overwrite) a small text file — marker/metadata files
+    for multi-step directory protocols (see streaming/store.py)."""
+    if spark is None:
+        with open(path, "w") as f:
+            f.write(content)
+        return
+    fs, p = _fs_and_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession | None, path: str) -> str:
+    """Read a small text file written by write_text."""
+    if spark is None:
+        with open(path) as f:
+            return f.read()
+    fs, p = _fs_and_path(spark, path)
+    stream = fs.open(p)
+    try:
+        chunks = []
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            chunks.append(b)
+        return bytes(chunks).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def delete(spark: SparkSession | None, path: str, *, recursive: bool = True) -> bool:
     """Delete a file or directory tree; False when already absent."""
     if spark is None:

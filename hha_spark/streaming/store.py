@@ -1,0 +1,171 @@
+"""Maintenance for the versioned kind-partitioned stores — history
+compaction.
+
+Every streaming processor in this engine (streaming/sessionize.py,
+streaming/joins.py, streaming/curation_stream.py) writes ONE
+epoch-keyed version directory per micro-batch: carried state lives
+only in the newest version (and, for retry idempotence, the one
+below it — _prune_store_versions deletes state kinds everywhere
+else), while append-only HISTORY kinds (closed sessions, attribution
+pairs, curation docs/bands/edges/raw) survive in every version as
+history-only stubs that `read_kind_history` unions at read time.
+
+That union is O(number of epochs) directory listings and parquet
+footer reads. At gate scale (2-3 epochs) it is invisible; on a real
+deployment a stream that commits an epoch every few seconds produces
+tens of thousands of version stubs per day, and every mid-stream
+history read (the curation funnel's candidate verification, the
+final flushes) pays the whole listing tail. Object stores make it
+worse: LIST calls are metered and rate-limited.
+
+`compact_store` bounds that growth: it folds ALL history stubs
+strictly below the two newest versions into a single merged base
+directory, after which the store holds at most three version dirs
+(base, previous, latest) regardless of how many epochs ever ran.
+
+Correctness (why readers cannot tell):
+  * Future epochs e read `before_epoch=e` with e > latest, i.e. the
+    union of everything — folding stubs preserves the union.
+  * The only possible retry target is the LATEST epoch (foreachBatch
+    commits epochs sequentially, so at most the newest written
+    version is checkpoint-uncommitted). Its retry reads state from
+    the version below (untouched: the merged base is strictly older)
+    and history strictly below itself — again a preserved union.
+  * Older retries cannot occur, and the merged base keeps the
+    SMALLEST folded epoch number, so every `before_epoch` cut that
+    any future or retrying epoch can issue classifies the base
+    exactly as it classified the folded stubs.
+Compaction therefore commutes with the processors: tests pin that a
+mid-stream compact between any two epochs leaves the final flush
+equal to the batch pipeline (test_store_compaction.py).
+
+Crash safety (single maintenance writer, same assumption as the
+stream itself): the multi-step directory swap is guarded by a marker
+protocol —
+
+  1. build  {root}/_compact.staging/kind=*/   (merged history)
+  2. write  {root}/_compact.staging/_COMPACTED (json: base, folded)
+     -- marker presence == staging is complete --
+  3. delete the folded version dirs
+  4. rename staging -> v{base}
+
+`recover_compaction` makes any crash point re-runnable: staging
+without marker is discarded (nothing was deleted yet); staging with
+marker is rolled FORWARD (finish the deletes, finish the rename).
+`compact_store` begins by recovering, so a crashed compaction heals
+on the next maintenance run; a stream restarting earlier must call
+`recover_compaction` first (the runners in this repo operate on
+fresh gate-scoped stores, so only long-lived deployments face this —
+the contract is documented here and tested). The marker file rides
+into the merged dir as an underscore-prefixed file, which parquet
+readers ignore, and doubles as compaction provenance.
+
+The staging/marker names start with '_' so `_state_versions`
+(v<int> dirs only) and Spark's file index both ignore them.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hha_spark.sources import fs
+from hha_spark.streaming.sessionize import _state_versions
+
+_STAGING = "_compact.staging"
+_MARKER = "_COMPACTED"
+
+# history kinds per store flavor (the processors' append-only kinds;
+# everything else is carried state, pruned to the newest two versions
+# by _prune_store_versions and never folded)
+SESSIONIZE_HISTORY = ("closed",)
+ATTRIBUTION_HISTORY = ("attr",)
+CURATION_HISTORY = ("doc", "band", "edge", "raw")
+
+
+def _kind_dirs(spark: SparkSession, root: str, version: int) -> list[str]:
+    return [
+        d
+        for d in fs.listdir(spark, f"{root}/v{version}")
+        if d.startswith("kind=")
+    ]
+
+
+def recover_compaction(spark: SparkSession, store_root: str) -> str:
+    """Heal a crashed compact_store run; returns what was done:
+    'none' (no staging), 'discarded' (incomplete staging dropped), or
+    'completed' (marker found — deletes and rename rolled forward)."""
+    staging = f"{store_root}/{_STAGING}"
+    marker = f"{staging}/{_MARKER}"
+    if not fs.exists(spark, staging):
+        return "none"
+    if not fs.exists(spark, marker):
+        # crash during step 1: nothing was deleted, staging is junk
+        fs.delete(spark, staging)
+        return "discarded"
+    meta = json.loads(fs.read_text(spark, marker))
+    for v in meta["folded"]:
+        fs.delete(spark, f"{store_root}/v{v}")
+    fs.rename(spark, staging, f"{store_root}/v{meta['base']}")
+    return "completed"
+
+
+def compact_store(
+    spark: SparkSession,
+    store_root: str,
+    *,
+    history_kinds: tuple[str, ...],
+) -> dict:
+    """Fold every version strictly below the newest two into one
+    merged history-only base version (module docstring has the
+    reader-equivalence and crash-safety arguments). Returns
+    observability counters: folded version count, base number, and
+    per-kind row deltas are deliberately NOT computed (no jobs beyond
+    the merge writes themselves).
+
+    Raises if a foldable version still carries a kind outside
+    `history_kinds` — that means state pruning has not run for it (a
+    misconfigured caller), and folding rewritten-state kinds would
+    double-count them.
+    """
+    recover_compaction(spark, store_root)
+    versions = _state_versions(spark, store_root)
+    olds = versions[:-2]
+    if len(olds) < 2:
+        return {"folded": 0, "base": None}
+    base = olds[0]
+    staging = f"{store_root}/{_STAGING}"
+    fs.delete(spark, staging)
+
+    by_kind: dict[str, list[str]] = {}
+    for v in olds:
+        for d in _kind_dirs(spark, store_root, v):
+            kind = d.split("=", 1)[1]
+            if kind not in history_kinds:
+                raise ValueError(
+                    f"version v{v} still carries non-history kind "
+                    f"{kind!r}; prune state kinds before compacting"
+                )
+            by_kind.setdefault(kind, []).append(f"{store_root}/v{v}/{d}")
+
+    # step 1: build the merged staging dirs — one small write per
+    # kind; coalesce(1) because a folded history stub is bounded by
+    # what the stream already materialized once (at larger volumes
+    # raise the target partition count, the protocol is unchanged)
+    for kind, dirs in by_kind.items():
+        spark.read.parquet(*dirs).coalesce(1).write.parquet(
+            f"{staging}/kind={kind}"
+        )
+    # step 2: marker — staging is complete from here on
+    fs.write_text(
+        spark,
+        f"{staging}/{_MARKER}",
+        json.dumps({"base": base, "folded": olds}),
+    )
+    # steps 3-4: swap
+    for v in olds:
+        fs.delete(spark, f"{store_root}/v{v}")
+    fs.rename(spark, staging, f"{store_root}/v{base}")
+    return {"folded": len(olds), "base": base}

@@ -1,0 +1,283 @@
+"""Versioned-store history compaction (streaming/store.py): folding
+old history stubs preserves every reader view (histories, state,
+final flushes), commutes with the processors mid-stream, recovers
+from a crash at every protocol step, and refuses to fold a version
+that still carries unpruned state."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hha_spark.caching import release_tracked
+from hha_spark.streaming.curation_stream import (
+    _CUR_STORE_SCHEMA,
+    final_curation_funnel,
+    make_curation_funnel_processor,
+)
+from hha_spark.streaming.sessionize import (
+    _read_versioned,
+    _state_versions,
+    make_sessionize_processor,
+    read_closed_sessions,
+    read_kind_history,
+    read_open_state,
+)
+from hha_spark.streaming.store import (
+    CURATION_HISTORY,
+    SESSIONIZE_HISTORY,
+    _MARKER,
+    _STAGING,
+    compact_store,
+    recover_compaction,
+)
+
+DOC_SCHEMA = "doc_id long, source string, text string"
+EV_SCHEMA = "user_id long, ts_us long"
+
+
+def _doc_text(seed: int, mutate: int = 0) -> str:
+    toks = [f"w{seed}x{i}" for i in range(40)]
+    if mutate:
+        toks[-1] = f"m{seed}x{mutate}"
+    return " ".join(toks)
+
+
+_CURATION_BATCHES = [
+    [(1, "a", _doc_text(1)), (2, "a", _doc_text(1))],          # exact dup
+    [(3, "b", _doc_text(1, mutate=1)), (4, "b", _doc_text(2))],  # near dup of 1
+    [(5, "c", _doc_text(3)), (6, "a", "too short")],            # gopher reject
+    [(7, "b", _doc_text(1, mutate=2)), (8, "c", _doc_text(4))],  # near dup of 1
+]
+
+
+def _build_curation_store(spark, root: str, batches=None) -> None:
+    proc = make_curation_funnel_processor(spark, store_root=root)
+    for epoch, rows in enumerate(batches or _CURATION_BATCHES):
+        proc(spark.createDataFrame(rows, DOC_SCHEMA), epoch)
+
+
+def _curation_view(spark, root: str):
+    """Every reader surface of the curation store, as sorted rows."""
+    hist = {
+        kind: sorted(
+            map(
+                tuple,
+                read_kind_history(
+                    spark, root, kind, _CUR_STORE_SCHEMA.replace(
+                        ", kind string", ""
+                    ),
+                    cols,
+                ).collect(),
+            )
+        )
+        for kind, cols in (
+            ("doc", ("doc_id", "source", "n_tokens", "tokens")),
+            ("band", ("doc_id", "band", "key")),
+            ("edge", ("doc_id", "doc_id_b", "band", "key")),
+            ("raw", ("source", "n")),
+        )
+    }
+    latest = _read_versioned(spark, root, _CUR_STORE_SCHEMA)
+    state = {
+        kind: sorted(
+            map(
+                tuple,
+                latest.where(F.col("kind") == kind)
+                .drop("kind")
+                .collect(),
+            )
+        )
+        for kind in ("label", "bcnt")
+    }
+    flush = sorted(
+        map(tuple, final_curation_funnel(spark, store_root=root).collect())
+    )
+    return hist, state, flush
+
+
+def test_compaction_preserves_every_curation_reader_view(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _build_curation_store(spark, root)
+    before = _curation_view(spark, root)
+    release_tracked()
+    res = compact_store(spark, root, history_kinds=CURATION_HISTORY)
+    assert res == {"folded": 2, "base": 0}
+    assert _state_versions(spark, root) == [0, 2, 3]
+    # provenance marker rode into the merged base dir
+    meta = json.loads(open(f"{root}/v0/{_MARKER}").read())
+    assert meta == {"base": 0, "folded": [0, 1]}
+    assert _curation_view(spark, root) == before
+    # idempotent: nothing left to fold
+    assert compact_store(spark, root, history_kinds=CURATION_HISTORY) == {
+        "folded": 0,
+        "base": None,
+    }
+
+
+def test_midstream_compaction_commutes_with_processor(spark, tmp_path):
+    """Compact between epochs, keep streaming, then retry the final
+    epoch: flush still equals the batch pipeline (compaction commutes
+    with the processors AND with retry idempotence)."""
+    from hha_spark.queries.corpus import curation_funnel
+
+    root = str(tmp_path / "store")
+    proc = make_curation_funnel_processor(spark, store_root=root)
+    for epoch in (0, 1, 2, 3):
+        proc(
+            spark.createDataFrame(_CURATION_BATCHES[epoch], DOC_SCHEMA),
+            epoch,
+        )
+    release_tracked()
+    assert compact_store(spark, root, history_kinds=CURATION_HISTORY) == {
+        "folded": 2,
+        "base": 0,
+    }
+    extra = [
+        [(9, "a", _doc_text(1, mutate=3))],   # near dup across the fold
+        [(10, "c", _doc_text(5))],
+    ]
+    for epoch, rows in enumerate(extra, start=4):
+        proc(spark.createDataFrame(rows, DOC_SCHEMA), epoch)
+    flush1 = sorted(
+        map(tuple, final_curation_funnel(spark, store_root=root).collect())
+    )
+    all_rows = [r for b in _CURATION_BATCHES + extra for r in b]
+    batch = sorted(
+        map(
+            tuple,
+            curation_funnel(
+                spark.createDataFrame(all_rows, DOC_SCHEMA)
+            ).collect(),
+        )
+    )
+    assert flush1 == batch
+    # retry the newest epoch post-compaction: pre-state (v4) and the
+    # history below it are exactly what the uncompacted store showed
+    release_tracked()
+    proc(spark.createDataFrame(extra[-1], DOC_SCHEMA), 5)
+    flush2 = sorted(
+        map(tuple, final_curation_funnel(spark, store_root=root).collect())
+    )
+    assert flush2 == batch
+
+
+def test_compaction_preserves_sessionize_store(spark, tmp_path):
+    """Second store flavor: ordered sessionize (kind=closed history +
+    kind=open state)."""
+    root = str(tmp_path / "store")
+    proc = make_sessionize_processor(spark, store_root=root, gap_us=10)
+    batches = [
+        [(1, 100), (1, 105), (2, 100)],
+        [(1, 130), (2, 108)],          # closes 1's first session
+        [(3, 200), (1, 160)],
+        [(1, 300), (2, 300), (3, 205)],
+    ]
+    for epoch, rows in enumerate(batches):
+        proc(spark.createDataFrame(rows, EV_SCHEMA), epoch)
+    closed_before = sorted(
+        map(tuple, read_closed_sessions(spark, root).collect())
+    )
+    open_before = sorted(map(tuple, read_open_state(spark, root).collect()))
+    release_tracked()
+    assert compact_store(spark, root, history_kinds=SESSIONIZE_HISTORY) == {
+        "folded": 2,
+        "base": 0,
+    }
+    assert _state_versions(spark, root) == [0, 2, 3]
+    assert (
+        sorted(map(tuple, read_closed_sessions(spark, root).collect()))
+        == closed_before
+    )
+    assert (
+        sorted(map(tuple, read_open_state(spark, root).collect()))
+        == open_before
+    )
+
+
+def test_crash_recovery_every_protocol_step(spark, tmp_path):
+    """Deterministic crash states built on disk from a reference run:
+    (a) staging without marker -> discarded, store untouched;
+    (b) complete staging + marker, olds intact -> rolled forward;
+    (c) ...with some olds already deleted -> rolled forward;
+    (d) all olds deleted, rename pending -> rolled forward.
+    Every recovery yields the same reader views as the clean compact."""
+    root = str(tmp_path / "store")
+    _build_curation_store(spark, root)
+    ref_root = str(tmp_path / "ref")
+    shutil.copytree(root, ref_root)
+    release_tracked()
+    compact_store(spark, ref_root, history_kinds=CURATION_HISTORY)
+    release_tracked()
+    expect = _curation_view(spark, ref_root)
+    # the clean compact's merged base dir IS the staging content
+    # (marker included) — reuse it to fabricate crash states
+    staged_src = f"{ref_root}/v0"
+
+    def fresh(name: str) -> str:
+        r = str(tmp_path / name)
+        shutil.copytree(root, r)
+        return r
+
+    # (a) crash mid-build: staging exists, marker missing
+    r = fresh("crash_a")
+    shutil.copytree(staged_src, f"{r}/{_STAGING}")
+    os.remove(f"{r}/{_STAGING}/{_MARKER}")
+    assert recover_compaction(spark, r) == "discarded"
+    release_tracked()
+    assert _state_versions(spark, r) == [0, 1, 2, 3]
+    assert _curation_view(spark, r) == expect
+
+    # (b) crash after marker, before any delete
+    r = fresh("crash_b")
+    shutil.copytree(staged_src, f"{r}/{_STAGING}")
+    assert recover_compaction(spark, r) == "completed"
+    release_tracked()
+    assert _state_versions(spark, r) == [0, 2, 3]
+    assert _curation_view(spark, r) == expect
+
+    # (c) crash after deleting one old version
+    r = fresh("crash_c")
+    shutil.copytree(staged_src, f"{r}/{_STAGING}")
+    shutil.rmtree(f"{r}/v1")
+    assert recover_compaction(spark, r) == "completed"
+    release_tracked()
+    assert _state_versions(spark, r) == [0, 2, 3]
+    assert _curation_view(spark, r) == expect
+
+    # (d) crash after all deletes, rename pending
+    r = fresh("crash_d")
+    shutil.copytree(staged_src, f"{r}/{_STAGING}")
+    shutil.rmtree(f"{r}/v0")
+    shutil.rmtree(f"{r}/v1")
+    assert recover_compaction(spark, r) == "completed"
+    release_tracked()
+    assert _state_versions(spark, r) == [0, 2, 3]
+    assert _curation_view(spark, r) == expect
+
+    # compact_store itself heals a crashed run before starting over
+    r = fresh("crash_e")
+    shutil.copytree(staged_src, f"{r}/{_STAGING}")
+    shutil.rmtree(f"{r}/v0")
+    assert compact_store(spark, r, history_kinds=CURATION_HISTORY) == {
+        "folded": 0,
+        "base": None,
+    }
+    release_tracked()
+    assert _state_versions(spark, r) == [0, 2, 3]
+    assert _curation_view(spark, r) == expect
+
+
+def test_compaction_rejects_unpruned_state_kind(spark, tmp_path):
+    """A foldable version still carrying a rewritten-state kind means
+    pruning never ran — folding it would double-count state."""
+    root = str(tmp_path / "store")
+    _build_curation_store(spark, root)
+    # plant a state kind in a foldable stub
+    shutil.copytree(f"{root}/v3/kind=label", f"{root}/v0/kind=label")
+    with pytest.raises(ValueError, match="non-history kind"):
+        compact_store(spark, root, history_kinds=CURATION_HISTORY)
