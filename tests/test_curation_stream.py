@@ -241,6 +241,58 @@ def test_random_corpora_random_splits_match_batch(spark, tmp_path):
         release_tracked()
 
 
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """A stopped-and-restarted stream (same checkpoint) must neither
+    reprocess consumed files nor break the funnel: run availableNow
+    over the first half of the corpus, terminate, land the second
+    half, restart — the flush equals the batch pipeline over the
+    whole corpus, and epoch numbering continues (distinct store
+    versions, no overwrite of committed epochs)."""
+    from hha_spark.caching import release_tracked
+    from hha_spark.queries.corpus import curation_funnel
+    from hha_spark.streaming.sessionize import _state_versions
+
+    rows = [
+        (1, "a", _doc_text(800)),
+        (2, "a", _doc_text(800)),            # exact dup, same half
+        (3, "b", _doc_text(800, mutate=1)),  # near dup, OTHER half
+        (4, "b", _doc_text(900)),
+        (5, "c", _doc_text(950)),
+    ]
+    in_dir = _write_batches(spark, tmp_path, [rows[:2], rows[2:4]])
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        q = run_streaming_curation(
+            spark,
+            data_root=in_dir,
+            schema=SCHEMA,
+            store_root=store,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination()
+
+    _run()  # consumes the first two files, then terminates
+    v_first = _state_versions(spark, store)
+    release_tracked()
+    # second half lands after the shutdown
+    for i, batch in enumerate([[rows[4]]], start=2):
+        d = str(tmp_path / f"late{i}")
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.parquet(d)
+        (part,) = glob.glob(f"{d}/part-*.parquet")
+        shutil.move(part, f"{in_dir}/batch{i}.parquet")
+    _run()  # restart on the same checkpoint
+    versions = _state_versions(spark, store)
+    # committed epochs were not reprocessed: old versions survive and
+    # the restart appended strictly newer epoch ids
+    assert versions[: len(v_first)] == v_first
+    assert len(versions) == len(v_first) + 1
+    streamed = _rollup(final_curation_funnel(spark, store_root=store))
+    batch_ref = _rollup(curation_funnel(spark.createDataFrame(rows, SCHEMA)))
+    assert streamed == batch_ref
+
+
 def test_epoch_retry_is_idempotent(spark, tmp_path):
     """Redelivering the final epoch (foreachBatch at-least-once)
     rewrites the same store bytes: the flush is unchanged."""
