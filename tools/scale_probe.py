@@ -143,6 +143,65 @@ def _attribution_disorder_probe(spark, ev: DataFrame) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _store_compaction_probe(spark, k: int) -> DataFrame:
+    """K scales the EPOCH COUNT (the axis compaction is about —
+    version-dir growth), not the data volume: 6*k tiny sessionize
+    epochs build a store with 6*k version dirs, then compact_store
+    folds the history stubs. EXTRA records dir counts and the
+    closed-history read wall before/after: rows are identical either
+    way (the reader-equivalence contract), dirs drop from O(epochs)
+    to 3, and the post-compact read no longer pays one listing +
+    footer pass per epoch."""
+    import shutil
+    import tempfile
+
+    from hha_spark.streaming.sessionize import (
+        _state_versions,
+        make_sessionize_processor,
+        read_closed_sessions,
+    )
+    from hha_spark.streaming.store import SESSIONIZE_HISTORY, compact_store
+
+    epochs = 6 * k
+    tmp = tempfile.mkdtemp(prefix="hha_probe_compact_")
+    try:
+        proc = make_sessionize_processor(
+            spark, store_root=f"{tmp}/store", gap_us=10
+        )
+        for e in range(epochs):
+            # each epoch's events sit far past the previous epoch's,
+            # so every open session closes next epoch: history grows
+            # one closed batch per epoch, state stays bounded
+            rows = [(u, e * 1000 + 7 * u) for u in range(4)]
+            proc(spark.createDataFrame(rows, "user_id long, ts_us long"), e)
+        t0 = time.perf_counter()
+        n_before = read_closed_sessions(spark, f"{tmp}/store").count()
+        read_before = time.perf_counter() - t0
+        dirs_before = len(_state_versions(spark, f"{tmp}/store"))
+        compact_store(
+            spark, f"{tmp}/store", history_kinds=SESSIONIZE_HISTORY
+        )
+        t0 = time.perf_counter()
+        closed = read_closed_sessions(spark, f"{tmp}/store")
+        n_after = closed.count()
+        read_after = time.perf_counter() - t0
+        assert n_after == n_before, (n_after, n_before)
+        EXTRA["store_compaction"] = {
+            "epochs": epochs,
+            "dirs_before": dirs_before,
+            "dirs_after": len(_state_versions(spark, f"{tmp}/store")),
+            "read_sec_before": round(read_before, 3),
+            "read_sec_after": round(read_after, 3),
+        }
+        # detached so the scratch dir can go
+        return spark.createDataFrame(
+            closed.collect(),
+            "user_id long, start_us long, end_us long, n_events long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def probes(spark, k: int):
     """(name, build) pairs; build() returns a DataFrame to force."""
     from hha_spark.operators.corpus import (
@@ -391,6 +450,11 @@ def probes(spark, k: int):
         "attribution_disorder": lambda: _attribution_disorder_probe(
             spark, ev
         ),
+        # store maintenance: K scales the EPOCH COUNT; EXTRA records
+        # version-dir counts and history-read wall before/after
+        # compaction (streaming/store.py) — dirs must be bounded at 3
+        # after, rows identical
+        "store_compaction": lambda: _store_compaction_probe(spark, k),
         # NOTE mutual_knn_graph is deliberately absent: its exact
         # kernel is quadratic in the NODE SET by documented contract
         # (nodes = a bounded selection; scale path = LSH/IVF candidate
