@@ -151,14 +151,25 @@ def make_curation_funnel_processor(
     store_root: str,
     max_bucket: int | None = None,
     stats: dict | None = None,
+    compact_every: int | None = None,
 ):
     """Per-micro-batch body (see module docstring for the design and
     the bucket-cap reconciliation argument). Per-epoch actions: the
     empty probe, the cap-crossing probe (which materializes the
-    merged bucket counts), the closure kernel's two internal actions,
-    and ONE kind-partitioned write. `stats`, if given, collects
-    observability counters ('epochs', 'recomputes') so tests can
-    assert the reconciliation path actually fired."""
+    merged bucket counts), the closure kernel's single limit-probe
+    collect, and ONE kind-partitioned write. `stats`, if given,
+    collects observability counters ('epochs', 'recomputes', per-phase
+    wall timers) so tests can assert the reconciliation path actually
+    fired.
+
+    `compact_every=N` folds old history stubs every N epochs
+    (streaming/store.py) — the long-lived-deployment knob that keeps
+    the store at three version dirs instead of one per epoch. Running
+    it inside the processor makes it single-writer safe: it executes
+    between epochs on the stream's own thread and touches only
+    versions strictly below the newest two, which no future epoch or
+    retry reads differently (the store module's reader-equivalence
+    argument)."""
     from hha_spark.operators.cluster import connected_components
     from hha_spark.operators.dedup import (
         MAX_LSH_BUCKET,
@@ -406,6 +417,18 @@ def make_curation_funnel_processor(
                 prune_kinds=(_K_BCNT, _K_LABEL),
             )
             t = _clock("t_prune", t)
+            if compact_every and (epoch + 1) % compact_every == 0:
+                from hha_spark.streaming.store import (
+                    CURATION_HISTORY,
+                    compact_store,
+                )
+
+                folded = compact_store(
+                    spark, store_root, history_kinds=CURATION_HISTORY
+                )["folded"]
+                if stats is not None and folded:
+                    stats["compactions"] = stats.get("compactions", 0) + 1
+                t = _clock("t_compact", t)
             if stats is not None:
                 stats["epochs"] = stats.get("epochs", 0) + 1
                 if crossed > 0:
@@ -433,9 +456,15 @@ def run_streaming_curation(
     max_files_per_trigger: int = 1,
     available_now: bool = True,
     stats: dict | None = None,
+    compact_every: int | None = None,
 ):
     """File source -> foreachBatch(incremental curation funnel).
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery. Heals any crashed store compaction
+    before the stream starts (streaming/store.py protocol contract:
+    recovery must precede the first store read after a restart)."""
+    from hha_spark.streaming.store import recover_compaction
+
+    recover_compaction(spark, store_root)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -447,6 +476,7 @@ def run_streaming_curation(
             store_root=store_root,
             max_bucket=max_bucket,
             stats=stats,
+            compact_every=compact_every,
         )
     ).option("checkpointLocation", checkpoint)
     if available_now:

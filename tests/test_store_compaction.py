@@ -272,6 +272,43 @@ def test_crash_recovery_every_protocol_step(spark, tmp_path):
     assert _curation_view(spark, r) == expect
 
 
+def test_compact_every_knob_bounds_dirs_and_preserves_funnel(
+    spark, tmp_path
+):
+    """The processor's compact_every knob: six epochs at N=2 fold
+    twice, the store ends at three version dirs, and the flush still
+    equals the batch pipeline."""
+    from hha_spark.queries.corpus import curation_funnel
+
+    batches = _CURATION_BATCHES + [
+        [(9, "a", _doc_text(1, mutate=3))],
+        [(10, "c", _doc_text(6))],
+    ]
+    root = str(tmp_path / "store")
+    stats: dict = {}
+    proc = make_curation_funnel_processor(
+        spark, store_root=root, stats=stats, compact_every=2
+    )
+    for epoch, rows in enumerate(batches):
+        proc(spark.createDataFrame(rows, DOC_SCHEMA), epoch)
+        release_tracked()
+    assert stats.get("compactions") == 2
+    assert _state_versions(spark, root) == [0, 4, 5]
+    flush = sorted(
+        map(tuple, final_curation_funnel(spark, store_root=root).collect())
+    )
+    all_rows = [r for b in batches for r in b]
+    batch_ref = sorted(
+        map(
+            tuple,
+            curation_funnel(
+                spark.createDataFrame(all_rows, DOC_SCHEMA)
+            ).collect(),
+        )
+    )
+    assert flush == batch_ref
+
+
 def test_compaction_rejects_unpruned_state_kind(spark, tmp_path):
     """A foldable version still carrying a rewritten-state kind means
     pruning never ran — folding it would double-count state."""
