@@ -245,7 +245,11 @@ def run_disorder_attribution(
     available_now: bool = True,
 ):
     """File source -> foreachBatch(bounded-disorder attribution).
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery. Heals any crashed store compaction
+    first (streaming/store.py recovery contract)."""
+    from hha_spark.streaming.store import recover_compaction
+
+    recover_compaction(spark, store_root)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -331,7 +331,12 @@ def run_streaming_sessionizer(
     maxFilesPerTrigger=1 makes each input file its own micro-batch
     (the gate writes time-sliced files, so the replay exercises the
     cross-batch state path for real). Returns the StreamingQuery.
+    Heals any crashed store compaction first (streaming/store.py:
+    recovery must precede the first store read after a restart).
     """
+    from hha_spark.streaming.store import recover_compaction
+
+    recover_compaction(spark, store_root)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -579,7 +584,11 @@ def run_disorder_sessionizer(
     available_now: bool = True,
 ):
     """File source -> foreachBatch(bounded-disorder sessionizer).
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery. Heals any crashed store compaction
+    first (streaming/store.py recovery contract)."""
+    from hha_spark.streaming.store import recover_compaction
+
+    recover_compaction(spark, store_root)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
