@@ -18,10 +18,15 @@ history read (the curation funnel's candidate verification, the
 final flushes) pays the whole listing tail. Object stores make it
 worse: LIST calls are metered and rate-limited.
 
-`compact_store` bounds that growth: it folds ALL history stubs
-strictly below the two newest versions into a single merged base
-directory, after which the store holds at most three version dirs
-(base, previous, latest) regardless of how many epochs ever ran.
+`compact_store` bounds that growth: it folds history stubs strictly
+below the two newest versions into merged base directories. Minor
+mode (the default, and what the processors' compact_every knob runs)
+folds only the stubs accumulated since the last fold — amortized
+LINEAR total write cost over the stream's life, O(epochs/N) base
+dirs; major mode folds the bases too, collapsing the store to at
+most three version dirs (base, previous, latest) for a maintenance
+window. A store that only ever ran minor folds stays small enough
+that reads never again pay one listing per epoch.
 
 Correctness (why readers cannot tell):
   * Future epochs e read `before_epoch=e` with e > latest, i.e. the
@@ -117,22 +122,45 @@ def compact_store(
     store_root: str,
     *,
     history_kinds: tuple[str, ...],
+    mode: str = "minor",
 ) -> dict:
-    """Fold every version strictly below the newest two into one
+    """Fold history versions strictly below the newest two into a
     merged history-only base version (module docstring has the
-    reader-equivalence and crash-safety arguments). Returns
-    observability counters: folded version count, base number, and
-    per-kind row deltas are deliberately NOT computed (no jobs beyond
-    the merge writes themselves).
+    reader-equivalence and crash-safety arguments).
+
+    mode='minor' (default) skips versions that are themselves merged
+    bases (marked by the provenance file a previous fold left
+    behind): each run rewrites only the NEW stubs since the last
+    fold, so a stream compacting every N epochs pays amortized-linear
+    total write cost and holds O(epochs/N) base dirs — the LSM
+    minor-compaction shape. mode='major' folds bases too, collapsing
+    the store to at most three dirs — the full rewrite, for
+    maintenance windows. Reader equivalence is identical either way:
+    every merged dir keeps the SMALLEST folded epoch as its number,
+    so any `before_epoch` cut a future or retrying epoch can issue
+    classifies it exactly as it classified the folded stubs (all of
+    which sit strictly below the cut).
+
+    Returns observability counters: folded version count and base
+    number; per-kind row deltas are deliberately NOT computed (no
+    jobs beyond the merge writes themselves).
 
     Raises if a foldable version still carries a kind outside
     `history_kinds` — that means state pruning has not run for it (a
     misconfigured caller), and folding rewritten-state kinds would
     double-count them.
     """
+    if mode not in ("minor", "major"):
+        raise ValueError(f"unknown compaction mode {mode!r}")
     recover_compaction(spark, store_root)
     versions = _state_versions(spark, store_root)
     olds = versions[:-2]
+    if mode == "minor":
+        olds = [
+            v
+            for v in olds
+            if not fs.exists(spark, f"{store_root}/v{v}/{_MARKER}")
+        ]
     if len(olds) < 2:
         return {"folded": 0, "base": None}
     base = olds[0]

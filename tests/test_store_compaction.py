@@ -293,7 +293,10 @@ def test_compact_every_knob_bounds_dirs_and_preserves_funnel(
         proc(spark.createDataFrame(rows, DOC_SCHEMA), epoch)
         release_tracked()
     assert stats.get("compactions") == 2
-    assert _state_versions(spark, root) == [0, 4, 5]
+    # minor folds: epoch 3 folded stubs {0,1} -> base v0; epoch 5
+    # folded stubs {2,3} -> base v2 (the earlier base is NOT
+    # rewritten — amortized-linear write cost)
+    assert _state_versions(spark, root) == [0, 2, 4, 5]
     flush = sorted(
         map(tuple, final_curation_funnel(spark, store_root=root).collect())
     )
@@ -307,6 +310,17 @@ def test_compact_every_knob_bounds_dirs_and_preserves_funnel(
         )
     )
     assert flush == batch_ref
+    # a major fold collapses the accumulated bases to one; every
+    # reader surface (including the flush) is unchanged
+    release_tracked()
+    assert compact_store(
+        spark, root, history_kinds=CURATION_HISTORY, mode="major"
+    ) == {"folded": 2, "base": 0}
+    assert _state_versions(spark, root) == [0, 4, 5]
+    flush_major = sorted(
+        map(tuple, final_curation_funnel(spark, store_root=root).collect())
+    )
+    assert flush_major == batch_ref
 
 
 def test_compaction_rejects_unpruned_state_kind(spark, tmp_path):
