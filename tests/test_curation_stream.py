@@ -199,14 +199,19 @@ def test_random_corpora_random_splits_match_batch(spark, tmp_path):
     sources) under random 3-way batch splits — the flush must equal
     the batch funnel on every one. Drives the processors directly
     (no streaming engine) so four corpora stay cheap; the engine
-    path is covered by the fixture/gate tests above."""
+    path is covered by the fixture/gate tests above. Two of the four
+    seeds split 5 ways and run a random minor store compaction
+    between epochs — compaction must commute with everything the
+    processor does, at whatever point it fires."""
     import random
 
     from hha_spark.caching import release_tracked
     from hha_spark.queries.corpus import curation_funnel
+    from hha_spark.streaming.store import CURATION_HISTORY, compact_store
 
     for seed in (11, 23, 37, 59):
         rng = random.Random(seed)
+        compacting = seed in (23, 59)
         rows = []
         next_id = 1
         for g in range(rng.randint(3, 6)):  # dup groups of size 1-4
@@ -225,14 +230,21 @@ def test_random_corpora_random_splits_match_batch(spark, tmp_path):
             rows.append((next_id, rng.choice("abc"), "too short"))
             next_id += 1
         rng.shuffle(rows)
-        splits = [[], [], []]
+        n_splits = 5 if compacting else 3
+        splits = [[] for _ in range(n_splits)]
         for r in rows:
-            splits[rng.randrange(3)].append(r)
+            splits[rng.randrange(n_splits)].append(r)
         store = str(tmp_path / f"store{seed}")
         proc = make_curation_funnel_processor(spark, store_root=store)
+        folds = 0
         for epoch, batch in enumerate(splits):
             if batch:
                 proc(spark.createDataFrame(batch, SCHEMA), epoch)
+            if compacting and rng.random() < 0.5:
+                folds += compact_store(
+                    spark, store, history_kinds=CURATION_HISTORY
+                )["folded"]
+        assert folds > 0 or not compacting, f"seed {seed}: folds vacuous"
         streamed = _rollup(final_curation_funnel(spark, store_root=store))
         batch_ref = _rollup(
             curation_funnel(spark.createDataFrame(rows, SCHEMA))
