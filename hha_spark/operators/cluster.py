@@ -129,13 +129,17 @@ def connected_components(
     """(node, label) for every node incident to an edge; label is the
     minimum node id reachable from the node (its component's id).
 
-    ADAPTIVE kernel: the edge count (one job over the persisted edge
-    frame) picks the physical strategy — a driver union-find when the
-    graph fits the `small_graph_edges` envelope (each distributed
-    round costs ~0.5 s of fixed job overhead; a 571-edge graph was
-    paying 7 rounds of it), the iterated min-label propagation loop
-    otherwise. Both produce the identical min-reachable-id labelling
-    (`test_cluster.py` pins small ≡ distributed ≡ star).
+    ADAPTIVE kernel: one limit-probe collect over the persisted edge
+    frame picks the physical strategy AND, in the common small case,
+    already holds the rows — a driver union-find when the graph fits
+    the `small_graph_edges` envelope (each distributed round costs
+    ~0.5 s of fixed job overhead; a 571-edge graph was paying 7
+    rounds of it), the iterated min-label propagation loop otherwise.
+    Both produce the identical min-reachable-id labelling
+    (`test_cluster.py` pins small ≡ distributed ≡ star). Above the
+    envelope the probe's collected cap+1 rows are discarded — a
+    bounded cost (the envelope's own sizing) paid once before the
+    distributed loop.
 
     Raises RuntimeError if the fixpoint is not reached in
     `max_rounds` — with path compression that means a component of

@@ -58,10 +58,9 @@ protocol —
 without marker is discarded (nothing was deleted yet); staging with
 marker is rolled FORWARD (finish the deletes, finish the rename).
 `compact_store` begins by recovering, so a crashed compaction heals
-on the next maintenance run; a stream restarting earlier must call
-`recover_compaction` first (the runners in this repo operate on
-fresh gate-scoped stores, so only long-lived deployments face this —
-the contract is documented here and tested). The marker file rides
+on the next maintenance run; a stream restarting earlier must
+recover FIRST, before its initial store read — every run_* runner in
+this repo does so at start. The marker file rides
 into the merged dir as an underscore-prefixed file, which parquet
 readers ignore, and doubles as compaction provenance.
 
