@@ -67,25 +67,18 @@ DEFAULT_MAX_ROUNDS = 50
 SMALL_GRAPH_EDGES = 500_000
 
 
-def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Min-label closure of a SMALL edge frame, computed on the driver.
+def _union_find_arrow(spark, tbl, node_type) -> DataFrame:
+    """Min-label closure of a SMALL collected Arrow edge table
+    (column 0 = src, column 1 = dst), computed on the driver.
 
     Union-by-min-root + path compression: the root of every set is
     the minimum id seen in it, so labels equal the distributed
     algorithms' min-reachable-id labelling exactly. Deterministic —
     no iteration order sensitivity (the final find() fully resolves
-    every chain)."""
-    # Arrow transfer, not collect(): pyspark Row objects cost ~10× the
-    # payload in driver memory; Arrow columns + to_pylist keep the
-    # envelope at plain-object size (see SMALL_GRAPH_EDGES sizing).
-    tbl = edges.select(src, dst).toArrow()
-    node_type = dict(zip(edges.schema.names, edges.schema.fields))[src].dataType
-    return _union_find_arrow(edges.sparkSession, tbl, node_type)
-
-
-def _union_find_arrow(spark, tbl, node_type) -> DataFrame:
-    """Core driver union-find over a collected Arrow edge table
-    (column 0 = src, column 1 = dst)."""
+    every chain). Arrow transfer, not collect(): pyspark Row objects
+    cost ~10× the payload in driver memory; Arrow columns + to_pylist
+    keep the envelope at plain-object size (see SMALL_GRAPH_EDGES
+    sizing)."""
     src_vals = tbl.column(0).to_pylist()
     dst_vals = tbl.column(1).to_pylist()
     parent: dict = {}
