@@ -199,6 +199,81 @@ def test_compaction_preserves_sessionize_store(spark, tmp_path):
     )
 
 
+def test_compaction_preserves_attribution_store(spark, tmp_path):
+    """Third store flavor: the disorder attribution join (kind=attr
+    history + click/buf state). Four disorder-delivered epochs,
+    compact, flush and history identical."""
+    from hha_spark.streaming.joins import (
+        final_attributions,
+        make_disorder_attribution_processor,
+    )
+    from hha_spark.streaming.store import ATTRIBUTION_HISTORY
+
+    root = str(tmp_path / "store")
+    proc = make_disorder_attribution_processor(
+        spark, store_root=root, max_delay_sec=100, disorder_sec=50
+    )
+    ev_schema = "user_id long, ts_s long, etype string"
+    # respects the bounded-disorder contract: every arrival is >=
+    # (max ts seen so far) - 50
+    batches = [
+        [(1, 100, "click"), (2, 110, "click"), (1, 150, "purchase")],
+        [(1, 105, "click"), (2, 180, "purchase"), (1, 260, "click")],
+        [(2, 300, "click"), (1, 320, "purchase"), (2, 215, "click")],
+        [(1, 500, "purchase"), (2, 430, "click"), (1, 560, "click")],
+    ]
+    for epoch, rows in enumerate(batches):
+        proc(spark.createDataFrame(rows, ev_schema), epoch)
+    flush_before = sorted(
+        map(
+            tuple,
+            final_attributions(
+                spark, store_root=root, max_delay_sec=100
+            ).collect(),
+        )
+    )
+    attr_before = sorted(
+        map(
+            tuple,
+            read_kind_history(
+                spark, root, "attr",
+                "user_id long, ts_s long, ts2_s long",
+                ("user_id", "ts_s", "ts2_s"),
+            ).collect(),
+        )
+    )
+    assert flush_before and attr_before  # non-vacuous
+    release_tracked()
+    assert compact_store(
+        spark, root, history_kinds=ATTRIBUTION_HISTORY
+    ) == {"folded": 2, "base": 0}
+    assert _state_versions(spark, root) == [0, 2, 3]
+    assert (
+        sorted(
+            map(
+                tuple,
+                final_attributions(
+                    spark, store_root=root, max_delay_sec=100
+                ).collect(),
+            )
+        )
+        == flush_before
+    )
+    assert (
+        sorted(
+            map(
+                tuple,
+                read_kind_history(
+                    spark, root, "attr",
+                    "user_id long, ts_s long, ts2_s long",
+                    ("user_id", "ts_s", "ts2_s"),
+                ).collect(),
+            )
+        )
+        == attr_before
+    )
+
+
 def test_crash_recovery_every_protocol_step(spark, tmp_path):
     """Deterministic crash states built on disk from a reference run:
     (a) staging without marker -> discarded, store untouched;
