@@ -43,6 +43,14 @@ from pyspark.sql import functions as F
 
 from hha_spark.caching import tracked_persist
 
+# Canonical mixture/fill parameters. Every default below, the batch
+# gates (queries/corpus.py re-exports these as BUDGET_PCT/FILL_SALT),
+# and the streaming flush (streaming/curation_stream.py) derive from
+# these two values — stream==batch differential tests depend on the
+# sides never diverging, so the literals live in exactly one place.
+DEFAULT_BUDGET_PCT = 50
+DEFAULT_FILL_SALT = "budget-v1"
+
 # Redaction patterns — valid and identical under Java regex (Spark)
 # and RE2 (DuckDB oracle): no backreferences, no lookaround.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -652,7 +660,7 @@ def stratified_sample(
     )
 
 
-def mixture_weights(docs: DataFrame, *, budget_frac_pct: int = 50) -> DataFrame:
+def mixture_weights(docs: DataFrame, *, budget_frac_pct: int = DEFAULT_BUDGET_PCT) -> DataFrame:
     """Per-source sampling weights hitting a corpus token budget.
 
     Budget = budget_frac_pct% of total tokens, split evenly across
@@ -712,7 +720,7 @@ def _isqrt_sql(expr: str) -> str:
     return f"(CASE WHEN {s1}*{s1} > {expr} THEN {s1}-1 ELSE {s1} END)"
 
 
-def temperature_mixture(docs: DataFrame, *, budget_frac_pct: int = 50) -> DataFrame:
+def temperature_mixture(docs: DataFrame, *, budget_frac_pct: int = DEFAULT_BUDGET_PCT) -> DataFrame:
     """UniMax / T5-style temperature-scaled mixture weights: each
     source's sampling share is proportional to n_tokens^(1/2)
     (temperature tau = 2), flattening the head sources' dominance
@@ -754,7 +762,7 @@ def per_source_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
 
 
 def mixture_readout(
-    per_source: DataFrame, *, budget_frac_pct: int = 50
+    per_source: DataFrame, *, budget_frac_pct: int = DEFAULT_BUDGET_PCT
 ) -> DataFrame:
     """The nonlinear readout of temperature_mixture over its ADDITIVE
     sufficient statistics (source, n_docs, n_tokens). Factored out so
@@ -817,7 +825,7 @@ def mixture_readout(
 
 
 def token_budget_fill(
-    docs: DataFrame, *, budget_frac_pct: int = 50, salt: str = "budget-v1"
+    docs: DataFrame, *, budget_frac_pct: int = DEFAULT_BUDGET_PCT, salt: str = DEFAULT_FILL_SALT
 ) -> DataFrame:
     """Execute a mixture: deterministic greedy per-source document
     selection hitting the temperature_mixture token targets. Docs are
@@ -854,7 +862,7 @@ def token_budget_fill(
 
 
 def token_budget_fill_per_doc(
-    per_doc: DataFrame, *, budget_frac_pct: int = 50, salt: str = "budget-v1"
+    per_doc: DataFrame, *, budget_frac_pct: int = DEFAULT_BUDGET_PCT, salt: str = DEFAULT_FILL_SALT
 ) -> DataFrame:
     """token_budget_fill over an already-tokenized narrow frame
     (doc_id, source, n_tokens) — the shape a pipeline that stored

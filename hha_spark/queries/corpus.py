@@ -28,7 +28,12 @@ from hha_spark.sources.tables import load_table
 
 K = 5
 MAX_SOURCES = 10
-BUDGET_PCT = 50
+# canonical value lives with the operators (operators/corpus.py);
+# the oracle SQL f-strings below embed this same re-exported value
+from hha_spark.operators.corpus import (  # noqa: E402
+    DEFAULT_BUDGET_PCT as BUDGET_PCT,
+    DEFAULT_FILL_SALT as FILL_SALT,
+)
 
 # DuckDB-side k-gram extraction (1-based inclusive list slicing; the
 # LATERAL unnest enumerates window starts). Mirrors
@@ -649,8 +654,6 @@ def _temperature_oracle() -> str:
 QUERIES["corpus_temperature_mixture"] = corpus_temperature_mixture
 ORACLES["corpus_temperature_mixture"] = _temperature_oracle()
 
-
-FILL_SALT = "budget-v1"
 
 
 def corpus_token_budget_fill(spark, sf_dir):

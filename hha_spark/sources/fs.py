@@ -80,13 +80,10 @@ def read_text(spark: SparkSession | None, path: str) -> str:
     fs, p = _fs_and_path(spark, path)
     stream = fs.open(p)
     try:
-        chunks = []
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            chunks.append(b)
-        return bytes(chunks).decode("utf-8")
+        # one py4j round trip for the whole payload (byte-at-a-time
+        # stream.read() would cost one JVM call per byte)
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
     finally:
         stream.close()
 

@@ -488,8 +488,8 @@ def final_curation_funnel(
     spark: SparkSession,
     *,
     store_root: str,
-    budget_frac_pct: int = 50,
-    salt: str = "budget-v1",
+    budget_frac_pct: int | None = None,
+    salt: str | None = None,
 ) -> DataFrame:
     """End-of-stream readout: survivors (quality docs whose cluster
     label is themselves, or unclustered) -> temperature mixture +
@@ -497,10 +497,19 @@ def final_curation_funnel(
     shared per-source funnel rollup. Equals the batch
     curation_funnel frame exactly (see module docstring)."""
     from hha_spark.operators.corpus import (
+        DEFAULT_BUDGET_PCT,
+        DEFAULT_FILL_SALT,
         funnel_rollup,
         token_budget_fill_per_doc,
     )
 
+    # defaults come from the ONE canonical definition the batch
+    # funnel also uses — stream==batch must not depend on two
+    # literals staying in sync
+    if budget_frac_pct is None:
+        budget_frac_pct = DEFAULT_BUDGET_PCT
+    if salt is None:
+        salt = DEFAULT_FILL_SALT
     cur = _read_versioned(spark, store_root, _CUR_STORE_SCHEMA)
     labels = cur.where(F.col("kind") == _K_LABEL).select("doc_id", "label")
     feats = read_kind_history(

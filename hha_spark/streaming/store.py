@@ -109,7 +109,17 @@ def recover_compaction(spark: SparkSession, store_root: str) -> str:
         # crash during step 1: nothing was deleted, staging is junk
         fs.delete(spark, staging)
         return "discarded"
-    meta = json.loads(fs.read_text(spark, marker))
+    try:
+        meta = json.loads(fs.read_text(spark, marker))
+    except ValueError:
+        # torn marker: the tmp-write-then-rename protocol makes this
+        # nearly unreachable, but a corrupt marker must not wedge
+        # recovery forever — an unparseable marker means the marker
+        # write never completed, so no deletes ran and the staging is
+        # safely discardable (deletes only start after the marker
+        # rename returns)
+        fs.delete(spark, staging)
+        return "discarded"
     for v in meta["folded"]:
         fs.delete(spark, f"{store_root}/v{v}")
     fs.rename(spark, staging, f"{store_root}/v{meta['base']}")
@@ -185,12 +195,16 @@ def compact_store(
         spark.read.parquet(*dirs).coalesce(1).write.parquet(
             f"{staging}/kind={kind}"
         )
-    # step 2: marker — staging is complete from here on
+    # step 2: marker — staging is complete from here on. Written to a
+    # tmp name and renamed into place: fs.create makes a zero-length
+    # file immediately, so a direct write crashed mid-way would leave
+    # a torn marker that recovery could mistake for completeness
     fs.write_text(
         spark,
-        f"{staging}/{_MARKER}",
+        f"{staging}/{_MARKER}.tmp",
         json.dumps({"base": base, "folded": olds}),
     )
+    fs.rename(spark, f"{staging}/{_MARKER}.tmp", f"{staging}/{_MARKER}")
     # steps 3-4: swap
     for v in olds:
         fs.delete(spark, f"{store_root}/v{v}")

@@ -14,6 +14,8 @@ import time
 
 from pyspark.sql import functions as F
 
+from conftest import gopher_doc_text
+
 from hha_spark.streaming.curation_stream import (
     _CUR_STORE_SCHEMA,
     _EDGE_SCHEMA,
@@ -29,14 +31,7 @@ from hha_spark.streaming.curation_stream import (
 SCHEMA = "doc_id long, source string, text string"
 
 
-def _doc_text(seed: int, mutate: int = 0) -> str:
-    """40 distinct tokens — passes every Gopher rule (length band,
-    mode-token cap, diversity floor, bigram cap). `mutate` swaps the
-    last token so near-dup (not exact-dup) pairs exist too."""
-    toks = [f"w{seed}x{i}" for i in range(40)]
-    if mutate:
-        toks[-1] = f"m{seed}x{mutate}"
-    return " ".join(toks)
+_doc_text = gopher_doc_text
 
 
 def _write_batches(spark, tmp_path, batches) -> str:

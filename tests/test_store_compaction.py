@@ -11,6 +11,8 @@ import os
 import shutil
 
 import pytest
+
+from conftest import gopher_doc_text
 from pyspark.sql import functions as F
 
 from hha_spark.caching import release_tracked
@@ -40,11 +42,7 @@ DOC_SCHEMA = "doc_id long, source string, text string"
 EV_SCHEMA = "user_id long, ts_us long"
 
 
-def _doc_text(seed: int, mutate: int = 0) -> str:
-    toks = [f"w{seed}x{i}" for i in range(40)]
-    if mutate:
-        toks[-1] = f"m{seed}x{mutate}"
-    return " ".join(toks)
+_doc_text = gopher_doc_text
 
 
 _CURATION_BATCHES = [
@@ -332,6 +330,17 @@ def test_crash_recovery_every_protocol_step(spark, tmp_path):
     assert recover_compaction(spark, r) == "completed"
     release_tracked()
     assert _state_versions(spark, r) == [0, 2, 3]
+    assert _curation_view(spark, r) == expect
+
+    # (e) torn marker (crash mid-marker-write before the tmp rename
+    # landed a complete file): unparseable marker == incomplete
+    # staging — discarded, store untouched
+    r = fresh("crash_torn")
+    shutil.copytree(staged_src, f"{r}/{_STAGING}")
+    open(f"{r}/{_STAGING}/{_MARKER}", "w").close()
+    assert recover_compaction(spark, r) == "discarded"
+    release_tracked()
+    assert _state_versions(spark, r) == [0, 1, 2, 3]
     assert _curation_view(spark, r) == expect
 
     # compact_store itself heals a crashed run before starting over
