@@ -517,3 +517,62 @@ def test_budget_fill_matches_sequential_greedy(spark, specs, pct):
     assert got_kept == expected_kept
     for _, r in out.iterrows():
         assert r["target_tokens"] == targets[r["source"]]
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(edges=edge_lists)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_bfs_closure(spark, edges):
+    """connected_components == a direct Python BFS closure on random
+    multigraphs with self-loops and duplicate edges: every node
+    incident to an edge labels to the minimum id reachable from it.
+    Exercises the driver union-find path (the adaptive kernel's
+    common case, and the one whose probe shape changed in round 9);
+    driver == distributed == star equality on the same labelling is
+    pinned by test_cluster.py on fixed graphs."""
+    from hha_spark.operators.cluster import connected_components
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)],
+        "doc_id_a long, doc_id_b long",
+    )
+    if not edges:
+        df = df.where("doc_id_a < 0")  # genuinely empty frame
+    got = {
+        (r.node, r.label)
+        for r in connected_components(df).collect()
+    }
+    # reference: BFS closure over the symmetric adjacency
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = set()
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = {start}, [start]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if v not in comp:
+                    comp.add(v)
+                    stack.append(v)
+        seen |= comp
+        lo = min(comp)
+        expect |= {(n, lo) for n in comp}
+    assert got == expect
