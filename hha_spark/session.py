@@ -87,10 +87,6 @@ def _deny_logger_message(jvm, logger_name: str, regex: str) -> None:
     to `logger_name` via a dedicated additive LoggerConfig pinned at
     WARN — suppresses exactly the matching messages while every other
     WARN from that logger keeps flowing to the parent appenders."""
-    result = jvm.org.apache.logging.log4j.core.Filter.Result
-    regex_filter = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
-        regex, None, False, result.DENY, result.NEUTRAL
-    )
     ctx = jvm.org.apache.logging.log4j.core.LoggerContext.getContext(False)
     cfg = ctx.getConfiguration()
     warn = jvm.org.apache.logging.log4j.Level.WARN
@@ -99,6 +95,15 @@ def _deny_logger_message(jvm, logger_name: str, regex: str) -> None:
         LoggerConfig = jvm.org.apache.logging.log4j.core.config.LoggerConfig
         logger_cfg = LoggerConfig(logger_name, warn, True)
         cfg.addLogger(logger_name, logger_cfg)
+    elif logger_cfg.getFilter() is not None:
+        # idempotence: get_spark() re-runs this hook on every call in
+        # a long-lived process; without the guard each call stacks
+        # another RegexFilter into a growing CompositeFilter chain
+        return
+    result = jvm.org.apache.logging.log4j.core.Filter.Result
+    regex_filter = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+        regex, None, False, result.DENY, result.NEUTRAL
+    )
     logger_cfg.addFilter(regex_filter)
     ctx.updateLoggers()
 

@@ -262,6 +262,7 @@ def make_curation_funnel_processor(
             )
             .persist()
         )
+        edges_new = None
         try:
             # cap-crossing probe (one tiny action; materializes bcnt
             # and, via new_cnt, the qdocs persist). n_prev >= 2 is
@@ -436,11 +437,11 @@ def make_curation_funnel_processor(
         finally:
             for f in (qdocs, bands_new, bcnt):
                 f.unpersist()
-            # edges_new may not exist if an earlier stage raised
-            try:
+            # edges_new is None if an earlier stage raised (the
+            # sentinel, not NameError catching, so an unrelated
+            # NameError in cleanup can never be swallowed)
+            if edges_new is not None:
                 edges_new.unpersist()
-            except NameError:
-                pass
 
     return process
 

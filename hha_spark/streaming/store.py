@@ -122,8 +122,27 @@ def recover_compaction(spark: SparkSession, store_root: str) -> str:
         return "discarded"
     for v in meta["folded"]:
         fs.delete(spark, f"{store_root}/v{v}")
-    fs.rename(spark, staging, f"{store_root}/v{meta['base']}")
+    _rename_or_raise(spark, staging, f"{store_root}/v{meta['base']}")
     return "completed"
+
+
+def _rename_or_raise(spark: SparkSession, src: str, dst: str) -> None:
+    """Hadoop FileSystem.rename reports failure by returning false,
+    not raising. At swap time the folded dirs are already deleted and
+    the staging dir is the ONLY copy of that history — silently
+    discarding a failed rename (the next compact_store would then
+    delete the staging) would lose it, so a false return must stop
+    the world instead; the marker stays in place and
+    recover_compaction can finish the swap once the filesystem issue
+    is resolved."""
+    if not fs.rename(spark, src, dst):
+        raise OSError(
+            f"compaction rename failed: {src} -> {dst}; if the folded "
+            "version dirs were already deleted the staging dir holds "
+            "the only copy of that history — resolve the filesystem "
+            "issue and rerun recover_compaction (nothing is discarded "
+            "while the marker is in place)"
+        )
 
 
 def compact_store(
@@ -150,14 +169,22 @@ def compact_store(
     classifies it exactly as it classified the folded stubs (all of
     which sit strictly below the cut).
 
-    Returns observability counters: folded version count and base
-    number; per-kind row deltas are deliberately NOT computed (no
-    jobs beyond the merge writes themselves).
+    Returns observability counters: folded version count, base
+    number, and any versions skipped for still carrying a kind
+    outside `history_kinds`; per-kind row deltas are deliberately NOT
+    computed (no jobs beyond the merge writes themselves).
 
-    Raises if a foldable version still carries a kind outside
-    `history_kinds` — that means state pruning has not run for it (a
-    misconfigured caller), and folding rewritten-state kinds would
-    double-count them.
+    A foldable version still carrying a non-history kind is SKIPPED,
+    not folded and not raised on: it is either a normal crash state
+    (the stream died between an epoch's write and its prune, leaving
+    stale state in versions[:-2] — the next completed epoch's prune
+    clears it and a later fold picks the version up) or a
+    misconfigured `history_kinds` (folding or deleting under a wrong
+    kind list would corrupt the store, so touching nothing is the
+    only safe response). Folding a NON-CONTIGUOUS set around a
+    skipped version is still reader-equivalent: every folded epoch
+    sits strictly below any cut a future or retrying epoch can
+    issue, regardless of gaps.
     """
     if mode not in ("minor", "major"):
         raise ValueError(f"unknown compaction mode {mode!r}")
@@ -170,8 +197,17 @@ def compact_store(
             for v in olds
             if not fs.exists(spark, f"{store_root}/v{v}/{_MARKER}")
         ]
+    skipped = [
+        v
+        for v in olds
+        if any(
+            d.split("=", 1)[1] not in history_kinds
+            for d in _kind_dirs(spark, store_root, v)
+        )
+    ]
+    olds = [v for v in olds if v not in skipped]
     if len(olds) < 2:
-        return {"folded": 0, "base": None}
+        return {"folded": 0, "base": None, "skipped_stateful": skipped}
     base = olds[0]
     staging = f"{store_root}/{_STAGING}"
     fs.delete(spark, staging)
@@ -180,11 +216,6 @@ def compact_store(
     for v in olds:
         for d in _kind_dirs(spark, store_root, v):
             kind = d.split("=", 1)[1]
-            if kind not in history_kinds:
-                raise ValueError(
-                    f"version v{v} still carries non-history kind "
-                    f"{kind!r}; prune state kinds before compacting"
-                )
             by_kind.setdefault(kind, []).append(f"{store_root}/v{v}/{d}")
 
     # step 1: build the merged staging dirs — one small write per
@@ -204,9 +235,11 @@ def compact_store(
         f"{staging}/{_MARKER}.tmp",
         json.dumps({"base": base, "folded": olds}),
     )
-    fs.rename(spark, f"{staging}/{_MARKER}.tmp", f"{staging}/{_MARKER}")
+    _rename_or_raise(
+        spark, f"{staging}/{_MARKER}.tmp", f"{staging}/{_MARKER}"
+    )
     # steps 3-4: swap
     for v in olds:
         fs.delete(spark, f"{store_root}/v{v}")
-    fs.rename(spark, staging, f"{store_root}/v{base}")
-    return {"folded": len(olds), "base": base}
+    _rename_or_raise(spark, staging, f"{store_root}/v{base}")
+    return {"folded": len(olds), "base": base, "skipped_stateful": skipped}

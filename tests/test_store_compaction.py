@@ -104,7 +104,7 @@ def test_compaction_preserves_every_curation_reader_view(spark, tmp_path):
     before = _curation_view(spark, root)
     release_tracked()
     res = compact_store(spark, root, history_kinds=CURATION_HISTORY)
-    assert res == {"folded": 2, "base": 0}
+    assert res == {"folded": 2, "base": 0, "skipped_stateful": []}
     assert _state_versions(spark, root) == [0, 2, 3]
     # provenance marker rode into the merged base dir
     meta = json.loads(open(f"{root}/v0/{_MARKER}").read())
@@ -114,6 +114,7 @@ def test_compaction_preserves_every_curation_reader_view(spark, tmp_path):
     assert compact_store(spark, root, history_kinds=CURATION_HISTORY) == {
         "folded": 0,
         "base": None,
+        "skipped_stateful": [],
     }
 
 
@@ -134,6 +135,7 @@ def test_midstream_compaction_commutes_with_processor(spark, tmp_path):
     assert compact_store(spark, root, history_kinds=CURATION_HISTORY) == {
         "folded": 2,
         "base": 0,
+        "skipped_stateful": [],
     }
     extra = [
         [(9, "a", _doc_text(1, mutate=3))],   # near dup across the fold
@@ -185,6 +187,7 @@ def test_compaction_preserves_sessionize_store(spark, tmp_path):
     assert compact_store(spark, root, history_kinds=SESSIONIZE_HISTORY) == {
         "folded": 2,
         "base": 0,
+        "skipped_stateful": [],
     }
     assert _state_versions(spark, root) == [0, 2, 3]
     assert (
@@ -244,7 +247,7 @@ def test_compaction_preserves_attribution_store(spark, tmp_path):
     release_tracked()
     assert compact_store(
         spark, root, history_kinds=ATTRIBUTION_HISTORY
-    ) == {"folded": 2, "base": 0}
+    ) == {"folded": 2, "base": 0, "skipped_stateful": []}
     assert _state_versions(spark, root) == [0, 2, 3]
     assert (
         sorted(
@@ -350,6 +353,7 @@ def test_crash_recovery_every_protocol_step(spark, tmp_path):
     assert compact_store(spark, r, history_kinds=CURATION_HISTORY) == {
         "folded": 0,
         "base": None,
+        "skipped_stateful": [],
     }
     release_tracked()
     assert _state_versions(spark, r) == [0, 2, 3]
@@ -399,7 +403,7 @@ def test_compact_every_knob_bounds_dirs_and_preserves_funnel(
     release_tracked()
     assert compact_store(
         spark, root, history_kinds=CURATION_HISTORY, mode="major"
-    ) == {"folded": 2, "base": 0}
+    ) == {"folded": 2, "base": 0, "skipped_stateful": []}
     assert _state_versions(spark, root) == [0, 4, 5]
     flush_major = sorted(
         map(tuple, final_curation_funnel(spark, store_root=root).collect())
@@ -407,12 +411,26 @@ def test_compact_every_knob_bounds_dirs_and_preserves_funnel(
     assert flush_major == batch_ref
 
 
-def test_compaction_rejects_unpruned_state_kind(spark, tmp_path):
-    """A foldable version still carrying a rewritten-state kind means
-    pruning never ran — folding it would double-count state."""
+def test_compaction_skips_stateful_stub(spark, tmp_path):
+    """A foldable version still carrying a rewritten-state kind (the
+    stream crashed between an epoch's write and its prune, or the
+    caller passed the wrong kind list) is SKIPPED — never folded,
+    never deleted — and reported; the remaining stubs fold normally
+    and every reader view is preserved."""
     root = str(tmp_path / "store")
-    _build_curation_store(spark, root)
-    # plant a state kind in a foldable stub
-    shutil.copytree(f"{root}/v3/kind=label", f"{root}/v0/kind=label")
-    with pytest.raises(ValueError, match="non-history kind"):
-        compact_store(spark, root, history_kinds=CURATION_HISTORY)
+    batches = _CURATION_BATCHES + [[(9, "a", _doc_text(7))]]
+    _build_curation_store(spark, root, batches)  # versions 0..4
+    # plant a state kind in foldable stub v1 (crash-window shape)
+    shutil.copytree(f"{root}/v3/kind=label", f"{root}/v1/kind=label")
+    before = _curation_view(spark, root)
+    release_tracked()
+    assert compact_store(spark, root, history_kinds=CURATION_HISTORY) == {
+        "folded": 2,
+        "base": 0,
+        "skipped_stateful": [1],
+    }
+    # v1 untouched (stale label plant still there), 0 and 2 folded
+    assert _state_versions(spark, root) == [0, 1, 3, 4]
+    assert os.path.isdir(f"{root}/v1/kind=label")
+    release_tracked()
+    assert _curation_view(spark, root) == before
