@@ -166,6 +166,12 @@ def connected_components(
             return _union_find_arrow(sym.sparkSession, head, node_type)
         finally:
             sym.unpersist()
+    # On the large-graph path the probe stopped scanning at cap+1
+    # rows, so sym's persist is only partially populated here; the
+    # EAGER localCheckpoint below scans every row of sym (distinct
+    # over u), completing the persist in this one job — round 1's
+    # join starts from fully cached partitions, the up-front
+    # materialization the pre-probe count() used to provide.
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

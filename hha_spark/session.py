@@ -82,6 +82,23 @@ _STREAM_EXEC_LOGGERS = (
 )
 
 
+def _filter_chain_has_regex(flt, regex: str) -> bool:
+    """True iff the (possibly composite) log4j2 filter chain already
+    contains a RegexFilter carrying `regex`. RegexFilter has no public
+    pattern getter, but its toString() embeds the pattern text; the
+    class-name check keeps that containment probe from matching an
+    unrelated filter type whose toString happens to mention the
+    pattern."""
+    if flt is None:
+        return False
+    name = flt.getClass().getSimpleName()
+    if name == "CompositeFilter":
+        return any(
+            _filter_chain_has_regex(f, regex) for f in flt.getFiltersArray()
+        )
+    return name == "RegexFilter" and regex in flt.toString()
+
+
 def _deny_logger_message(jvm, logger_name: str, regex: str) -> None:
     """Attach a log4j2 RegexFilter (DENY on match, NEUTRAL otherwise)
     to `logger_name` via a dedicated additive LoggerConfig pinned at
@@ -95,10 +112,15 @@ def _deny_logger_message(jvm, logger_name: str, regex: str) -> None:
         LoggerConfig = jvm.org.apache.logging.log4j.core.config.LoggerConfig
         logger_cfg = LoggerConfig(logger_name, warn, True)
         cfg.addLogger(logger_name, logger_cfg)
-    elif logger_cfg.getFilter() is not None:
+    elif _filter_chain_has_regex(logger_cfg.getFilter(), regex):
         # idempotence: get_spark() re-runs this hook on every call in
         # a long-lived process; without the guard each call stacks
-        # another RegexFilter into a growing CompositeFilter chain
+        # another RegexFilter into a growing CompositeFilter chain.
+        # Scoped to OUR filter specifically — if the user's log4j2
+        # config already put an unrelated filter on this logger, we
+        # still install the deny filter (addFilter composes; bailing
+        # on any-filter-present would silently skip the install and
+        # let the benign WARN flood return)
         return
     result = jvm.org.apache.logging.log4j.core.Filter.Result
     regex_filter = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(

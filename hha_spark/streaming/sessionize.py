@@ -234,6 +234,33 @@ def read_open_state(
     return store.where(F.col("kind") == _KIND_OPEN).select(*SESSION_COLS)
 
 
+def _heal_staged_fold(spark: SparkSession, root: str) -> None:
+    """Roll forward a compaction that crashed between staging
+    completion and the directory swap, so EVERY store read — not just
+    a restarting stream's startup recovery — sees the folded history.
+
+    Without this, a consumer that goes straight to a final flush
+    (final_curation_funnel / final_attributions /
+    read_closed_sessions) after compact_store died between its
+    delete and rename steps would silently read a store whose folded
+    history exists only in _compact.staging (underscore dirs are
+    invisible to _state_versions) — wrong results, no error.
+
+    Only a COMPLETE staging (marker present) is acted on: marker
+    presence proves the folded dirs' contents are fully merged in
+    staging, so finishing the deletes+rename is idempotent and
+    read-equivalent. Staging WITHOUT a marker is left alone — it is
+    either junk from a crash mid-build (the next compact_store
+    discards it; it is invisible to readers anyway) or a live
+    maintenance writer mid-fold, which a reader must not race.
+    Cost on the happy path: one fs.exists probe per read."""
+    from hha_spark.streaming import store as _store  # lazy: store imports us
+
+    marker = f"{root}/{_store._STAGING}/{_store._MARKER}"
+    if fs.exists(spark, marker):
+        _store.recover_compaction(spark, root)
+
+
 def _read_versioned(
     spark: SparkSession,
     root: str,
@@ -244,6 +271,7 @@ def _read_versioned(
     """Newest epoch-keyed version under `root` (same idempotency
     semantics as read_open_state); empty frame with `schema` before
     the first write."""
+    _heal_staged_fold(spark, root)
     versions = _state_versions(spark, root)
     if before_epoch is not None:
         versions = [v for v in versions if v < before_epoch]
@@ -428,6 +456,7 @@ def read_kind_history(
     when a processor reads history mid-stream (retry idempotence: a
     redelivered epoch must not see its own failed attempt's rows);
     final readers pass no bound."""
+    _heal_staged_fold(spark, store_root)
     versions = _state_versions(spark, store_root)
     if before_epoch is not None:
         versions = [v for v in versions if v < before_epoch]

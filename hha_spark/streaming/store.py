@@ -111,18 +111,24 @@ def recover_compaction(spark: SparkSession, store_root: str) -> str:
         return "discarded"
     try:
         meta = json.loads(fs.read_text(spark, marker))
-    except ValueError:
-        # torn marker: the tmp-write-then-rename protocol makes this
-        # nearly unreachable, but a corrupt marker must not wedge
-        # recovery forever — an unparseable marker means the marker
-        # write never completed, so no deletes ran and the staging is
-        # safely discardable (deletes only start after the marker
-        # rename returns)
+        folded = [int(v) for v in meta["folded"]]
+        base = int(meta["base"])
+    except (ValueError, KeyError, TypeError):
+        # torn/malformed marker (unparseable, valid-JSON-but-missing
+        # fields like '{}', or wrong field types): the
+        # tmp-write-then-rename protocol makes this nearly
+        # unreachable, but a corrupt marker must not wedge recovery
+        # forever — any malformed marker means the marker write never
+        # completed, so no deletes ran and the staging is safely
+        # discardable (deletes only start after the marker rename
+        # returns). Raising here instead would propagate out of every
+        # run_* runner's startup recovery and wedge ALL restarts —
+        # the exact failure the torn-marker handling exists to stop.
         fs.delete(spark, staging)
         return "discarded"
-    for v in meta["folded"]:
+    for v in folded:
         fs.delete(spark, f"{store_root}/v{v}")
-    _rename_or_raise(spark, staging, f"{store_root}/v{meta['base']}")
+    _rename_or_raise(spark, staging, f"{store_root}/v{base}")
     return "completed"
 
 

@@ -434,3 +434,92 @@ def test_compaction_skips_stateful_stub(spark, tmp_path):
     assert os.path.isdir(f"{root}/v1/kind=label")
     release_tracked()
     assert _curation_view(spark, root) == before
+
+
+def test_malformed_marker_json_is_discarded_not_raised(spark, tmp_path):
+    """A marker that parses as JSON but lacks the base/folded fields
+    (e.g. truncated to '{}') is treated exactly like a torn marker:
+    staging discarded, store untouched, NO exception — a raise here
+    would propagate out of every run_* runner's startup recovery and
+    wedge all stream restarts (round-9 advisor, store.py:114)."""
+    root = str(tmp_path / "store")
+    _build_curation_store(spark, root)
+    expect = _curation_view(spark, root)
+    release_tracked()
+    for bad in ("{}", '{"base": 0}', '{"folded": [0, 1]}',
+                '{"base": null, "folded": null}', '[]'):
+        staging = f"{root}/{_STAGING}"
+        os.makedirs(staging, exist_ok=True)
+        with open(f"{staging}/{_MARKER}", "w") as fh:
+            fh.write(bad)
+        assert recover_compaction(spark, root) == "discarded", bad
+        assert not os.path.exists(staging)
+        assert _state_versions(spark, root) == [0, 1, 2, 3]
+    release_tracked()
+    assert _curation_view(spark, root) == expect
+
+
+def test_final_readers_heal_crashed_fold(spark, tmp_path):
+    """A consumer that goes straight to a final flush — without first
+    restarting a run_* runner or invoking tools/compact.py — must not
+    silently read a store whose folded history lives only in
+    _compact.staging (round-9 advisor, curation_stream.py:488). Every
+    store read rolls a complete staged fold forward itself."""
+    root = str(tmp_path / "store")
+    _build_curation_store(spark, root)
+    ref_root = str(tmp_path / "ref")
+    shutil.copytree(root, ref_root)
+    release_tracked()
+    compact_store(spark, ref_root, history_kinds=CURATION_HISTORY)
+    release_tracked()
+    expect = _curation_view(spark, ref_root)
+
+    # worst crash point: olds deleted, rename pending — the folded
+    # doc/band/edge/raw history exists ONLY in staging
+    r = str(tmp_path / "crash")
+    shutil.copytree(root, r)
+    shutil.copytree(f"{ref_root}/v0", f"{r}/{_STAGING}")
+    shutil.rmtree(f"{r}/v0")
+    shutil.rmtree(f"{r}/v1")
+    # go STRAIGHT to the readers — no recover_compaction call
+    assert _curation_view(spark, r) == expect
+    # and the read healed the store on disk
+    assert not os.path.exists(f"{r}/{_STAGING}")
+    assert _state_versions(spark, r) == [0, 2, 3]
+    release_tracked()
+
+    # an INCOMPLETE staging (no marker — mid-build crash or a live
+    # maintenance writer) is left alone by readers
+    r2 = str(tmp_path / "midbuild")
+    shutil.copytree(root, r2)
+    shutil.copytree(f"{ref_root}/v0", f"{r2}/{_STAGING}")
+    os.remove(f"{r2}/{_STAGING}/{_MARKER}")
+    assert _curation_view(spark, r2) == expect
+    assert os.path.isdir(f"{r2}/{_STAGING}")
+    assert _state_versions(spark, r2) == [0, 1, 2, 3]
+    release_tracked()
+
+
+def test_sessionize_final_reader_heals_crashed_fold(spark, tmp_path):
+    """Same healing contract on the sessionize store flavor:
+    read_closed_sessions after a crashed fold sees the folded
+    kind=closed history without any explicit recovery call."""
+    root = str(tmp_path / "store")
+    proc = make_sessionize_processor(spark, store_root=root, gap_us=10)
+    for epoch, rows in enumerate(
+        [[(1, 0), (1, 5)], [(1, 100), (2, 0)], [(1, 300), (2, 500)],
+         [(9, 900)]]
+    ):
+        proc(spark.createDataFrame(rows, EV_SCHEMA), epoch)
+    expect = sorted(map(tuple, read_closed_sessions(spark, root).collect()))
+    ref_root = str(tmp_path / "ref")
+    shutil.copytree(root, ref_root)
+    compact_store(spark, ref_root, history_kinds=SESSIONIZE_HISTORY)
+    r = str(tmp_path / "crash")
+    shutil.copytree(root, r)
+    shutil.copytree(f"{ref_root}/v0", f"{r}/{_STAGING}")
+    shutil.rmtree(f"{r}/v0")
+    shutil.rmtree(f"{r}/v1")
+    got = sorted(map(tuple, read_closed_sessions(spark, r).collect()))
+    assert got == expect
+    assert not os.path.exists(f"{r}/{_STAGING}")

@@ -21,9 +21,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
-sys.path.insert(0, ".")
+# repo root from this file's location, not the caller's CWD — a
+# maintenance CLI gets invoked as `python /path/to/repo/tools/compact.py
+# <remote store>` from arbitrary working directories
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 FLAVORS = {
     "sessionize": "SESSIONIZE_HISTORY",
