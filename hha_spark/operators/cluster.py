@@ -100,9 +100,25 @@ def _union_find_arrow(spark, tbl, node_type) -> DataFrame:
                 ra, rb = rb, ra
             parent[rb] = ra  # larger root under smaller -> root == min
 
-    out = [(n, find(n)) for n in parent]
+    import pyarrow as pa
     from pyspark.sql.types import StructField, StructType
 
+    # Return the labels as an ARROW table, not a Python list:
+    # createDataFrame(list) parallelizes into defaultParallelism
+    # pickled slices whose per-row Python verification re-runs in
+    # every downstream job — measured 4-8 s (vs ~0.2 s via Arrow)
+    # when a consumer coalesces the frame into one task, as the
+    # funnel's exchange-free store write does. The Arrow path
+    # round-trips through the same columnar layout the probe
+    # collected, so types match `node_type` exactly.
+    nodes = list(parent)
+    arrow_t = tbl.schema.field(0).type
+    out = pa.table(
+        {
+            "node": pa.array(nodes, arrow_t),
+            "label": pa.array([find(n) for n in nodes], arrow_t),
+        }
+    )
     return spark.createDataFrame(
         out,
         StructType(
@@ -138,40 +154,48 @@ def connected_components(
     `max_rounds` — with path compression that means a component of
     diameter ~2^max_rounds, i.e. corrupt input, not real data.
     """
-    # single-pass symmetrization: a union of two projections would
-    # evaluate the (possibly expensive) edge pipeline twice; exploding
-    # both orientations from one row reads it once
-    sym = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
-                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # probe the RAW edge frame, not a symmetrized expansion: union
+    # find is orientation-blind (union(a, b) == union(b, a)), so the
+    # small path needs each edge once — half the probe bytes and no
+    # explode. The persisted raw frame also backs the distributed
+    # path, whose symmetrized view is a narrow explode over the cache
+    # (re-deriving it per round reads cached partitions, it never
+    # recomputes the upstream edge pipeline).
+    raw = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # ONE action decides the path AND, in the common small case,
     # already holds every row: CollectLimitExec streams partitions to
     # the driver until the limit is hit, so a graph under the envelope
     # is fully collected by the probe itself (the count-then-collect
     # shape paid a second full job for the same bytes).
-    probe_cap = 2 * small_graph_edges
-    head = sym.limit(probe_cap + 1).toArrow()
-    if head.num_rows <= probe_cap:
-        node_type = sym.schema.fields[0].dataType
+    head = raw.limit(small_graph_edges + 1).toArrow()
+    if head.num_rows <= small_graph_edges:
+        node_type = raw.schema.fields[0].dataType
         try:
-            return _union_find_arrow(sym.sparkSession, head, node_type)
+            return _union_find_arrow(raw.sparkSession, head, node_type)
         finally:
-            sym.unpersist()
+            raw.unpersist()
+    sym = (
+        raw.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+    )
     # On the large-graph path the probe stopped scanning at cap+1
-    # rows, so sym's persist is only partially populated here; the
+    # rows, so raw's persist is only partially populated here; the
     # EAGER localCheckpoint below scans every row of sym (distinct
-    # over u), completing the persist in this one job — round 1's
-    # join starts from fully cached partitions, the up-front
-    # materialization the pre-probe count() used to provide.
+    # over u, which reads all of raw), completing the persist in this
+    # one job — round 1's join starts from fully cached partitions,
+    # the up-front materialization the pre-probe count() used to
+    # provide.
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -233,7 +257,7 @@ def connected_components(
             f"connected_components did not converge in {max_rounds} rounds"
         )
     finally:
-        sym.unpersist()
+        raw.unpersist()
 
 
 def connected_components_star(

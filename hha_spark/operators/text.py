@@ -102,7 +102,11 @@ def quality_score(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
 
 
 def gopher_repetition_rules(
-    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style repetition/composition quality rules (Rae et al.
     2021, "Scaling Language Models", Table A1), adapted to token
@@ -116,54 +120,79 @@ def gopher_repetition_rules(
 
     All four tests are exact integer cross-multiplications — no
     ratios cross the engine boundary. Output carries the raw counts
-    so downstream thresholds can be re-tuned without recomputing.
+    so downstream thresholds can be re-tuned without recomputing;
+    `carry_cols` passes input columns through (e.g. source/text) so
+    a keep-filter consumer needs no join back to the input.
 
-    Scale shape: one token explode + keyed (doc, tok) count + per-doc
-    rollup, one bigram explode + keyed count + rollup, one doc-keyed
-    join — all map-side combinable, memory bounded by tokens-per-doc.
-    At sf0.01 the rule set keeps 191/500 docs (measured), so the gate
-    exercises both branches.
+    Scale shape: a PURE MAP — every count is a per-row higher-order
+    expression over the token array (no explode, no groupBy, no
+    join), so the operator is shuffle-free, whole-stage-codegen'd,
+    and immune to doc_id skew. Per-row cost is O(d * u) (d tokens, u
+    distinct) from the multiplicity scans — trivial at chunked-doc
+    lengths (d <= a few thousand; the length band caps what can pass
+    anyway) and still preferable at pathological lengths to the
+    previous explode shape, which shuffled d rows per doc. Rows with
+    NULL text drop from the output, matching the explode shape this
+    replaced (explode of a null array emits nothing).
+
+    At sf0.01 the rule set keeps 191/500 docs (measured), so the
+    gate exercises both branches.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), " ").alias("toks"),
+    staged = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            *carry_cols,
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("_toks"),
+        )
+        .withColumn(
+            "_bg",
+            F.expr(
+                "CASE WHEN size(_toks) >= 2 THEN "
+                "transform(sequence(1, size(_toks) - 1),"
+                " i -> array_join(slice(_toks, i, 2), ' '))"
+                " ELSE array() END"
+            ),
+        )
     )
-    per_tok = (
-        toks.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    uni = per_tok.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        F.max("c").cast("long").alias("top_tok_n"),
-    )
-    bi_expr = (
-        "CASE WHEN size(toks) >= 2 THEN "
-        "transform(sequence(1, size(toks) - 1),"
-        " i -> array_join(slice(toks, i, 2), ' '))"
-        " ELSE array() END"
-    )
-    per_bi = (
-        toks.select("doc_id", F.explode(F.expr(bi_expr)).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    bi = per_bi.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_bigrams"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
-        .cast("long")
-        .alias("dup_bigram_n"),
-    )
-    j = uni.join(bi, "doc_id", "left").select(
+    counted = staged.select(
+        *carry_cols,
         "doc_id",
-        "n_tokens",
-        "n_distinct",
-        "top_tok_n",
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-        F.coalesce(F.col("dup_bigram_n"), F.lit(0))
-        .cast("long")
-        .alias("dup_bigram_n"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_distinct"),
+        # mode-token multiplicity = longest equal-run in the SORTED
+        # array — O(d log d) per row (a transform/filter scan per
+        # distinct token would be O(d*u) of interpreted-lambda cost,
+        # measured ~5x the whole gate)
+        F.expr(
+            "aggregate(sort_array(_toks),"
+            " named_struct('prev', CAST(NULL AS STRING),"
+            "              'run', 0L, 'best', 0L),"
+            " (a, t) -> named_struct("
+            "   'prev', t,"
+            "   'run', IF(a.prev IS NOT NULL AND t = a.prev,"
+            "             a.run + 1L, 1L),"
+            "   'best', GREATEST(a.best,"
+            "     IF(a.prev IS NOT NULL AND t = a.prev,"
+            "        a.run + 1L, 1L))),"
+            " a -> a.best)"
+        ).alias("top_tok_n"),
+        F.size("_bg").cast("long").alias("n_bigrams"),
+        # sum of occurrence counts over bigrams appearing >= 2 times,
+        # again via sorted-run accounting: a run reaching length 2
+        # contributes both occurrences, each extension one more
+        F.expr(
+            "aggregate(sort_array(_bg),"
+            " named_struct('prev', CAST(NULL AS STRING),"
+            "              'run', 0L, 'dup', 0L),"
+            " (a, g) -> named_struct("
+            "   'prev', g,"
+            "   'run', IF(a.prev IS NOT NULL AND g = a.prev,"
+            "             a.run + 1L, 1L),"
+            "   'dup', a.dup + IF(a.prev IS NOT NULL AND g = a.prev,"
+            "                     IF(a.run = 1L, 2L, 1L), 0L)),"
+            " a -> a.dup)"
+        ).alias("dup_bigram_n"),
     )
     keep = (
         (F.col("n_tokens") >= 30)
@@ -172,7 +201,7 @@ def gopher_repetition_rules(
         & (F.col("n_distinct") * 100 >= F.col("n_tokens") * 40)
         & (F.col("dup_bigram_n") * 100 <= F.col("n_bigrams") * 20)
     )
-    return j.withColumn("keep", keep)
+    return counted.withColumn("keep", keep)
 
 
 def fingerprint(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

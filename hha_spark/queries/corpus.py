@@ -713,11 +713,12 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
     from hha_spark.operators.text import gopher_repetition_rules
     from hha_spark.queries.llm_ops import _minhash_lsh_from
 
-    keep_ids = gopher_repetition_rules(docs).where("keep").select("doc_id")
+    # narrow gopher map with source/text carried through — the keep
+    # filter needs no semi-join back to the docs frame
     quality = tracked_persist(
-        docs.join(keep_ids, "doc_id", "left_semi").select(
-            "doc_id", "source", "text"
-        )
+        gopher_repetition_rules(docs, carry_cols=("source", "text"))
+        .where("keep")
+        .select("doc_id", "source", "text")
     )
     pairs = _minhash_lsh_from(with_token_set(quality)).select(
         "doc_id_a", "doc_id_b"

@@ -1305,11 +1305,15 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
-    # real per-batch compute (gopher explodes, minhash, Jaccard
-    # verify) — unlike the state-plumbing gates this one wants batch
-    # width and AQE (measured ~25% faster than the 2/off defaults)
+    # real per-batch compute (gopher narrow map, minhash, Jaccard
+    # verify) with AQE on. Width 4: since the gopher rewrite to a
+    # shuffle-free map, the remaining exchanges (bcnt merge, the
+    # candidate/verify joins) carry gate-scale row counts where task
+    # overhead dominates — a 16/8/4 sweep measured 4 fastest
+    # (~0.5-1 s under 16 at sf0.1); at production batch sizes raise
+    # it with the data
     with _gate_scratch("hha_stream_cur_") as tmp, _gate_shuffle(
-        spark, partitions="16", aqe="true"
+        spark, partitions="4", aqe="true"
     ):
         in_dir = _write_file_slices(
             docs,

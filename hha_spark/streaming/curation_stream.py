@@ -26,9 +26,12 @@ Per arriving batch of documents:
     policy) fold incrementally: closure over (previous labels as
     edges) UNION (new edges) equals closure over all valid edges,
     because folding a closure into node->label edges preserves
-    components and min ids. One union-find kernel call per epoch
-    (operators/cluster.py — driver union-find at gate scale, the
-    distributed O(log n) loop beyond).
+    components and min ids. The closure inputs ride the epoch's ONE
+    tagged-union probe (envelope-capped Arrow collect) and the
+    union-find runs on the driver — the closure operator's own small
+    path (operators/cluster.py::_union_find_arrow) without a second
+    probe action; over the envelope the epoch falls back to the
+    distributed O(log n) kernel on the exact same frames.
   * Raw per-source doc counts append additively (kind=raw).
 
 THE BUCKET-CAP RECONCILIATION ARGUMENT. The batch funnel drops LSH
@@ -145,6 +148,26 @@ def _wide(df: DataFrame, kind: str, **cols) -> DataFrame:
     return df.select(*exprs, F.lit(kind).alias("kind"))
 
 
+def _uf_labels(spark: SparkSession, pairs: list) -> DataFrame:
+    """Driver union-find over collected (u, v) long pairs — the same
+    min-label kernel the closure operator's small path runs
+    (operators/cluster.py::_union_find_arrow), fed directly from the
+    epoch probe's Arrow columns so no second limit-probe job runs."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import LongType
+
+    from hha_spark.operators.cluster import _union_find_arrow
+
+    tbl = pa.table(
+        {
+            "u": pa.array([p[0] for p in pairs], pa.int64()),
+            "v": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    return _union_find_arrow(spark, tbl, LongType())
+
+
 def make_curation_funnel_processor(
     spark: SparkSession,
     *,
@@ -152,12 +175,15 @@ def make_curation_funnel_processor(
     max_bucket: int | None = None,
     stats: dict | None = None,
     compact_every: int | None = None,
+    kind_partitions: int = 1,
 ):
     """Per-micro-batch body (see module docstring for the design and
-    the bucket-cap reconciliation argument). Per-epoch actions: the
-    empty probe, the cap-crossing probe (which materializes the
-    merged bucket counts), the closure kernel's single limit-probe
-    collect, and ONE kind-partitioned write. `stats`, if given,
+    the bucket-cap reconciliation argument). THREE actions per epoch:
+    one tagged-union probe collect (empty check + raw per-source
+    counts + cap-crossing detection, materializing the merged bucket
+    counts and the qdocs/bands persists), the closure kernel's
+    single limit-probe collect, and ONE exchange-free
+    kind-partitioned write. `stats`, if given,
     collects observability counters ('epochs', 'recomputes', per-phase
     wall timers) so tests can assert the reconciliation path actually
     fired.
@@ -170,7 +196,10 @@ def make_curation_funnel_processor(
     versions strictly below the newest two, which no future epoch or
     retry reads differently (the store module's reader-equivalence
     argument)."""
-    from hha_spark.operators.cluster import connected_components
+    from hha_spark.operators.cluster import (
+        SMALL_GRAPH_EDGES,
+        connected_components,
+    )
     from hha_spark.operators.dedup import (
         MAX_LSH_BUCKET,
         band_keys,
@@ -196,9 +225,6 @@ def make_curation_funnel_processor(
 
         epoch = int(epoch_id)
         t = time.monotonic()
-        if batch_df.isEmpty():
-            return
-        t = _clock("t_empty_probe", t)
         cur = _read_versioned(
             spark, store_root, _CUR_STORE_SCHEMA, before_epoch=epoch
         )
@@ -226,139 +252,299 @@ def make_curation_funnel_processor(
         )
 
         batch = batch_df.select("doc_id", "source", "text")
-        keep = gopher_repetition_rules(batch).where("keep").select("doc_id")
+        # carry source/text through the (narrow, shuffle-free) gopher
+        # map so no join back to the batch is needed; gopher's
+        # n_tokens IS the exact token count the fill consumes
+        # (size(split(text)) — not |token set|)
         qdocs = (
-            with_token_set(batch.join(keep, "doc_id", "left_semi"))
-            .select(
-                "doc_id",
-                "source",
-                # exact token COUNT (fill semantics), not |token set|
-                F.size(F.split(F.col("text"), " "))
-                .cast("long")
-                .alias("n_tokens"),
-                "tokens",
+            with_token_set(
+                gopher_repetition_rules(
+                    batch, carry_cols=("source", "text")
+                ).where("keep")
             )
+            .select("doc_id", "source", "n_tokens", "tokens")
             .persist()
         )
         # persisted: the minhash kernel (8 salted md5s per token per
         # doc) feeds three consumers — bucket counts, the candidate
         # join, and the store write
         bands_new = band_keys(minhash_signatures(qdocs)).persist()
-        new_cnt = bands_new.groupBy("band", "key").agg(
-            F.count(F.lit(1)).alias("n_new")
-        )
+        # merged bucket counts in ONE exchange: union the carried
+        # per-bucket counts (is_prev=1) with the batch's band rows
+        # (weight 1 each) and aggregate — replaces the previous
+        # [groupBy new + full_outer join prev] two-exchange shape
         bcnt = (
-            prev_bcnt.join(new_cnt, ["band", "key"], "full_outer")
-            .select(
+            prev_bcnt.select(
                 "band",
                 "key",
-                F.coalesce("n_prev", F.lit(0)).cast("long").alias("n_prev"),
-                (
-                    F.coalesce("n_prev", F.lit(0))
-                    + F.coalesce("n_new", F.lit(0))
+                F.col("n_prev").cast("long").alias("_c"),
+                F.lit(1).alias("_is_prev"),
+            )
+            .unionByName(
+                bands_new.select(
+                    "band",
+                    "key",
+                    F.lit(1).cast("long").alias("_c"),
+                    F.lit(0).alias("_is_prev"),
                 )
+            )
+            .groupBy("band", "key")
+            .agg(
+                F.sum(F.when(F.col("_is_prev") == 1, F.col("_c")).otherwise(0))
                 .cast("long")
-                .alias("n"),
+                .alias("n_prev"),
+                F.sum("_c").cast("long").alias("n"),
             )
             .persist()
         )
-        edges_new = None
+        under = bcnt.where(F.col("n") <= cap).select("band", "key")
+        all_bands = bands_hist.unionByName(bands_new)
+        cand = (
+            bands_new.join(under, ["band", "key"], "left_semi")
+            .join(
+                all_bands.withColumnRenamed("doc_id", "_other"),
+                ["band", "key"],
+            )
+            .where(F.col("doc_id") != F.col("_other"))
+            .select(
+                F.least("doc_id", "_other").alias("doc_id_a"),
+                F.greatest("doc_id", "_other").alias("doc_id_b"),
+                "band",
+                "key",
+            )
+            .distinct()
+        )
+        toks_all = docs_hist.select("doc_id", "tokens").unionByName(
+            qdocs.select("doc_id", "tokens")
+        )
+        edges_new = (
+            cand.join(
+                toks_all.select(
+                    F.col("doc_id").alias("doc_id_a"),
+                    F.col("tokens").alias("_ta"),
+                ),
+                "doc_id_a",
+            )
+            .join(
+                toks_all.select(
+                    F.col("doc_id").alias("doc_id_b"),
+                    F.col("tokens").alias("_tb"),
+                ),
+                "doc_id_b",
+            )
+            # jaccard >= 0.7 via the intersection ONLY:
+            # |A u B| = |A| + |B| - |A n B|, so
+            # 10*ix >= 7*(sa + sb - ix)  <=>  17*ix >= 7*(sa + sb)
+            # — exact integer arithmetic, one array op instead of
+            # two (array_union allocates a merged array per pair;
+            # the verify join is the candidate-volume hot path)
+            .where(
+                F.lit(17) * F.size(F.array_intersect("_ta", "_tb"))
+                >= F.lit(7) * (F.size("_ta") + F.size("_tb"))
+            )
+            .select(
+                F.col("doc_id_a").alias("doc_id"),
+                "doc_id_b",
+                "band",
+                "key",
+            )
+            .persist()
+        )
         try:
-            # cap-crossing probe (one tiny action; materializes bcnt
-            # and, via new_cnt, the qdocs persist). n_prev >= 2 is
-            # what makes a crossing REAL: a bucket born over the cap
-            # this epoch never generated an edge (generation filters
-            # on the merged counts below), so nothing needs revoking.
-            crossed = bcnt.where(
-                (F.col("n_prev") >= 2)
-                & (F.col("n_prev") <= cap)
-                & (F.col("n") > cap)
-            ).count()
-            t = _clock("t_cross_probe", t)
-            under = bcnt.where(F.col("n") <= cap).select("band", "key")
-            all_bands = bands_hist.unionByName(bands_new)
-            cand = (
-                bands_new.join(under, ["band", "key"], "left_semi")
-                .join(
-                    all_bands.withColumnRenamed("doc_id", "_other"),
-                    ["band", "key"],
-                )
-                .where(F.col("doc_id") != F.col("_other"))
+            # ONE tagged-union Arrow probe per epoch answers FIVE
+            # questions: is the batch empty, the raw per-source
+            # ingest counts (kind=raw), did any bucket CROSS the cap,
+            # the verified new edges, and the carried labels-as-edges
+            # — the last two envelope-capped so the driver can run
+            # the same union-find kernel the closure operator uses
+            # without a second probe action (each separate action
+            # costs a full job round-trip; this fold measured ~35%
+            # of the per-epoch wall at gate scale). The probe
+            # materializes the qdocs/bands/bcnt/edges persists that
+            # the store write re-reads. Collecting per-source raw
+            # rows is scale-safe: source is the rollup dimension, so
+            # its cardinality already bounds the final result set.
+            # n_prev >= 2 is what makes a crossing REAL: a bucket
+            # born over the cap this epoch never generated an edge
+            # (generation filters on the merged counts), so nothing
+            # needs revoking.
+            #
+            # Envelope: en/pl sides are LIMIT-capped at
+            # SMALL_GRAPH_EDGES + 1; a side hitting its cap falls
+            # back to the distributed closure operator on the exact
+            # frames (the collected rows are discarded — the bounded
+            # price of the probe, same contract as the closure
+            # kernel's own limit probe). The UNION-FF inputs are
+            # identical to the fallback frames: incremental fold =
+            # (prev labels as edges) + new edges; recompute = the
+            # under-filtered edge history + new edges (new edges are
+            # generated only for under-cap buckets of the SAME merged
+            # counts, so re-filtering them is a no-op).
+            nul = F.lit(None)
+            probe_cap = SMALL_GRAPH_EDGES
+            tbl = (
+                batch.groupBy("source")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
                 .select(
-                    F.least("doc_id", "_other").alias("doc_id_a"),
-                    F.greatest("doc_id", "_other").alias("doc_id_b"),
-                    "band",
-                    "key",
+                    F.lit("raw").alias("_k"),
+                    nul.cast("long").alias("u"),
+                    nul.cast("long").alias("v"),
+                    "source",
+                    "n",
                 )
-                .distinct()
-            )
-            toks_all = docs_hist.select("doc_id", "tokens").unionByName(
-                qdocs.select("doc_id", "tokens")
-            )
-            edges_new = (
-                cand.join(
-                    toks_all.select(
-                        F.col("doc_id").alias("doc_id_a"),
-                        F.col("tokens").alias("_ta"),
-                    ),
-                    "doc_id_a",
-                )
-                .join(
-                    toks_all.select(
-                        F.col("doc_id").alias("doc_id_b"),
-                        F.col("tokens").alias("_tb"),
-                    ),
-                    "doc_id_b",
-                )
-                .where(
-                    F.lit(10) * F.size(F.array_intersect("_ta", "_tb"))
-                    >= F.lit(7) * F.size(F.array_union("_ta", "_tb"))
-                )
-                .select(
-                    F.col("doc_id_a").alias("doc_id"),
-                    "doc_id_b",
-                    "band",
-                    "key",
-                )
-                .persist()
-            )
-            if crossed > 0:
-                # reconciliation: labels from scratch over the edge
-                # history filtered to still-under-cap provenance
-                # (over-cap is monotone, so this equals filtering by
-                # the final cap as of this prefix)
-                edge_hist = read_kind_history(
-                    spark,
-                    store_root,
-                    _K_EDGE,
-                    _EDGE_SCHEMA,
-                    ("doc_id", "doc_id_b", "band", "key"),
-                    before_epoch=epoch,
-                )
-                valid = edge_hist.unionByName(edges_new).join(
-                    under, ["band", "key"], "left_semi"
-                )
-                label_in = valid.select(
-                    F.col("doc_id").alias("_u"),
-                    F.col("doc_id_b").alias("_v"),
-                )
-            else:
-                # incremental fold: closure over (labels as edges) U
-                # (new edges) — valid because folding a closure into
-                # node->label edges preserves components and min ids
-                label_in = prev_labels.select(
-                    F.col("doc_id").alias("_u"), F.col("label").alias("_v")
-                ).unionByName(
-                    edges_new.select(
-                        F.col("doc_id").alias("_u"),
-                        F.col("doc_id_b").alias("_v"),
+                .unionByName(
+                    bcnt.where(
+                        (F.col("n_prev") >= 2)
+                        & (F.col("n_prev") <= cap)
+                        & (F.col("n") > cap)
+                    )
+                    .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                    .select(
+                        F.lit("crossed").alias("_k"),
+                        nul.cast("long").alias("u"),
+                        nul.cast("long").alias("v"),
+                        nul.cast("string").alias("source"),
+                        "n",
                     )
                 )
-            labels = connected_components(label_in, src="_u", dst="_v")
-            t = _clock("t_closure", t)
-            raw_rows = batch.groupBy("source").agg(
-                F.count(F.lit(1)).cast("long").alias("n")
+                .unionByName(
+                    edges_new.limit(probe_cap + 1).select(
+                        F.lit("en").alias("_k"),
+                        F.col("doc_id").alias("u"),
+                        F.col("doc_id_b").alias("v"),
+                        nul.cast("string").alias("source"),
+                        nul.cast("long").alias("n"),
+                    )
+                )
+                .unionByName(
+                    prev_labels.limit(probe_cap + 1).select(
+                        F.lit("pl").alias("_k"),
+                        F.col("doc_id").alias("u"),
+                        F.col("label").alias("v"),
+                        nul.cast("string").alias("source"),
+                        nul.cast("long").alias("n"),
+                    )
+                )
+                .toArrow()
             )
+            ks = tbl.column("_k").to_pylist()
+            ns = tbl.column("n").to_pylist()
+            raw_local = [
+                {"source": s, "n": n}
+                for k, s, n in zip(
+                    ks, tbl.column("source").to_pylist(), ns
+                )
+                if k == "raw"
+            ]
+            crossed = sum(n for k, n in zip(ks, ns) if k == "crossed")
+            if not raw_local:
+                return  # empty batch: store untouched (finally unpersists)
+            us = tbl.column("u").to_pylist()
+            vs = tbl.column("v").to_pylist()
+            en_pairs = [(u, v) for k, u, v in zip(ks, us, vs) if k == "en"]
+            pl_pairs = [(u, v) for k, u, v in zip(ks, us, vs) if k == "pl"]
+            t = _clock("t_cross_probe", t)
+            labels = None
+            if len(en_pairs) <= probe_cap and (
+                crossed > 0 or len(pl_pairs) <= probe_cap
+            ):
+                if crossed > 0:
+                    # reconciliation: labels from scratch over the
+                    # edge history filtered to still-under-cap
+                    # provenance (over-cap is monotone, so this
+                    # equals filtering by the final cap as of this
+                    # prefix) — one extra bounded collect, only on
+                    # the rare crossing epochs
+                    eh_tbl = (
+                        read_kind_history(
+                            spark,
+                            store_root,
+                            _K_EDGE,
+                            _EDGE_SCHEMA,
+                            ("doc_id", "doc_id_b", "band", "key"),
+                            before_epoch=epoch,
+                        )
+                        .join(under, ["band", "key"], "left_semi")
+                        .select(
+                            F.col("doc_id").alias("u"),
+                            F.col("doc_id_b").alias("v"),
+                        )
+                        .limit(probe_cap + 1)
+                        .toArrow()
+                    )
+                    if eh_tbl.num_rows <= probe_cap:
+                        labels = _uf_labels(
+                            spark,
+                            list(
+                                zip(
+                                    eh_tbl.column("u").to_pylist(),
+                                    eh_tbl.column("v").to_pylist(),
+                                )
+                            )
+                            + en_pairs,
+                        )
+                else:
+                    labels = _uf_labels(spark, pl_pairs + en_pairs)
+            if labels is None:
+                # over-envelope fallback: the distributed closure on
+                # the exact same logical inputs
+                if crossed > 0:
+                    edge_hist = read_kind_history(
+                        spark,
+                        store_root,
+                        _K_EDGE,
+                        _EDGE_SCHEMA,
+                        ("doc_id", "doc_id_b", "band", "key"),
+                        before_epoch=epoch,
+                    )
+                    label_in = (
+                        edge_hist.unionByName(edges_new)
+                        .join(under, ["band", "key"], "left_semi")
+                        .select(
+                            F.col("doc_id").alias("_u"),
+                            F.col("doc_id_b").alias("_v"),
+                        )
+                    )
+                else:
+                    label_in = prev_labels.select(
+                        F.col("doc_id").alias("_u"),
+                        F.col("label").alias("_v"),
+                    ).unionByName(
+                        edges_new.select(
+                            F.col("doc_id").alias("_u"),
+                            F.col("doc_id_b").alias("_v"),
+                        )
+                    )
+                labels = connected_components(label_in, src="_u", dst="_v")
+            t = _clock("t_closure", t)
+            import pyarrow as pa
+
+            raw_rows = spark.createDataFrame(
+                pa.table(
+                    {
+                        "source": pa.array(
+                            [r["source"] for r in raw_local], pa.string()
+                        ),
+                        "n": pa.array(
+                            [r["n"] for r in raw_local], pa.int64()
+                        ),
+                    }
+                ),
+                "source string, n long",
+            )
+            # Each kind's branch is coalesced BEFORE the union, so the
+            # write job is exchange-free: every input is either an
+            # already-persisted frame (qdocs/bands/edges/bcnt — one
+            # narrow task re-reads the cache) or driver-local
+            # (labels), and the union's partitions stay pure-kind, so
+            # partitionBy("kind") emits one file per kind with no
+            # repartition shuffle (the previous shape; its exchange
+            # was ~25% of the write job at gate scale). One task per
+            # kind is right at batch scale; at 100 TB volumes raise
+            # `kind_partitions` so each kind spreads over that many
+            # tasks — the write stays exchange-free because coalesce
+            # only merges cached partitions.
+            kp = kind_partitions
             unified = (
                 _wide(
                     qdocs,
@@ -367,22 +553,24 @@ def make_curation_funnel_processor(
                     source="source",
                     n_tokens="n_tokens",
                     tokens="tokens",
-                )
+                ).coalesce(kp)
                 .unionByName(
                     _wide(
                         bands_new, _K_BAND,
                         doc_id="doc_id", band="band", key="key",
-                    )
+                    ).coalesce(kp)
                 )
                 .unionByName(
                     _wide(
                         edges_new, _K_EDGE,
                         doc_id="doc_id", doc_id_b="doc_id_b",
                         band="band", key="key",
-                    )
+                    ).coalesce(kp)
                 )
                 .unionByName(
-                    _wide(bcnt, _K_BCNT, band="band", key="key", n="n")
+                    _wide(
+                        bcnt, _K_BCNT, band="band", key="key", n="n"
+                    ).coalesce(kp)
                 )
                 .unionByName(
                     _wide(
@@ -392,20 +580,18 @@ def make_curation_funnel_processor(
                         _K_LABEL,
                         doc_id="doc_id",
                         label="label",
-                    )
+                    ).coalesce(kp)
                 )
-                .unionByName(_wide(raw_rows, _K_RAW, source="source", n="n"))
+                .unionByName(
+                    _wide(
+                        raw_rows, _K_RAW, source="source", n="n"
+                    ).coalesce(kp)
+                )
             )
             # non-empty by construction: kind=raw has >= 1 row for any
             # non-empty batch. static overwrite pinned for retry
             # idempotence (see sessionize.make_sessionize_processor).
-            # repartition("kind"): the 6-frame union otherwise writes
-            # one file per (input partition x kind) — ~280 files per
-            # 2-epoch store, and the commit renames dominated the
-            # write job (measured ~2 s/gate). One task per kind is
-            # right at batch scale; at 100 TB volumes add a salt
-            # column to the repartition to spread each kind.
-            unified.repartition("kind").write.option(
+            unified.write.option(
                 "partitionOverwriteMode", "static"
             ).partitionBy("kind").mode("overwrite").parquet(
                 f"{store_root}/v{epoch}"
@@ -435,13 +621,8 @@ def make_curation_funnel_processor(
                 if crossed > 0:
                     stats["recomputes"] = stats.get("recomputes", 0) + 1
         finally:
-            for f in (qdocs, bands_new, bcnt):
+            for f in (qdocs, bands_new, bcnt, edges_new):
                 f.unpersist()
-            # edges_new is None if an earlier stage raised (the
-            # sentinel, not NameError catching, so an unrelated
-            # NameError in cleanup can never be swallowed)
-            if edges_new is not None:
-                edges_new.unpersist()
 
     return process
 

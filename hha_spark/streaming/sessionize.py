@@ -277,7 +277,9 @@ def _read_versioned(
         versions = [v for v in versions if v < before_epoch]
     if not versions:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(f"{root}/v{versions[-1]}")
+    # explicit schema (incl. the kind partition column, matched by
+    # name) skips per-read footer inference — see read_kind_history
+    return spark.read.schema(schema).parquet(f"{root}/v{versions[-1]}")
 
 
 def make_sessionize_processor(
@@ -467,7 +469,10 @@ def read_kind_history(
     ]
     if not dirs:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*dirs).select(*cols)
+    # explicit schema: every stub of a kind is written with one fixed
+    # schema, so footer-sniffing schema inference across N version
+    # dirs is pure latency (one footer read per dir per history read)
+    return spark.read.schema(schema).parquet(*dirs).select(*cols)
 
 
 def read_closed_sessions(spark: SparkSession, store_root: str) -> DataFrame:
