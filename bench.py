@@ -139,6 +139,21 @@ def main() -> None:
                 pass
             # median of 3; if a rerun died, min of what completed
             dt = sorted(runs)[1] if len(runs) == 3 else min(runs)
+        elif dt < 2 * MEDIAN3_UNDER_SEC:
+            # threshold-cliff guard (the round-9 adjudication ghost:
+            # customer_name_features' warm cost is ~0.16 s but its
+            # cold first run landed at 1.1 s — just OVER the
+            # median-3 trigger — so a 17x "regression" was recorded
+            # from a measurement artifact, not a plan change). A
+            # first run under 2x the threshold is cheap enough for
+            # ONE rerun; keep the min (same noise-robust estimator
+            # as the slow-tail rerun below).
+            try:
+                t0 = time.perf_counter()
+                force(fn(spark, sf_dir))
+                dt = min(dt, time.perf_counter() - t0)
+            except Exception:  # noqa: BLE001 — keep what we measured
+                pass
         timings[name] = round(dt, 3)
 
     # Host timing noise on this sandbox can inflate a single run of a

@@ -57,56 +57,62 @@ _MODULES = (
 )
 
 # Order is the driver's verification window: it oracle-checks the FIRST
-# 50 names yielded. Round-9 rotation — after the green r8 window the
-# stalest driver rows registry-wide are lineitem_price_deciles (the
-# one r4-vintage row round 8 could not fit) and the 45 r5-vintage
-# greens; the r8 verdict "Next round" #1 demanded rotating onto
-# exactly those. This round's window: position 1 is the round-9
-# NEVER-CHECKED new gate (the incremental streaming curation funnel),
-# positions 2-4 are the round-9 code-touched re-gates —
-# corpus_curation_pipeline and corpus_token_budget_fill (both rebuilt
-# on the shared token_budget_fill_per_doc / funnel_rollup helpers the
-# streaming funnel reuses) and stream_sessionize_disorder (disorder_us
-# validation + the pinned static partition overwrite on its store
-# write; also the perf-target gate of the round). The other gates
-# whose WRITER CONFIG or execution knobs changed this round
-# (stream_sessionize_incremental, stream_attribution_disorder, the
-# _gate_shuffle AQE/width scope) carry r8-fresh rows and their
-# changes are plan-semantics-neutral — selfcheck covers them and they
-# rotate next. Positions 5-50: lineitem_price_deciles (r4) then the
-# 45 r5-vintage greens in name order. After a green r9 window every
-# registry row is r6-vintage or fresher (max staleness 3 rounds).
+# 50 names yielded. Round-10 rotation (the r9 verdict's "Next round"
+# #1, COVERAGE.md "Registry rotation"): positions 1-5 are the
+# round-10 CODE-TOUCHED re-gates — the streaming funnel (rebuilt on
+# the tagged-union mega-probe + driver union-find + exchange-free
+# write), its batch twin and the two other consumers of the gopher
+# narrow-map rewrite (corpus_curation_pipeline, text_gopher_quality,
+# quality_gate_agreement), and stream_sessionize_disorder (its store
+# readers now pass explicit schemas and self-heal staged folds).
+# Positions 6-11: the six closure-family gates whose kernel changed
+# in the r9 second session AND again this round (raw-edge probe +
+# Arrow-table labels in operators/cluster.py) — dedup_clusters,
+# dedup_clusters_star, dedup_graph_pagerank, dedup_graph_triangles,
+# corpus_graph_cluster_mixture, dedup_canonical_pick. Positions
+# 12-14: the execution-knob-touched streaming gates carrying
+# r8-vintage rows (stream_sessionize_incremental,
+# stream_attribution_disorder, stream_dedup_incremental). Positions
+# 15-50: the r6-vintage tail (all remaining rows are r6; 47 total,
+# of which 3 already sit in the front) — the five streaming r6 rows
+# first (same store-reader change surface), then name order. Eight
+# r6 rows (multimodal_frame_sample, quality_classifier_trained, the
+# six text_* rows) do not fit and rotate in round 11; after a green
+# r10 window max driver-row staleness is 4 rounds for exactly those
+# eight, <= 2 for everything else.
 # Names here that fall out of the registry are ignored defensively;
 # queries not listed follow in module order.
-# Policy: COVERAGE.md "Registry rotation".
 _NEVER_CHECKED_FIRST = (
-    # -- 1 round-9 new gate, never driver-checked --
-    "stream_curation_funnel",
-    # -- 3 round-9 code-touched re-gates --
-    "corpus_curation_pipeline", "corpus_token_budget_fill",
+    # -- 6 round-10 code-touched re-gates --
+    "stream_curation_funnel", "corpus_curation_pipeline",
+    "text_gopher_quality", "quality_gate_agreement",
     "stream_sessionize_disorder",
-    # -- the r4-vintage straggler --
-    "lineitem_price_deciles",
-    # -- 45 r5-vintage greens, name order --
-    "ann_hard_negatives", "ann_ndcg_eval", "ann_pq_recall",
-    "ann_topk_ivfpq", "ann_topk_ivfpq_residual", "ann_topk_pq",
-    "ann_two_stage_rerank", "bloom_join_prune",
-    "bpe_tokenize_compression", "bpe_train_merges", "cms_heavy_tokens",
-    "corpus_boilerplate", "corpus_dedup_rate_by_source",
-    "corpus_global_shuffle", "corpus_importance_resample",
-    "corpus_snapshot_diff", "corpus_source_token_divergence",
-    "corpus_split_leakage", "corpus_strip_dup_spans", "dedup_exact_docs",
-    "dedup_minhash_lsh", "dedup_text_embedding_drift",
-    "doc_length_histogram", "doc_packing_bins", "dq_events_key_skew",
-    "dq_orders_report", "embedding_hof_features", "events_day_over_day",
-    "events_decayed_activity", "events_salted_join",
-    "events_value_mad_outliers", "events_zorder_keys",
-    "pretraining_corpus_selection", "q1_pricing_summary",
-    "quality_classifier_keep", "quality_percentile_by_source",
-    "retrieval_rrf_fusion", "semantic_prune_cells",
-    "spike_events_alerts", "spike_events_compare", "spike_events_gated",
-    "spike_events_net_rollup", "stream_events_windowed",
-    "stream_spike_alerts", "text_unigram_lm_score",
+    # -- 6 closure-kernel re-gates (r8-vintage rows, kernel changed
+    #    after the r9 window froze and again this round) --
+    "dedup_clusters", "dedup_clusters_star", "dedup_graph_pagerank",
+    "dedup_graph_triangles", "corpus_graph_cluster_mixture",
+    "dedup_canonical_pick",
+    # -- 3 knob-touched streaming gates (r8-vintage rows) --
+    "stream_sessionize_incremental", "stream_attribution_disorder",
+    "stream_dedup_incremental",
+    # -- r6-vintage tail: streaming rows first, then name order --
+    "stream_attribution_join", "stream_cms_heavy",
+    "stream_events_hopping", "stream_native_dedup",
+    "stream_temperature_mixture",
+    "ann_ivf_assign_incremental", "ann_sq8_recall", "ann_topk_cosine",
+    "ann_topk_ivf", "ann_topk_sq8", "bpe_merge_candidates",
+    "corpus_blocklist_scrub", "corpus_ccnet_buckets",
+    "corpus_cluster_mixture", "corpus_decontaminate",
+    "corpus_ngram_novelty", "corpus_semantic_decontaminate",
+    "corpus_stratified_sample", "corpus_strip_spans_incremental",
+    "corpus_temperature_mixture", "corpus_vocabulary",
+    "corpus_winnowing_fps", "dedup_containment",
+    "dedup_containment_incremental", "dedup_minhash_recall",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_trigram_jaccard",
+    "doc_array_features", "doc_fingerprint", "doc_top_terms",
+    "embedding_cosine_pairs", "embedding_health_report",
+    "events_asof_last_purchase", "knn_graph_mutual",
+    "multimodal_blob_stats",
 )
 
 

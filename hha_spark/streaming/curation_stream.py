@@ -70,10 +70,18 @@ via before_epoch, so epoch retries rewrite the same bytes):
 Scale: per epoch, the per-doc work (Gopher, tokenize, minhash, bands)
 is narrow and batch-sized; the candidate join is batch-bands x
 band-bucket (capped, never all-pairs); the closure folds node->label
-edges (one row per clustered doc) plus batch-sized new edges; the
-bcnt rewrite is a bucket-count-sized merge (at 100 TB: a
-merge-on-write bucketed table). State is the curated corpus itself —
-exactly what a curation pipeline must store anyway.
+edges (one row per clustered doc) plus batch-sized new edges. The
+two REWRITTEN kinds (bcnt, label) cost O(state) per epoch — and that
+is the pipeline's INHERENT per-epoch bound, not a storage-format
+artifact: the incremental closure fold consumes every carried label
+and the under-cap filter consumes every bucket count each epoch, so
+a delta/merge-on-read layout would move the same O(state) cost from
+the write to the read side (measured on the epoch axis by
+tools/scale_probe.py::_funnel_epoch_axis_probe — per-epoch write
+wall grows linearly with state, matching the fold, never faster).
+State is the curated corpus itself — exactly what a curation
+pipeline must store anyway; `kind_partitions` spreads the rewrite
+at volumes where one task per kind is not enough.
 
 Flush: survivors = quality docs not dropped by their cluster label;
 temperature mixture + token-budget fill run once over the stored

@@ -202,6 +202,155 @@ def _store_compaction_probe(spark, k: int) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _stream_funnel_probe(spark, docs: DataFrame, k: int) -> DataFrame:
+    """The INCREMENTAL streaming curation funnel processor
+    (streaming/curation_stream.py) under K-scaled data with a FIXED
+    epoch count — the r9 verdict's missing number: does each epoch's
+    phase (probe / closure / write) stay epoch-bounded as the batch
+    and carried state grow K-fold? Two md5-interleaved batches (the
+    gate's delivery shape); EXTRA records the processor's own
+    per-phase wall timers, whether the driver union-find path held
+    (no fallback), and the final store's state row counts — labels
+    and bucket counts must scale ~K (state IS the curated corpus),
+    never faster."""
+    import shutil
+    import tempfile
+
+    from hha_spark.operators.sketch import md5_mod
+    from hha_spark.streaming.curation_stream import (
+        final_curation_funnel,
+        make_curation_funnel_processor,
+    )
+    from hha_spark.streaming.sessionize import _read_versioned
+    from hha_spark.streaming.curation_stream import _CUR_STORE_SCHEMA
+
+    batches = [
+        docs.select("doc_id", "source", "text")
+        .where(
+            md5_mod("funnelprobe|", F.col("doc_id").cast("string"), 2) == i
+        )
+        .localCheckpoint(eager=True)  # detach: timers must not
+        # include recomputing the K-scaled cross join per action
+        for i in range(2)
+    ]
+    stats: dict = {}
+    tmp = tempfile.mkdtemp(prefix="hha_probe_funnel_")
+    try:
+        proc = make_curation_funnel_processor(
+            spark, store_root=f"{tmp}/store", stats=stats
+        )
+        t0 = time.perf_counter()
+        for e, b in enumerate(batches):
+            proc(b, e)
+        stream_wall = time.perf_counter() - t0
+        cur = _read_versioned(spark, f"{tmp}/store", _CUR_STORE_SCHEMA)
+        state_rows = {
+            r["kind"]: r["n"]
+            for r in cur.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        out = final_curation_funnel(spark, store_root=f"{tmp}/store")
+        detached = spark.createDataFrame(
+            out.collect(), out.schema
+        )
+        EXTRA["stream_funnel"] = {
+            "stream_wall_sec": round(stream_wall, 3),
+            "phases": {
+                n: round(v, 3)
+                for n, v in stats.items()
+                if isinstance(v, float)
+            },
+            "epochs": stats.get("epochs"),
+            "recomputes": stats.get("recomputes", 0),
+            "state_rows": state_rows,
+        }
+        return detached
+    finally:
+        for b in batches:
+            b.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _funnel_epoch_axis_probe(spark, k: int) -> DataFrame:
+    """Rewrite-cost growth of the funnel's two REWRITTEN store kinds
+    (bcnt, label) on the EPOCH axis — r9 verdict "Next round" #6.
+
+    6*k epochs ingest fixed-size, content-DISJOINT batches (one
+    scaled-docs copy per epoch), so carried state (bucket counts,
+    labels) grows linearly with epoch count while per-epoch ingest
+    stays constant. EXTRA records the mean write wall of the first
+    vs last third of epochs and the final state rows: the expected
+    (and acceptable) shape is per-epoch write cost growing LINEARLY
+    with state — the incremental closure fold itself consumes every
+    carried label each epoch, so per-epoch cost is Ω(state) for the
+    PIPELINE regardless of storage format; the probe shows the
+    rewrite tracks (not exceeds) that inherent bound. What would be
+    a red flag is superlinear growth or the write dominating the
+    probe phase."""
+    import shutil
+    import tempfile
+
+    from hha_spark.streaming.curation_stream import (
+        _CUR_STORE_SCHEMA,
+        final_curation_funnel,
+        make_curation_funnel_processor,
+    )
+    from hha_spark.streaming.sessionize import _read_versioned
+
+    epochs = 6 * k
+    all_docs = scaled_docs(spark, epochs).select(
+        "doc_id", "source", "text"
+    ).localCheckpoint(eager=True)
+    tmp = tempfile.mkdtemp(prefix="hha_probe_epochaxis_")
+    try:
+        per_epoch_write: list[float] = []
+        stats: dict = {}
+        proc = make_curation_funnel_processor(
+            spark,
+            store_root=f"{tmp}/store",
+            stats=stats,
+            compact_every=6,  # keep the HISTORY listing axis bounded,
+            # isolating the rewrite cost under measurement
+        )
+        lo, hi = 0.0, 0.0
+        for e in range(epochs):
+            batch = all_docs.where(
+                (F.col("doc_id") >= e * 1_000_000)
+                & (F.col("doc_id") < (e + 1) * 1_000_000)
+            )
+            before = stats.get("t_write", 0.0)
+            proc(batch, e)
+            per_epoch_write.append(stats.get("t_write", 0.0) - before)
+        cur = _read_versioned(spark, f"{tmp}/store", _CUR_STORE_SCHEMA)
+        state_rows = {
+            r["kind"]: r["n"]
+            for r in cur.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        third = max(1, epochs // 3)
+        lo = sum(per_epoch_write[:third]) / third
+        hi = sum(per_epoch_write[-third:]) / third
+        EXTRA["funnel_epoch_axis"] = {
+            "epochs": epochs,
+            "write_sec_first_third": round(lo, 3),
+            "write_sec_last_third": round(hi, 3),
+            "write_growth": round(hi / max(lo, 1e-9), 2),
+            "state_rows": state_rows,
+            "phases": {
+                n: round(v, 3)
+                for n, v in stats.items()
+                if isinstance(v, float)
+            },
+        }
+        out = final_curation_funnel(spark, store_root=f"{tmp}/store")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        all_docs.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def probes(spark, k: int):
     """(name, build) pairs; build() returns a DataFrame to force."""
     from hha_spark.operators.corpus import (
@@ -455,6 +604,13 @@ def probes(spark, k: int):
         # compaction (streaming/store.py) — dirs must be bounded at 3
         # after, rows identical
         "store_compaction": lambda: _store_compaction_probe(spark, k),
+        # the streaming funnel PROCESSOR at fixed epoch count under
+        # K-scaled batches: per-phase timers + state rows in EXTRA
+        # (r9 verdict "Next round" #5)
+        "stream_funnel": lambda: _stream_funnel_probe(spark, docs, k),
+        # rewrite-cost growth of the bcnt/label state kinds on the
+        # EPOCH axis (fixed batch, growing corpus) — r9 verdict #6
+        "funnel_epoch_axis": lambda: _funnel_epoch_axis_probe(spark, k),
         # NOTE mutual_knn_graph is deliberately absent: its exact
         # kernel is quadratic in the NODE SET by documented contract
         # (nodes = a bounded selection; scale path = LSH/IVF candidate
