@@ -58,32 +58,39 @@ _MODULES = (
 
 # Order is the driver's verification window: it oracle-checks the FIRST
 # 50 names yielded. Round-10 rotation (the r9 verdict's "Next round"
-# #1, COVERAGE.md "Registry rotation"): positions 1-5 are the
-# round-10 CODE-TOUCHED re-gates — the streaming funnel (rebuilt on
+# #1, COVERAGE.md "Registry rotation"): position 1 is the round-10
+# NEW gate stream_curation_compacted (live mid-stream minor fold
+# under the unchanged batch oracle — driver-verifies the compaction
+# reader-equivalence contract that was pytest-only). Positions 2-6
+# are the round-10 CODE-TOUCHED re-gates — the streaming funnel (rebuilt on
 # the tagged-union mega-probe + driver union-find + exchange-free
 # write), its batch twin and the two other consumers of the gopher
 # narrow-map rewrite (corpus_curation_pipeline, text_gopher_quality,
 # quality_gate_agreement), and stream_sessionize_disorder (its store
 # readers now pass explicit schemas and self-heal staged folds).
-# Positions 6-11: the six closure-family gates whose kernel changed
+# Positions 7-12: the six closure-family gates whose kernel changed
 # in the r9 second session AND again this round (raw-edge probe +
 # Arrow-table labels in operators/cluster.py) — dedup_clusters,
 # dedup_clusters_star, dedup_graph_pagerank, dedup_graph_triangles,
 # corpus_graph_cluster_mixture, dedup_canonical_pick. Positions
-# 12-14: the execution-knob-touched streaming gates carrying
+# 13-15: the execution-knob-touched streaming gates carrying
 # r8-vintage rows (stream_sessionize_incremental,
 # stream_attribution_disorder, stream_dedup_incremental). Positions
-# 15-50: the r6-vintage tail (all remaining rows are r6; 47 total,
+# 16-50: the r6-vintage tail (all remaining rows are r6; 47 total,
 # of which 3 already sit in the front) — the five streaming r6 rows
-# first (same store-reader change surface), then name order. Eight
-# r6 rows (multimodal_frame_sample, quality_classifier_trained, the
-# six text_* rows) do not fit and rotate in round 11; after a green
-# r10 window max driver-row staleness is 4 rounds for exactly those
-# eight, <= 2 for everything else.
+# first (same store-reader change surface), then name order. Nine
+# r6 rows (multimodal_blob_stats, multimodal_frame_sample,
+# quality_classifier_trained, the six text_* rows) do not fit and
+# rotate in round 11; after a green r10 window max driver-row
+# staleness is 4 rounds for exactly those nine, <= 2 for everything
+# else.
 # Names here that fall out of the registry are ignored defensively;
 # queries not listed follow in module order.
 _NEVER_CHECKED_FIRST = (
-    # -- 6 round-10 code-touched re-gates --
+    # -- position 1: the round-10 NEW gate, never driver-checked
+    #    (live mid-stream store compaction under the funnel oracle) --
+    "stream_curation_compacted",
+    # -- round-10 code-touched re-gates --
     "stream_curation_funnel", "corpus_curation_pipeline",
     "text_gopher_quality", "quality_gate_agreement",
     "stream_sessionize_disorder",
@@ -112,7 +119,6 @@ _NEVER_CHECKED_FIRST = (
     "doc_array_features", "doc_fingerprint", "doc_top_terms",
     "embedding_cosine_pairs", "embedding_health_report",
     "events_asof_last_purchase", "knn_graph_mutual",
-    "multimodal_blob_stats",
 )
 
 

@@ -1347,3 +1347,79 @@ QUERIES["stream_curation_funnel"] = stream_curation_funnel
 ORACLES["stream_curation_funnel"] = _CORPUS_ORACLES[
     "corpus_curation_pipeline"
 ]
+
+
+def stream_curation_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming curation funnel with LIVE store compaction: the
+    documents table replays as three md5-interleaved files delivered
+    ONE PER MICRO-BATCH with `compact_every=1`, so a real minor fold
+    (streaming/store.py) fires BETWEEN epochs — version stubs below
+    the newest two merge into a base dir while the stream is still
+    running — and later epochs' candidate verification plus the
+    final flush read the folded history. Oracle: verbatim the batch
+    corpus_curation_pipeline oracle. What this gate driver-verifies
+    that stream_curation_funnel cannot: the compaction protocol's
+    reader-equivalence argument (folding history stubs preserves
+    every union a future epoch or final reader can issue) holds
+    under the full funnel semantics, value-exact — previously that
+    contract was pinned only by pytest (test_store_compaction.py).
+
+    Scale: identical to stream_curation_funnel (compaction adds one
+    bounded merge write per fold, amortized linear — the LSM minor
+    shape); the stats assert makes a silent no-fold regression
+    (e.g. a version-layout change that stops the fold from firing)
+    fail the gate rather than quietly un-verify it.
+    """
+    from hha_spark.operators.sketch import md5_mod
+    from hha_spark.queries.corpus import BUDGET_PCT, FILL_SALT
+    from hha_spark.streaming.curation_stream import (
+        final_curation_funnel,
+        run_streaming_curation,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    stats: dict = {}
+    with _gate_scratch("hha_stream_curc_") as tmp, _gate_shuffle(
+        spark, partitions="4", aqe="true"
+    ):
+        # FOUR slices, one per micro-batch: a minor fold needs >= 2
+        # foldable stubs strictly below the newest two versions, so 4
+        # epochs is the minimum stream on which compact_every=1 fires
+        # a real fold (after epoch 3: olds = [v0, v1])
+        in_dir = _write_file_slices(
+            docs,
+            md5_mod("curslice|", F.col("doc_id").cast("string"), 4),
+            tmp,
+            4,
+        )
+        q = run_streaming_curation(
+            spark,
+            data_root=in_dir,
+            schema="doc_id long, source string, text string",
+            store_root=f"{tmp}/store",
+            checkpoint=f"{tmp}/ckpt",
+            max_files_per_trigger=1,
+            available_now=True,
+            stats=stats,
+            compact_every=1,
+        )
+        q.awaitTermination()
+        assert stats.get("compactions", 0) >= 1, (
+            "gate fixture no longer exercises a live fold", stats
+        )
+        out = final_curation_funnel(
+            spark,
+            store_root=f"{tmp}/store",
+            budget_frac_pct=BUDGET_PCT,
+            salt=FILL_SALT,
+        )
+        # collected before the gate's scratch directories vanish
+        return spark.createDataFrame(out.collect(), _CUR_ROLLUP_SCHEMA)
+
+
+QUERIES["stream_curation_compacted"] = stream_curation_compacted
+# compaction changes the store LAYOUT, never any reader view: the
+# batch curation pipeline's oracle is verbatim this gate's oracle
+ORACLES["stream_curation_compacted"] = _CORPUS_ORACLES[
+    "corpus_curation_pipeline"
+]
