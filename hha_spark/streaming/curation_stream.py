@@ -186,12 +186,15 @@ def make_curation_funnel_processor(
     kind_partitions: int = 1,
 ):
     """Per-micro-batch body (see module docstring for the design and
-    the bucket-cap reconciliation argument). THREE actions per epoch:
-    one tagged-union probe collect (empty check + raw per-source
-    counts + cap-crossing detection, materializing the merged bucket
-    counts and the qdocs/bands persists), the closure kernel's
-    single limit-probe collect, and ONE exchange-free
-    kind-partitioned write. `stats`, if given,
+    the bucket-cap reconciliation argument). TWO actions per epoch on
+    the happy path: one tagged-union Arrow mega-probe (empty check +
+    raw per-source counts + cap-crossing detection + envelope-capped
+    new-edge/carried-label collection, materializing every persist
+    the write re-reads) whose collected pairs feed the driver
+    union-find directly, and ONE exchange-free kind-partitioned
+    write. A cap-crossing epoch adds one bounded edge-history
+    collect; an over-envelope graph falls back to the distributed
+    closure kernel on identical frames. `stats`, if given,
     collects observability counters ('epochs', 'recomputes', per-phase
     wall timers) so tests can assert the reconciliation path actually
     fired.

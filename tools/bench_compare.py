@@ -17,7 +17,13 @@ delta without re-deriving the experiment.
 
 Order: ref first, then HEAD — if the host drifts mid-experiment the
 bias runs AGAINST the new code, so "HEAD faster than ref" survives
-the confound. Each bench is a fresh subprocess (own JVM).
+the confound. Each bench is a fresh subprocess (own JVM). One bias
+runs the OTHER way: the first bench after idle also absorbs
+OS/page-cache warm-up (visible as an inflated ref
+calibration.start_sec — e.g. 6.2 s vs 1.0 s on the first smoke).
+`--warmup` runs one discarded HEAD bench before the pair to drain
+that; always compare the two calibration blocks before trusting a
+ratio either way.
 
 Output: one JSON line {"sf_dir", "ref", "head", "ratio"} where ref/
 head each carry {describe, total_sec, n_queries, n_failed,
@@ -72,6 +78,12 @@ def main() -> None:
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
+    ap.add_argument(
+        "--warmup",
+        action="store_true",
+        help="run one discarded HEAD bench first (drains OS/page-cache "
+        "warm-up so the ref-first run is not cold-biased)",
+    )
     args = ap.parse_args()
 
     ref_sha = _git("rev-parse", args.ref)
@@ -80,6 +92,8 @@ def main() -> None:
     wt_dir = os.path.join(wt, "ref")
     _git("worktree", "add", "--detach", wt_dir, ref_sha)
     try:
+        if args.warmup:
+            _run_bench(REPO, args.sf_dir)
         ref_run = _run_bench(wt_dir, args.sf_dir)
         head_run = _run_bench(REPO, args.sf_dir)
     finally:
