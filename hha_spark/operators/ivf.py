@@ -264,9 +264,26 @@ def train_ivf(
     cells = assigned.select(
         "vec_id", F.element_at("cells", 1).alias("cell")
     )
+    # Arrow table, not a Python list: the centroid frame is a
+    # broadcast side re-evaluated per consumer join, and
+    # createDataFrame(list) re-runs per-row verification in every
+    # such job (measured 3-10x the Arrow path; see operators/pq.py
+    # _lut_frame and operators/cluster.py for the same pathology)
+    import pyarrow as pa
+
+    flat = [
+        (cell, idx, c)
+        for cell, cvec in sorted(cents.items())
+        for idx, c in enumerate(cvec)
+    ]
     cent_df = emb.sparkSession.createDataFrame(
-        [(cell, idx, c) for cell, cvec in sorted(cents.items())
-         for idx, c in enumerate(cvec)],
+        pa.table(
+            {
+                "cell": pa.array([r[0] for r in flat], pa.int32()),
+                "idx": pa.array([r[1] for r in flat], pa.int32()),
+                "c": pa.array([r[2] for r in flat], pa.float64()),
+            }
+        ),
         schema="cell int, idx int, c double",
     )
     return cells, cent_df

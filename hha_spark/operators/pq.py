@@ -206,7 +206,7 @@ def trained_query_lut(
         else None
     )
     if key is not None and key in _LUT_MEMO:
-        return spark.createDataFrame(_LUT_MEMO[key], _LUT_SCHEMA)
+        return _lut_frame(spark, _LUT_MEMO[key])
     cb = pq_codebook(candidates, id_col=id_col, vec_col=vec_col)
     if key is None:
         return pq_query_lut(queries, cb, id_col=id_col, vec_col=vec_col)
@@ -214,7 +214,27 @@ def trained_query_lut(
         queries, cb, id_col=id_col, vec_col=vec_col
     )
     _LUT_MEMO[key] = rows
-    return spark.createDataFrame(rows, _LUT_SCHEMA)
+    return _lut_frame(spark, rows)
+
+
+def _lut_frame(spark, rows: list[tuple]) -> DataFrame:
+    """Materialize collected LUT rows through an Arrow table, not a
+    Python list: createDataFrame(list) ships pickled slices whose
+    per-row verification re-runs in every downstream job (the
+    broadcast side here is re-evaluated per consumer), measured 3-10x
+    the Arrow path's cost (see operators/cluster.py for the same
+    pathology on closure labels)."""
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "lut": pa.array(
+                [r[1] for r in rows], pa.list_(pa.int64())
+            ),
+        }
+    )
+    return spark.createDataFrame(tbl, _LUT_SCHEMA)
 
 
 def _train_lut_rows(queries: DataFrame, codebook: DataFrame, *,
