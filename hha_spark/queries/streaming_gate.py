@@ -1305,15 +1305,20 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
-    # real per-batch compute (gopher narrow map, minhash, Jaccard
-    # verify) with AQE on. Width 4: since the gopher rewrite to a
-    # shuffle-free map, the remaining exchanges (bcnt merge, the
-    # candidate/verify joins) carry gate-scale row counts where task
-    # overhead dominates — a 16/8/4 sweep measured 4 fastest
-    # (~0.5-1 s under 16 at sf0.1); at production batch sizes raise
-    # it with the data
+    # Width 4, AQE OFF. The r9-era shape wanted AQE (its heavy
+    # gopher/repartition plan had stages worth re-planning); after
+    # the round-10 rewrite — shuffle-free gopher map, single
+    # mega-probe action, exchange-free write — each epoch's plan is
+    # lean enough that runtime re-planning has nothing to optimize,
+    # and AQE's per-materialized-stage barrier shows up as job count
+    # (a trace measured 36 jobs for 2 epochs with AQE on). Measured
+    # honestly: warm in-session sweeps favored off by ~1 s, but
+    # fresh-process A/B (the driver's shape) shows parity within the
+    # host's ±0.8 s noise — off is kept for the lower job count, not
+    # a claimed wall win. At production batch volumes flip AQE back
+    # on with the data.
     with _gate_scratch("hha_stream_cur_") as tmp, _gate_shuffle(
-        spark, partitions="4", aqe="true"
+        spark, partitions="4", aqe="false"
     ):
         in_dir = _write_file_slices(
             docs,
@@ -1379,8 +1384,10 @@ def stream_curation_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
     stats: dict = {}
+    # width 4, AQE off — same sweep-backed knobs as
+    # stream_curation_funnel (see its comment)
     with _gate_scratch("hha_stream_curc_") as tmp, _gate_shuffle(
-        spark, partitions="4", aqe="true"
+        spark, partitions="4", aqe="false"
     ):
         # FOUR slices, one per micro-batch: a minor fold needs >= 2
         # foldable stubs strictly below the newest two versions, so 4
