@@ -499,6 +499,10 @@ def make_curation_funnel_processor(
             if labels is None:
                 # over-envelope fallback: the distributed closure on
                 # the exact same logical inputs
+                if stats is not None:
+                    stats["closure_fallbacks"] = (
+                        stats.get("closure_fallbacks", 0) + 1
+                    )
                 if crossed > 0:
                     edge_hist = read_kind_history(
                         spark,
