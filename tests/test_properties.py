@@ -576,3 +576,61 @@ def test_connected_components_matches_bfs_closure(spark, edges):
         lo = min(comp)
         expect |= {(n, lo) for n in comp}
     assert got == expect
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            # tiny alphabet + empty string: maximizes repeats, runs,
+            # and bigram duplicates — adversarial for the sorted-run
+            # counting in the narrow gopher rewrite
+            st.sampled_from(["a", "b", "ab", "aa", ""]),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_gopher_counts_match_bruteforce(spark, texts):
+    """gopher_repetition_rules (sorted-run-length HOF rewrite) == a
+    direct Python Counter reimplementation on adversarial token
+    streams: exact n_tokens / n_distinct / top_tok_n / n_bigrams /
+    dup_bigram_n on every row, including single-token docs (no
+    bigrams) and all-identical-token docs (one maximal run)."""
+    from collections import Counter
+
+    from hha_spark.operators.text import gopher_repetition_rules
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_distinct"],
+            r["top_tok_n"],
+            r["n_bigrams"],
+            r["dup_bigram_n"],
+        )
+        for r in gopher_repetition_rules(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    for i, t in rows:
+        toks = t.split(" ")
+        uni = Counter(toks)
+        bg = Counter(
+            " ".join(toks[p : p + 2]) for p in range(len(toks) - 1)
+        )
+        expect = (
+            len(toks),
+            len(uni),
+            max(uni.values()),
+            sum(bg.values()),
+            sum(c for c in bg.values() if c >= 2),
+        )
+        assert got[i] == expect, (t, got[i], expect)
