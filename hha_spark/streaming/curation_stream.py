@@ -385,7 +385,7 @@ def make_curation_funnel_processor(
             # back to the distributed closure operator on the exact
             # frames (the collected rows are discarded — the bounded
             # price of the probe, same contract as the closure
-            # kernel's own limit probe). The UNION-FF inputs are
+            # kernel's own limit probe). The union-find inputs are
             # identical to the fallback frames: incremental fold =
             # (prev labels as edges) + new edges; recompute = the
             # under-filtered edge history + new edges (new edges are
