@@ -163,10 +163,15 @@ def main() -> None:
     # two runs — min-of-N is the standard noise-robust estimator for
     # cold-cache-free repeatable work (the per-query clearCache in
     # force() makes run 2 do the same work as run 1).
+    # 12, up from 8 (round 10): the 3-4 s cold-compile class sits just
+    # past the old cutoff (e.g. ann_hard_negatives: 0.94 s warm, 4.5 s
+    # recorded when a cold first run is the only sample) — four more
+    # slots cost ~12 s of bench wall and remove the largest remaining
+    # single-sample noise from the recorded totals
     rerun = sorted(
         ((n, t) for n, t in timings.items() if t is not None),
         key=lambda kv: -kv[1],
-    )[:8]
+    )[:12]
     for name, t1 in rerun:
         t0 = time.perf_counter()
         try:
