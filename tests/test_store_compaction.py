@@ -523,3 +523,54 @@ def test_sessionize_final_reader_heals_crashed_fold(spark, tmp_path):
     got = sorted(map(tuple, read_closed_sessions(spark, r).collect()))
     assert got == expect
     assert not os.path.exists(f"{r}/{_STAGING}")
+
+
+def test_attribution_final_reader_heals_crashed_fold(spark, tmp_path):
+    """Healing contract on the third store flavor (the round-9
+    advisor named final_attributions explicitly): a crashed fold
+    with staging-complete state heals on the final flush itself."""
+    from hha_spark.streaming.joins import (
+        final_attributions,
+        make_disorder_attribution_processor,
+    )
+    from hha_spark.streaming.store import ATTRIBUTION_HISTORY
+
+    root = str(tmp_path / "store")
+    proc = make_disorder_attribution_processor(
+        spark, store_root=root, max_delay_sec=100, disorder_sec=50
+    )
+    ev_schema = "user_id long, ts_s long, etype string"
+    batches = [
+        [(1, 100, "click"), (2, 110, "click"), (1, 150, "purchase")],
+        [(1, 105, "click"), (2, 180, "purchase"), (1, 260, "click")],
+        [(2, 300, "click"), (1, 320, "purchase"), (2, 215, "click")],
+        [(1, 500, "purchase"), (2, 430, "click"), (1, 560, "click")],
+    ]
+    for epoch, rows in enumerate(batches):
+        proc(spark.createDataFrame(rows, ev_schema), epoch)
+
+    def _flush(r):
+        return sorted(
+            map(
+                tuple,
+                final_attributions(
+                    spark, store_root=r, max_delay_sec=100
+                ).collect(),
+            )
+        )
+
+    expect = _flush(root)
+    assert expect  # non-vacuous
+    ref_root = str(tmp_path / "ref")
+    shutil.copytree(root, ref_root)
+    compact_store(spark, ref_root, history_kinds=ATTRIBUTION_HISTORY)
+    # crash point: olds deleted, rename pending — folded attr history
+    # exists ONLY in staging
+    r = str(tmp_path / "crash")
+    shutil.copytree(root, r)
+    shutil.copytree(f"{ref_root}/v0", f"{r}/{_STAGING}")
+    shutil.rmtree(f"{r}/v0")
+    shutil.rmtree(f"{r}/v1")
+    assert _flush(r) == expect
+    assert not os.path.exists(f"{r}/{_STAGING}")
+    assert _state_versions(spark, r) == [0, 2, 3]
