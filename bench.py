@@ -104,6 +104,17 @@ def main() -> None:
 
     cal_start = calibration_probe(spark)
 
+    # Timing-methodology version, stamped into both JSON outputs so
+    # cross-round raw-total comparisons are flagged as confounded when
+    # the estimator changed. History: v1 = single run; v2 (r9) =
+    # median-of-3 under 1 s + min-of-2 over the 8 slowest; v3 (r10) =
+    # adds the [1x,2x)-threshold min-of-2 rerun and widens the slow
+    # tail to 12 — v3 systematically records LOWER timings than v2 for
+    # the same code, so any cross-round ratio claim must come from
+    # tools/bench_compare.py (same-host, same-method, ref-first), not
+    # from raw BENCH_r{N} totals.
+    BENCH_METHOD = "v3"
+
     # Median-of-3 for sub-second queries: host noise on this sandbox
     # episodically inflates a single sub-second run by several seconds
     # (same query, same plan, 0.4 s vs 4.9 s in adjacent runs), and at
@@ -193,6 +204,7 @@ def main() -> None:
         "metric": "total_query_wall_time",
         "value": round(total, 3),
         "unit": "sec",
+        "method": BENCH_METHOD,
         "queries": timings,
         "sf": sf,
         "calibration_sec": calibration,
@@ -211,6 +223,7 @@ def main() -> None:
                 "metric": "total_query_wall_time",
                 "value": round(total, 3),
                 "unit": "sec",
+                "method": BENCH_METHOD,
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": n_failed,

@@ -133,7 +133,7 @@ def connected_components(
     src: str = "doc_id_a",
     dst: str = "doc_id_b",
     max_rounds: int = DEFAULT_MAX_ROUNDS,
-    small_graph_edges: int = SMALL_GRAPH_EDGES,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """(node, label) for every node incident to an edge; label is the
     minimum node id reachable from the node (its component's id).
@@ -154,6 +154,13 @@ def connected_components(
     `max_rounds` — with path compression that means a component of
     diameter ~2^max_rounds, i.e. corrupt input, not real data.
     """
+    # Resolve the envelope at CALL time, not def time: callers (the
+    # streaming funnel's fallback) and tests monkeypatch the module
+    # constant, and a def-time default would silently pin the
+    # original 500k — the forced-fallback tests would exercise the
+    # driver small path while claiming to cover the distributed loop.
+    if small_graph_edges is None:
+        small_graph_edges = SMALL_GRAPH_EDGES
     # probe the RAW edge frame, not a symmetrized expansion: union
     # find is orientation-blind (union(a, b) == union(b, a)), so the
     # small path needs each edge once — half the probe bytes and no

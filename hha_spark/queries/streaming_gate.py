@@ -1421,9 +1421,15 @@ def stream_curation_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             compact_every=1,
         )
         q.awaitTermination()
-        assert stats.get("compactions", 0) >= 1, (
-            "gate fixture no longer exercises a live fold", stats
-        )
+        # explicit raise, not assert: the fold-fired invariant is the
+        # reason this gate exists, and `python -O` strips asserts —
+        # a bare assert would silently un-verify the compaction
+        # coverage in optimized runs
+        if stats.get("compactions", 0) < 1:
+            raise RuntimeError(
+                "gate fixture no longer exercises a live fold: "
+                f"{stats}"
+            )
         out = final_curation_funnel(
             spark,
             store_root=f"{tmp}/store",

@@ -234,6 +234,16 @@ def make_curation_funnel_processor(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         import time
 
+        # cheap empty-batch short-circuit (one limit-1 job over the
+        # micro-batch's own files) BEFORE any epoch plan is built: an
+        # empty micro-batch (restart edge case) must not pay the full
+        # mega-probe — gopher/minhash plans over prev state plus up
+        # to probe_cap+1 prev_labels rows collected to the driver —
+        # just to learn there is nothing to do. Store untouched, so
+        # retry idempotence is unaffected.
+        if batch_df.isEmpty():
+            return
+
         epoch = int(epoch_id)
         t = time.monotonic()
         cur = _read_versioned(

@@ -128,7 +128,21 @@ def recover_compaction(spark: SparkSession, store_root: str) -> str:
         return "discarded"
     for v in folded:
         fs.delete(spark, f"{store_root}/v{v}")
-    _rename_or_raise(spark, staging, f"{store_root}/v{base}")
+    dst = f"{store_root}/v{base}"
+    try:
+        _rename_or_raise(spark, staging, dst)
+    except OSError:
+        # Concurrent completer race: every versioned read rolls a
+        # COMPLETE staged fold forward (_heal_staged_fold), so a
+        # reader and the maintenance writer can both reach this swap.
+        # The loser's rename fails because the winner already moved
+        # staging -> v{base}; if staging is gone AND the destination
+        # exists, the fold IS complete (by the other party) and
+        # raising out of a read path would turn a benign race into a
+        # query failure. Anything else (staging still present, or dst
+        # missing) is a real filesystem fault — re-raise.
+        if fs.exists(spark, staging) or not fs.exists(spark, dst):
+            raise
     return "completed"
 
 
