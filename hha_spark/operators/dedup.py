@@ -37,7 +37,9 @@ def with_token_set(
     df: DataFrame, text_col: str = "text", out_col: str = "tokens"
 ) -> DataFrame:
     """Distinct whitespace tokens (the unigram shingle set)."""
-    return df.withColumn(out_col, F.array_distinct(F.split(F.col(text_col), " ")))
+    return df.withColumn(
+        out_col, F.expr(f"array_distinct(split({text_col}, ' '))")
+    )
 
 
 def with_shingle_set(
@@ -406,25 +408,55 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature columns mh0..mh{k-1}.
 
-    Each hash family is min over md5("s{i}|" + token) — a lexicographic
-    minimum of hex strings, which both Spark and DuckDB order
-    identically (ASCII). Computed per-row with no shuffle; at 100 TB
-    this is a narrow map stage.
+    Each hash family is min over an 8-hex-char (32-bit) SLICE of
+    md5("s{d}|" + token) — a lexicographic minimum of hex strings,
+    which both Spark and DuckDB order identically (ASCII). One md5
+    digest yields FOUR independent lanes (128 bits = 4 x 32), so 8
+    families cost 2 md5 invocations per token instead of 8 — the md5
+    kernel is the dominant per-doc cost of every LSH consumer (batch
+    dedup, the streaming curation funnel's mega-probe, the K=64/128
+    scale probes), and slicing is a ~4x cut of it. 32-bit lanes keep
+    cross-token min ties negligible (~n_tokens^2 / 2^32), and the
+    lanes of one digest are independent under the random-oracle
+    model, so LSH collision behavior is unchanged. Computed per-row
+    with no shuffle; at 100 TB this is a narrow map stage.
+
+    The salted digest arrays are materialized as their own projection
+    (_d{d}) so each md5 runs once per token; Catalyst's
+    CollapseProject keeps non-cheap multi-referenced expressions in
+    their own project, so the lane transforms read the materialized
+    arrays instead of re-expanding the md5 (plan-asserted in
+    test_dedup.py::test_minhash_digest_not_reexpanded).
     """
-    def _salted(i: int):
-        # NB: must be a ONE-argument lambda — F.transform inspects
-        # arity and would pass the array index as a second argument,
-        # silently corrupting a `lambda t, i=i: ...` closure
-        def f(t):
-            return F.md5(F.concat(F.lit(f"s{i}|"), t))
+    lanes_per_digest = 4  # md5 hex = 32 chars = 4 x 8-char lanes
+    n_digests = -(-num_hashes // lanes_per_digest)
 
-        return f
-
-    sig_cols = [
-        F.array_min(F.transform(F.col(tokens_col), _salted(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return df.select(F.col(id_col), F.col(tokens_col), *sig_cols)
+    # selectExpr with SQL-text lambdas, not F.transform with Python
+    # lambdas: this runs per STREAMING EPOCH inside the curation
+    # funnel's processor, and constructing 10 Python-lambda
+    # higher-order expressions costs ~0.2 s of py4j chatter per call
+    # (measured; the whole epoch's driver-side build was ~0.9 s) —
+    # two string expressions build in ~1 py4j call each and parse
+    # JVM-side. Same logical plan either way.
+    digests = df.selectExpr(
+        id_col,
+        tokens_col,
+        *[
+            f"transform({tokens_col}, t -> md5(concat('s{d}|', t)))"
+            f" AS _d{d}"
+            for d in range(n_digests)
+        ],
+    )
+    return digests.selectExpr(
+        id_col,
+        tokens_col,
+        *[
+            f"array_min(transform(_d{i // lanes_per_digest},"
+            f" d -> substring(d, {1 + 8 * (i % lanes_per_digest)}, 8)))"
+            f" AS mh{i}"
+            for i in range(num_hashes)
+        ],
+    )
 
 
 # Buckets larger than this are degenerate (boilerplate/templated
@@ -447,17 +479,21 @@ def band_keys(
     `rows_per_band` adjacent signature columns, exploded one row per
     band. Narrow (no shuffle); the join on (band, key) downstream is
     what turns signatures into candidates."""
-    band_structs = []
-    for b in range(bands):
-        parts = [
-            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.concat(*parts).alias("key"))
+    # string expressions for the same per-epoch construction-cost
+    # reason as minhash_signatures (this pair runs inside the
+    # streaming funnel's processor every micro-batch)
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'key', concat({parts}))".format(
+            b=b,
+            parts=", ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
         )
-    return sigs.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        for b in range(bands)
+    )
+    return sigs.selectExpr(
+        id_col, f"explode(array({band_structs})) AS bk"
+    ).selectExpr(id_col, "bk.band AS band", "bk.key AS key")
 
 
 def lsh_candidate_pairs(

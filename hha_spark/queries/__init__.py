@@ -57,68 +57,56 @@ _MODULES = (
 )
 
 # Order is the driver's verification window: it oracle-checks the FIRST
-# 50 names yielded. Round-10 rotation (the r9 verdict's "Next round"
-# #1, COVERAGE.md "Registry rotation"): position 1 is the round-10
-# NEW gate stream_curation_compacted (live mid-stream minor fold
-# under the unchanged batch oracle — driver-verifies the compaction
-# reader-equivalence contract that was pytest-only). Positions 2-6
-# are the round-10 CODE-TOUCHED re-gates — the streaming funnel (rebuilt on
-# the tagged-union mega-probe + driver union-find + exchange-free
-# write), its batch twin and the two other consumers of the gopher
-# narrow-map rewrite (corpus_curation_pipeline, text_gopher_quality,
-# quality_gate_agreement), and stream_sessionize_disorder (its store
-# readers now pass explicit schemas and self-heal staged folds).
-# Positions 7-12: the six closure-family gates whose kernel changed
-# in the r9 second session AND again this round (raw-edge probe +
-# Arrow-table labels in operators/cluster.py) — dedup_clusters,
-# dedup_clusters_star, dedup_graph_pagerank, dedup_graph_triangles,
-# corpus_graph_cluster_mixture, dedup_canonical_pick. Positions
-# 13-15: the execution-knob-touched streaming gates carrying
-# r8-vintage rows (stream_sessionize_incremental,
-# stream_attribution_disorder, stream_dedup_incremental). Positions
-# 16-50: the r6-vintage tail (all remaining rows are r6; 47 total,
-# of which 3 already sit in the front) — the five streaming r6 rows
-# first (same store-reader change surface), then name order. Nine
-# r6 rows (multimodal_blob_stats, multimodal_frame_sample,
-# quality_classifier_trained, the six text_* rows) do not fit and
-# rotate in round 11; after a green r10 window max driver-row
-# staleness is 4 rounds for exactly those nine, <= 2 for everything
-# else.
+# 50 names yielded. Round-11 rotation (the r10 verdict's "Next round"
+# #1, plus this round's code-touched surface): positions 1-15 are the
+# gates whose RESULT VALUES changed this round — the MinHash kernel
+# now derives its 8 hash families as 8-hex-char slices of 2 salted
+# md5 digests (operators/dedup.py::minhash_signatures, 4x fewer md5
+# invocations; the oracle's _SIG_COLS mirrors the identical
+# expression), so every oracle-gated MinHash consumer needs a fresh
+# driver row. Positions 16-17: the two remaining consumers of the
+# gopher selectExpr rewrite (values identical, plan-construction
+# only; the funnel gates already sit in the front). Positions 18-26:
+# the nine r6-vintage rows the r10 verdict ordered first (4 rounds
+# stale, text.py touched again this round). Positions 27-31: the
+# five PQ-LUT/IVF-consumer ann gates whose operators/pq.py / ivf.py
+# changed after their r9 rows froze. Positions 32-35: the four
+# spike_events_* parity rows (r9-vintage; also re-adjudicates the
+# r10 control sweep's 1.4x blip — verdict finding #3). Positions
+# 36-50: the r7-vintage tail in name order (first 15 of 48; the
+# rest rotate in r12).
 # Names here that fall out of the registry are ignored defensively;
 # queries not listed follow in module order.
 _NEVER_CHECKED_FIRST = (
-    # -- position 1: the round-10 NEW gate, never driver-checked
-    #    (live mid-stream store compaction under the funnel oracle) --
-    "stream_curation_compacted",
-    # -- round-10 code-touched re-gates --
-    "stream_curation_funnel", "corpus_curation_pipeline",
-    "text_gopher_quality", "quality_gate_agreement",
-    "stream_sessionize_disorder",
-    # -- 6 closure-kernel re-gates (r8-vintage rows, kernel changed
-    #    after the r9 window froze and again this round) --
+    # -- 15 minhash-result-changed gates (sliced-digest kernel) --
+    "stream_curation_compacted", "stream_curation_funnel",
+    "corpus_curation_pipeline", "dedup_minhash_lsh",
+    "dedup_minhash_recall", "dedup_incremental",
+    "dedup_quality_survivors", "dedup_canonical_pick",
     "dedup_clusters", "dedup_clusters_star", "dedup_graph_pagerank",
-    "dedup_graph_triangles", "corpus_graph_cluster_mixture",
-    "dedup_canonical_pick",
-    # -- 3 knob-touched streaming gates (r8-vintage rows) --
-    "stream_sessionize_incremental", "stream_attribution_disorder",
-    "stream_dedup_incremental",
-    # -- r6-vintage tail: streaming rows first, then name order --
-    "stream_attribution_join", "stream_cms_heavy",
-    "stream_events_hopping", "stream_native_dedup",
-    "stream_temperature_mixture",
-    "ann_ivf_assign_incremental", "ann_sq8_recall", "ann_topk_cosine",
-    "ann_topk_ivf", "ann_topk_sq8", "bpe_merge_candidates",
-    "corpus_blocklist_scrub", "corpus_ccnet_buckets",
-    "corpus_cluster_mixture", "corpus_decontaminate",
-    "corpus_ngram_novelty", "corpus_semantic_decontaminate",
-    "corpus_stratified_sample", "corpus_strip_spans_incremental",
-    "corpus_temperature_mixture", "corpus_vocabulary",
-    "corpus_winnowing_fps", "dedup_containment",
-    "dedup_containment_incremental", "dedup_minhash_recall",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_trigram_jaccard",
-    "doc_array_features", "doc_fingerprint", "doc_top_terms",
-    "embedding_cosine_pairs", "embedding_health_report",
-    "events_asof_last_purchase", "knn_graph_mutual",
+    "dedup_graph_triangles", "dedup_text_embedding_drift",
+    "pretraining_corpus_selection", "stream_dedup_incremental",
+    # -- 2 gopher plan-rewrite consumers (values unchanged) --
+    "text_gopher_quality", "quality_gate_agreement",
+    # -- 9 r6-vintage rows (oldest in the registry; r10 verdict #1) --
+    "text_stats_docs", "text_langid", "text_quality",
+    "text_token_count", "text_bigram_lm_score", "text_bm25_topk",
+    "quality_classifier_trained", "multimodal_blob_stats",
+    "multimodal_frame_sample",
+    # -- 5 ann gates with post-freeze pq.py/ivf.py Arrow-frame rows --
+    "ann_topk_pq", "ann_topk_ivfpq_residual", "ann_two_stage_rerank",
+    "ann_topk_ivfpq", "ann_pq_recall",
+    # -- 4 spike parity rows (r9-vintage + the control-sweep blip) --
+    "spike_events_alerts", "spike_events_compare",
+    "spike_events_gated", "spike_events_net_rollup",
+    # -- r7-vintage tail, name order (15 of 48; rest rotate in r12) --
+    "approx_stats", "avg_qty_per_part", "corpus_dsir_weights",
+    "corpus_select_training", "corpus_train_val_test",
+    "customer_balance_quartiles", "customer_name_features",
+    "customer_order_stats", "customer_running_spend",
+    "customer_window_suite", "customers_without_orders",
+    "daily_activity_fulljoin", "dedup_survivors",
+    "distinct_parts_per_flag", "event_value_stats",
 )
 
 

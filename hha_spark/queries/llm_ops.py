@@ -353,8 +353,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     return _minhash_lsh_from(with_token_set(_docs(spark, sf_dir)))
 
 
+# mirrors operators/dedup.py::minhash_signatures — mh{i} is the min
+# over the i%4-th 8-hex-char slice of md5('s{i//4}|' || token); the
+# oracle inlines the md5 per lane (DuckDB has no cheap way to share
+# the digest array across lanes in one SELECT item list) but the
+# VALUES are identical to Spark's shared-digest form
 _SIG_COLS = ", ".join(
-    f"list_aggregate(list_transform(tokens, t -> md5('s{i}|' || t)), 'min') AS mh{i}"
+    f"list_aggregate(list_transform(tokens, "
+    f"t -> substring(md5('s{i // 4}|' || t), {1 + 8 * (i % 4)}, 8)), "
+    f"'min') AS mh{i}"
     for i in range(8)
 )
 _BANDS = " UNION ALL ".join(

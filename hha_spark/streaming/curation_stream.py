@@ -142,18 +142,42 @@ _WIDE_TYPES = {
 }
 
 
+# mega-probe tagged-union branch projections (see the processor):
+# static string tuples so each per-epoch branch is ONE selectExpr call
+_PROBE_RAW_EXPRS = (
+    "'raw' AS _k", "CAST(NULL AS long) AS u", "CAST(NULL AS long) AS v",
+    "source", "n",
+)
+_PROBE_CROSSED_EXPRS = (
+    "'crossed' AS _k", "CAST(NULL AS long) AS u",
+    "CAST(NULL AS long) AS v", "CAST(NULL AS string) AS source", "n",
+)
+_PROBE_EDGE_EXPRS = (
+    "'en' AS _k", "doc_id AS u", "doc_id_b AS v",
+    "CAST(NULL AS string) AS source", "CAST(NULL AS long) AS n",
+)
+_PROBE_LABEL_EXPRS = (
+    "'pl' AS _k", "doc_id AS u", "label AS v",
+    "CAST(NULL AS string) AS source", "CAST(NULL AS long) AS n",
+)
+
+
 def _wide(df: DataFrame, kind: str, **cols) -> DataFrame:
     """Project a kind's frame onto the unified store schema; columns
-    not in `cols` become typed nulls."""
+    not in `cols` become typed nulls. selectExpr strings, not Column
+    objects: six _wide branches run per streaming epoch, and ~11
+    typed-null casts each is exactly the per-epoch py4j construction
+    chatter the build timer flagged (column names here are
+    module-internal identifiers, never user input)."""
     exprs = [
         (
-            F.col(cols[name])
+            f"{cols[name]} AS {name}"
             if name in cols
-            else F.lit(None).cast(dtype)
-        ).alias(name)
+            else f"CAST(NULL AS {dtype}) AS {name}"
+        )
         for name, dtype in _WIDE_TYPES.items()
     ]
-    return df.select(*exprs, F.lit(kind).alias("kind"))
+    return df.selectExpr(*exprs, f"'{kind}' AS kind")
 
 
 def _uf_labels(spark: SparkSession, pairs: list) -> DataFrame:
@@ -295,61 +319,73 @@ def make_curation_funnel_processor(
         # (weight 1 each) and aggregate — replaces the previous
         # [groupBy new + full_outer join prev] two-exchange shape
         bcnt = (
-            prev_bcnt.select(
-                "band",
-                "key",
-                F.col("n_prev").cast("long").alias("_c"),
-                F.lit(1).alias("_is_prev"),
+            prev_bcnt.selectExpr(
+                "band", "key", "CAST(n_prev AS long) AS _c",
+                "1 AS _is_prev",
             )
             .unionByName(
-                bands_new.select(
-                    "band",
-                    "key",
-                    F.lit(1).cast("long").alias("_c"),
-                    F.lit(0).alias("_is_prev"),
+                bands_new.selectExpr(
+                    "band", "key", "CAST(1 AS long) AS _c",
+                    "0 AS _is_prev",
                 )
             )
             .groupBy("band", "key")
             .agg(
-                F.sum(F.when(F.col("_is_prev") == 1, F.col("_c")).otherwise(0))
-                .cast("long")
-                .alias("n_prev"),
-                F.sum("_c").cast("long").alias("n"),
+                F.expr(
+                    "CAST(sum(IF(_is_prev = 1, _c, 0)) AS long)"
+                    " AS n_prev"
+                ),
+                F.expr("CAST(sum(_c) AS long) AS n"),
             )
             .persist()
         )
-        under = bcnt.where(F.col("n") <= cap).select("band", "key")
-        all_bands = bands_hist.unionByName(bands_new)
+        under = bcnt.where(f"n <= {cap}").select("band", "key")
+        # candidates split by pair provenance instead of the previous
+        # [join against hist+new, least/greatest, distinct] shape:
+        # a new-new pair surfaces exactly once through doc_id < _other
+        # and a new-hist pair exactly once because hist docs are never
+        # on the left — so the distinct (a full exchange of the
+        # candidate set, the widest frame in the epoch) is dropped.
+        # Same pair set: the old shape produced new-new pairs twice
+        # (both orderings -> same least/greatest row) and new-hist
+        # once; hist-hist never (left side is bands_new in both).
+        bn_ok = bands_new.join(under, ["band", "key"], "left_semi")
         cand = (
-            bands_new.join(under, ["band", "key"], "left_semi")
-            .join(
-                all_bands.withColumnRenamed("doc_id", "_other"),
+            bn_ok.join(
+                bands_new.withColumnRenamed("doc_id", "_other"),
                 ["band", "key"],
             )
-            .where(F.col("doc_id") != F.col("_other"))
-            .select(
-                F.least("doc_id", "_other").alias("doc_id_a"),
-                F.greatest("doc_id", "_other").alias("doc_id_b"),
-                "band",
-                "key",
+            .where("doc_id < _other")
+            .selectExpr(
+                "doc_id AS doc_id_a", "_other AS doc_id_b",
+                "band", "key",
             )
-            .distinct()
+            .unionByName(
+                bn_ok.join(
+                    bands_hist.withColumnRenamed("doc_id", "_other"),
+                    ["band", "key"],
+                )
+                .where("doc_id != _other")
+                .selectExpr(
+                    "least(doc_id, _other) AS doc_id_a",
+                    "greatest(doc_id, _other) AS doc_id_b",
+                    "band", "key",
+                )
+            )
         )
         toks_all = docs_hist.select("doc_id", "tokens").unionByName(
             qdocs.select("doc_id", "tokens")
         )
         edges_new = (
             cand.join(
-                toks_all.select(
-                    F.col("doc_id").alias("doc_id_a"),
-                    F.col("tokens").alias("_ta"),
+                toks_all.selectExpr(
+                    "doc_id AS doc_id_a", "tokens AS _ta"
                 ),
                 "doc_id_a",
             )
             .join(
-                toks_all.select(
-                    F.col("doc_id").alias("doc_id_b"),
-                    F.col("tokens").alias("_tb"),
+                toks_all.selectExpr(
+                    "doc_id AS doc_id_b", "tokens AS _tb"
                 ),
                 "doc_id_b",
             )
@@ -360,14 +396,11 @@ def make_curation_funnel_processor(
             # two (array_union allocates a merged array per pair;
             # the verify join is the candidate-volume hot path)
             .where(
-                F.lit(17) * F.size(F.array_intersect("_ta", "_tb"))
-                >= F.lit(7) * (F.size("_ta") + F.size("_tb"))
+                "17 * size(array_intersect(_ta, _tb))"
+                " >= 7 * (size(_ta) + size(_tb))"
             )
-            .select(
-                F.col("doc_id_a").alias("doc_id"),
-                "doc_id_b",
-                "band",
-                "key",
+            .selectExpr(
+                "doc_id_a AS doc_id", "doc_id_b", "band", "key"
             )
             .persist()
         )
@@ -401,53 +434,38 @@ def make_curation_funnel_processor(
             # under-filtered edge history + new edges (new edges are
             # generated only for under-cap buckets of the SAME merged
             # counts, so re-filtering them is a no-op).
-            nul = F.lit(None)
             probe_cap = SMALL_GRAPH_EDGES
-            tbl = (
+            # branch selects as selectExpr strings (module constants
+            # below) — the same per-epoch py4j-construction trim as
+            # _wide; each branch is one call instead of ~15
+            probe_df = (
                 batch.groupBy("source")
-                .agg(F.count(F.lit(1)).cast("long").alias("n"))
-                .select(
-                    F.lit("raw").alias("_k"),
-                    nul.cast("long").alias("u"),
-                    nul.cast("long").alias("v"),
-                    "source",
-                    "n",
-                )
+                .agg(F.expr("CAST(count(1) AS long) AS n"))
+                .selectExpr(*_PROBE_RAW_EXPRS)
                 .unionByName(
                     bcnt.where(
-                        (F.col("n_prev") >= 2)
-                        & (F.col("n_prev") <= cap)
-                        & (F.col("n") > cap)
+                        f"n_prev >= 2 AND n_prev <= {cap} AND n > {cap}"
                     )
-                    .agg(F.count(F.lit(1)).cast("long").alias("n"))
-                    .select(
-                        F.lit("crossed").alias("_k"),
-                        nul.cast("long").alias("u"),
-                        nul.cast("long").alias("v"),
-                        nul.cast("string").alias("source"),
-                        "n",
+                    .agg(F.expr("CAST(count(1) AS long) AS n"))
+                    .selectExpr(*_PROBE_CROSSED_EXPRS)
+                )
+                .unionByName(
+                    edges_new.limit(probe_cap + 1).selectExpr(
+                        *_PROBE_EDGE_EXPRS
                     )
                 )
                 .unionByName(
-                    edges_new.limit(probe_cap + 1).select(
-                        F.lit("en").alias("_k"),
-                        F.col("doc_id").alias("u"),
-                        F.col("doc_id_b").alias("v"),
-                        nul.cast("string").alias("source"),
-                        nul.cast("long").alias("n"),
+                    prev_labels.limit(probe_cap + 1).selectExpr(
+                        *_PROBE_LABEL_EXPRS
                     )
                 )
-                .unionByName(
-                    prev_labels.limit(probe_cap + 1).select(
-                        F.lit("pl").alias("_k"),
-                        F.col("doc_id").alias("u"),
-                        F.col("label").alias("v"),
-                        nul.cast("string").alias("source"),
-                        nul.cast("long").alias("n"),
-                    )
-                )
-                .toArrow()
             )
+            # split the probe timer at the action boundary: t_build is
+            # the driver-side cost (py4j plan construction of the
+            # whole epoch body, dominated by expression-tree chatter),
+            # t_cross_probe the JVM analyze+execute of the one action
+            t = _clock("t_build", t)
+            tbl = probe_df.toArrow()
             ks = tbl.column("_k").to_pylist()
             ns = tbl.column("n").to_pylist()
             raw_local = [

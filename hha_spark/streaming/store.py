@@ -238,14 +238,26 @@ def compact_store(
             kind = d.split("=", 1)[1]
             by_kind.setdefault(kind, []).append(f"{store_root}/v{v}/{d}")
 
-    # step 1: build the merged staging dirs — one small write per
-    # kind; coalesce(1) because a folded history stub is bounded by
-    # what the stream already materialized once (at larger volumes
-    # raise the target partition count, the protocol is unchanged)
-    for kind, dirs in by_kind.items():
-        spark.read.parquet(*dirs).coalesce(1).write.parquet(
-            f"{staging}/kind={kind}"
-        )
+    # step 1: build the merged staging dirs in ONE schema-inference
+    # read plus ONE kind-partitioned write, not a read+write job pair
+    # per kind (4 kinds cost 8 jobs ≈ 0.6 s of fixed overhead per
+    # fold at gate scale). Every store flavor writes its versions as
+    # a single unified-wide frame partitioned by kind, so all kind
+    # dirs of a version share one parquet schema and the first dir's
+    # inferred schema binds them all; partitionBy("kind") re-emits
+    # the same kind=<k> staging layout the per-kind writes produced.
+    # coalesce(1) because a folded history stub is bounded by what
+    # the stream already materialized once (at larger volumes raise
+    # the target partition count, the protocol is unchanged).
+    kinds = sorted(by_kind)
+    unified_schema = spark.read.parquet(by_kind[kinds[0]][0]).schema
+    merged = None
+    for kind in kinds:
+        frame = spark.read.schema(unified_schema).parquet(
+            *by_kind[kind]
+        ).selectExpr("*", f"'{kind}' AS kind")
+        merged = frame if merged is None else merged.unionByName(frame)
+    merged.coalesce(1).write.partitionBy("kind").parquet(staging)
     # step 2: marker — staging is complete from here on. Written to a
     # tmp name and renamed into place: fs.create makes a zero-length
     # file immediately, so a direct write crashed mid-way would leave

@@ -381,22 +381,60 @@ def test_over_envelope_fallback_on_crossing_epoch(spark, tmp_path, monkeypatch):
     )
     assert stats.get("recomputes", 0) >= 1, stats
     assert stats.get("closure_fallbacks", 0) >= 1, stats
-    from hha_spark.operators.corpus import funnel_rollup  # noqa: F401
-    from hha_spark.queries.corpus import BUDGET_PCT, FILL_SALT  # noqa: F401
 
     streamed = _rollup(final_curation_funnel(spark, store_root=store))
-    # batch twin with the same cap: rebuild via curation_funnel is
-    # cap-fixed at MAX_LSH_BUCKET, so compare against a manual batch
-    # run of the same chain with max_bucket=2 — the stream processor
-    # IS the only cap-parameterized entry; instead assert the
-    # revocation outcome directly: all three near-dups survive as
-    # their own keepers (the over-cap bucket generated no pairs)
-    labels = {
+    # batch twin with the same cap, computed here from the operators
+    # (curation_funnel is cap-fixed at MAX_LSH_BUCKET; the stream
+    # processor is the only cap-parameterized entry): under-cap
+    # buckets of the FULL corpus -> verified pairs -> min-label
+    # union-find. This is hash-geometry robust — it asserts the real
+    # invariant (stream labels == batch-capped labels) instead of a
+    # hardcoded collision pattern that breaks whenever the minhash
+    # kernel changes values.
+    from hha_spark.operators.dedup import (
+        band_keys,
+        minhash_signatures,
+        with_token_set,
+    )
+
+    docs = with_token_set(spark.createDataFrame(rows, SCHEMA))
+    bands = band_keys(minhash_signatures(docs)).collect()
+    from collections import Counter, defaultdict
+
+    bucket_n = Counter((r.band, r.key) for r in bands)
+    members = defaultdict(list)
+    for r in bands:
+        if bucket_n[(r.band, r.key)] <= 2:  # the gate's max_bucket
+            members[(r.band, r.key)].append(r.doc_id)
+    toks = {r.doc_id: set(r.tokens) for r in docs.collect()}
+    parent = {d: d for d in toks}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edge_nodes = set()
+    for ids in members.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                ia, ib = toks[a], toks[b]
+                ix = len(ia & ib)
+                if 17 * ix >= 7 * (len(ia) + len(ib)):
+                    edge_nodes |= {a, b}
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    # a label row exists exactly for docs incident to a verified
+    # edge (the union-find kernel labels every edge endpoint)
+    batch_labels = {(d, find(d)) for d in edge_nodes}
+    stream_labels = {
         (r.doc_id, r.label)
         for r in _read_versioned(spark, store, _CUR_STORE_SCHEMA)
         .where(F.col("kind") == _K_LABEL)
         .select("doc_id", "label")
         .collect()
     }
-    assert not any(a != b for a, b in labels), labels
+    assert stream_labels == batch_labels, (stream_labels, batch_labels)
     assert len(streamed) > 0

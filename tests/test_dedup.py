@@ -98,6 +98,36 @@ def test_minhash_identical_docs_share_all_bands(spark):
     assert rows[1] != rows[4]
 
 
+def test_minhash_digest_not_reexpanded(spark):
+    """The 2 salted md5 digest arrays must stay a materialized
+    projection: if CollapseProject ever inlines them into the 8 lane
+    consumers, the optimized plan re-expands to 8 md5 transforms per
+    token and the 4x hash-cost cut silently evaporates (values stay
+    right, so only a plan assert catches it)."""
+    docs = with_token_set(docs_df(spark))
+    sigs = minhash_signatures(docs, num_hashes=8)
+    plan = sigs._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") == 2, plan
+
+
+def test_minhash_lanes_are_digest_slices(spark):
+    """mh{i} == min over substring(md5('s{i//4}|'||t), 1+8*(i%4), 8)
+    — the exact expression the DuckDB oracle inlines per lane."""
+    import hashlib
+
+    docs = with_token_set(docs_df(spark))
+    row = minhash_signatures(docs, num_hashes=8).where("doc_id = 1").first()
+    toks = row["tokens"]
+    for i in range(8):
+        expect = min(
+            hashlib.md5(f"s{i // 4}|{t}".encode()).hexdigest()[
+                8 * (i % 4): 8 * (i % 4) + 8
+            ]
+            for t in toks
+        )
+        assert row[f"mh{i}"] == expect, (i, row[f"mh{i}"], expect)
+
+
 def test_lsh_candidates_catch_exact_dups(spark):
     docs = with_token_set(docs_df(spark))
     sigs = minhash_signatures(docs, num_hashes=8)
