@@ -279,6 +279,100 @@ def _stream_funnel_probe(spark, docs: DataFrame, k: int) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _stream_funnel_compacted_probe(spark, docs: DataFrame, k: int) -> DataFrame:
+    """Live store compaction under K-scaled DATA (r10 verdict "Next
+    round" #5): the epoch-axis probe fixes data size and scales
+    epochs; the deep-K funnel probe scales data with compaction off.
+    This one closes the matrix — 6 md5-sliced batches of the
+    K-scaled corpus with compact_every=1, so real minor folds fire
+    mid-stream (after epochs 3 and 5: a fold needs >= 2 unmarked
+    stubs below the newest two) while per-epoch data grows with K.
+    EXTRA records each fold's wall clock and the version-dir count
+    before/after — the LSM amortization claim is that fold wall
+    tracks the folded HISTORY volume (~K) and dirs stay bounded,
+    with the flush still reading the folded store correctly (the
+    returned rollup is the probe's row-count check)."""
+    import shutil
+    import tempfile
+
+    from hha_spark.operators.sketch import md5_mod
+    from hha_spark.sources import fs
+    from hha_spark.streaming.curation_stream import (
+        final_curation_funnel,
+        make_curation_funnel_processor,
+    )
+
+    batches = [
+        docs.select("doc_id", "source", "text")
+        .where(
+            md5_mod("funnelcprobe|", F.col("doc_id").cast("string"), 6)
+            == i
+        )
+        .localCheckpoint(eager=True)
+        for i in range(6)
+    ]
+    stats: dict = {}
+    tmp = tempfile.mkdtemp(prefix="hha_probe_funnelc_")
+
+    def _dirs() -> int:
+        try:
+            return len(
+                [
+                    d
+                    for d in fs.listdir(spark, f"{tmp}/store")
+                    if d.startswith("v")
+                ]
+            )
+        except Exception:  # noqa: BLE001 — store not created yet
+            return 0
+
+    try:
+        proc = make_curation_funnel_processor(
+            spark,
+            store_root=f"{tmp}/store",
+            stats=stats,
+            compact_every=1,
+        )
+        folds: list[dict] = []
+        t0 = time.perf_counter()
+        for e, b in enumerate(batches):
+            before_wall = stats.get("t_compact", 0.0)
+            before_folds = stats.get("compactions", 0)
+            dirs_before = _dirs()
+            proc(b, e)
+            if stats.get("compactions", 0) > before_folds:
+                folds.append(
+                    {
+                        "epoch": e,
+                        "fold_wall_sec": round(
+                            stats.get("t_compact", 0.0) - before_wall, 3
+                        ),
+                        "dirs_before": dirs_before + 1,  # incl. v{e}
+                        "dirs_after": _dirs(),
+                    }
+                )
+        stream_wall = time.perf_counter() - t0
+        out = final_curation_funnel(spark, store_root=f"{tmp}/store")
+        detached = spark.createDataFrame(out.collect(), out.schema)
+        EXTRA["stream_funnel_compacted"] = {
+            "stream_wall_sec": round(stream_wall, 3),
+            "folds": folds,
+            "phases": {
+                n: round(v, 3)
+                for n, v in stats.items()
+                if isinstance(v, float)
+            },
+            "epochs": stats.get("epochs"),
+            "compactions": stats.get("compactions", 0),
+            "closure_fallbacks": stats.get("closure_fallbacks", 0),
+        }
+        return detached
+    finally:
+        for b in batches:
+            b.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _funnel_epoch_axis_probe(spark, k: int) -> DataFrame:
     """Rewrite-cost growth of the funnel's two REWRITTEN store kinds
     (bcnt, label) on the EPOCH axis — r9 verdict "Next round" #6.
@@ -615,6 +709,11 @@ def probes(spark, k: int):
         # K-scaled batches: per-phase timers + state rows in EXTRA
         # (r9 verdict "Next round" #5)
         "stream_funnel": lambda: _stream_funnel_probe(spark, docs, k),
+        # live minor folds (compact_every=1) under K-scaled data —
+        # per-fold wall + dirs before/after in EXTRA (r10 verdict #5)
+        "stream_funnel_compacted": lambda: _stream_funnel_compacted_probe(
+            spark, docs, k
+        ),
         # rewrite-cost growth of the bcnt/label state kinds on the
         # EPOCH axis (fixed batch, growing corpus) — r9 verdict #6
         "funnel_epoch_axis": lambda: _funnel_epoch_axis_probe(spark, k),
