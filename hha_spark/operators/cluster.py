@@ -67,9 +67,10 @@ DEFAULT_MAX_ROUNDS = 50
 SMALL_GRAPH_EDGES = 500_000
 
 
-def _union_find_arrow(spark, tbl, node_type) -> DataFrame:
+def _min_label_table(tbl):
     """Min-label closure of a SMALL collected Arrow edge table
-    (column 0 = src, column 1 = dst), computed on the driver.
+    (column 0 = src, column 1 = dst), computed on the driver;
+    returns a (node, label) Arrow table with the input's id type.
 
     Union-by-min-root + path compression: the root of every set is
     the minimum id seen in it, so labels equal the distributed
@@ -101,26 +102,36 @@ def _union_find_arrow(spark, tbl, node_type) -> DataFrame:
             parent[rb] = ra  # larger root under smaller -> root == min
 
     import pyarrow as pa
-    from pyspark.sql.types import StructField, StructType
 
-    # Return the labels as an ARROW table, not a Python list:
-    # createDataFrame(list) parallelizes into defaultParallelism
-    # pickled slices whose per-row Python verification re-runs in
-    # every downstream job — measured 4-8 s (vs ~0.2 s via Arrow)
-    # when a consumer coalesces the frame into one task, as the
-    # funnel's exchange-free store write does. The Arrow path
-    # round-trips through the same columnar layout the probe
-    # collected, so types match `node_type` exactly.
     nodes = list(parent)
     arrow_t = tbl.schema.field(0).type
-    out = pa.table(
+    return pa.table(
         {
             "node": pa.array(nodes, arrow_t),
             "label": pa.array([find(n) for n in nodes], arrow_t),
         }
     )
+
+
+def _union_find_arrow(spark, tbl, node_type) -> DataFrame:
+    """_min_label_table as a driver-local Spark frame.
+
+    The labels go back as an ARROW table, not a Python list:
+    createDataFrame(list) parallelizes into defaultParallelism
+    pickled slices whose per-row Python verification re-runs in
+    every downstream job — measured 4-8 s (vs ~0.2 s via Arrow)
+    when a consumer coalesces the frame into one task, as the
+    funnel's exchange-free store write does. The Arrow path
+    round-trips through the same columnar layout the probe
+    collected, so types match `node_type` exactly. NOTE the result
+    is a LocalTableScan — every job that references it embeds the
+    data in its task binary; a caller that holds GROWING label state
+    across many jobs (the streaming funnel's epoch axis) must spill
+    past a threshold instead (curation_stream.py::_uf_labels)."""
+    from pyspark.sql.types import StructField, StructType
+
     return spark.createDataFrame(
-        out,
+        _min_label_table(tbl),
         StructType(
             [StructField("node", node_type), StructField("label", node_type)]
         ),

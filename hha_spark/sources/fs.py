@@ -72,6 +72,26 @@ def write_text(spark: SparkSession | None, path: str, content: str) -> None:
         out.close()
 
 
+def write_bytes(spark: SparkSession | None, path: str, data: bytes) -> None:
+    """Create (overwrite) a small binary file from driver memory —
+    e.g. a driver-serialized parquet buffer that executors then read
+    back as a normal scan (streaming/curation_stream.py label spill).
+    One py4j call carries the whole payload; parent dirs are created
+    by Hadoop's create(). Bounded by the caller's envelope (the spill
+    sites cap at the union-find envelope, ~10 MB)."""
+    if spark is None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+        return
+    fs, p = _fs_and_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
 def read_text(spark: SparkSession | None, path: str) -> str:
     """Read a small text file written by write_text."""
     if spark is None:

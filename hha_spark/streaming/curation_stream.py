@@ -180,16 +180,42 @@ def _wide(df: DataFrame, kind: str, **cols) -> DataFrame:
     return df.selectExpr(*exprs, f"'{kind}' AS kind")
 
 
-def _uf_labels(spark: SparkSession, pairs: list) -> DataFrame:
+# Above this many label rows, the epoch's driver-computed labels are
+# written to a scratch parquet under the store and read back as a
+# normal scan instead of riding the plan as a LocalTableScan literal.
+# The literal embeds the WHOLE label table into every referencing
+# job's task binary — fine at gate scale, but label state is
+# CUMULATIVE, so on a long stream each epoch's write job broadcasts
+# an ever-growing task binary (measured: ~4 MB binaries and a driver
+# broadcast-build OOM at 8g after ~4000 stages on the 96-epoch
+# scale-probe axis). 50k rows ≈ 1 MB Arrow — below it the literal is
+# cheaper than a file round-trip; above it the spill caps task-binary
+# size at O(1) regardless of stream age.
+LABEL_SPILL_ROWS = 50_000
+
+_LABEL_SPILL_SCHEMA = "node long, label long"
+
+
+def _uf_labels(
+    spark: SparkSession, pairs: list, *, spill_path: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
     """Driver union-find over collected (u, v) long pairs — the same
     min-label kernel the closure operator's small path runs
-    (operators/cluster.py::_union_find_arrow), fed directly from the
-    epoch probe's Arrow columns so no second limit-probe job runs."""
+    (operators/cluster.py::_min_label_table), fed directly from the
+    epoch probe's Arrow columns so no second limit-probe job runs.
+
+    With `spill_path`, a result over LABEL_SPILL_ROWS is serialized
+    on the driver (pyarrow parquet buffer) and written through the
+    store's own Hadoop FileSystem (sources/fs.py::write_bytes — local,
+    HDFS, and object stores alike), then returned as a parquet scan:
+    zero label bytes in any task binary, at the cost of one small
+    file round-trip on the epochs that exceed the threshold."""
     import pyarrow as pa
 
     from pyspark.sql.types import LongType
 
-    from hha_spark.operators.cluster import _union_find_arrow
+    from hha_spark.operators.cluster import _min_label_table
 
     tbl = pa.table(
         {
@@ -197,7 +223,31 @@ def _uf_labels(spark: SparkSession, pairs: list) -> DataFrame:
             "v": pa.array([p[1] for p in pairs], pa.int64()),
         }
     )
-    return _union_find_arrow(spark, tbl, LongType())
+    out = _min_label_table(tbl)
+    if spill_path is None or out.num_rows <= LABEL_SPILL_ROWS:
+        from pyspark.sql.types import StructField, StructType
+
+        return spark.createDataFrame(
+            out,
+            StructType(
+                [
+                    StructField("node", LongType()),
+                    StructField("label", LongType()),
+                ]
+            ),
+        )
+    import pyarrow.parquet as pq
+
+    from hha_spark.sources import fs
+
+    buf = pa.BufferOutputStream()
+    pq.write_table(out, buf)
+    fs.write_bytes(
+        spark, f"{spill_path}/part-0.parquet", buf.getvalue().to_pybytes()
+    )
+    if stats is not None:
+        stats["label_spills"] = stats.get("label_spills", 0) + 1
+    return spark.read.schema(_LABEL_SPILL_SCHEMA).parquet(spill_path)
 
 
 def make_curation_funnel_processor(
@@ -521,9 +571,16 @@ def make_curation_funnel_processor(
                                 )
                             )
                             + en_pairs,
+                            spill_path=f"{store_root}/spill/e{epoch}",
+                            stats=stats,
                         )
                 else:
-                    labels = _uf_labels(spark, pl_pairs + en_pairs)
+                    labels = _uf_labels(
+                        spark,
+                        pl_pairs + en_pairs,
+                        spill_path=f"{store_root}/spill/e{epoch}",
+                        stats=stats,
+                    )
             if labels is None:
                 # over-envelope fallback: the distributed closure on
                 # the exact same logical inputs
@@ -646,6 +703,15 @@ def make_curation_funnel_processor(
                 current_epoch=epoch,
                 prune_kinds=(_K_BCNT, _K_LABEL),
             )
+            # the epoch's label spill (if any) was consumed by the
+            # write action above; the store's kind=label partition is
+            # now the durable copy, so the scratch dir goes. A crash
+            # before this delete just leaves a dir the next epoch's
+            # spill overwrites — readers never see it (_state_versions
+            # matches only v<digits> dirs).
+            from hha_spark.sources import fs as _fs
+
+            _fs.delete(spark, f"{store_root}/spill")
             t = _clock("t_prune", t)
             if compact_every and (epoch + 1) % compact_every == 0:
                 from hha_spark.streaming.store import (

@@ -321,6 +321,52 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
     assert after == before
 
 
+def test_label_spill_equals_batch(spark, tmp_path, monkeypatch):
+    """Force LABEL_SPILL_ROWS to 0 so EVERY epoch's driver-computed
+    labels take the write-then-read-back spill (parquet under
+    store/spill/ instead of a LocalTableScan literal in the write
+    job's task binary — the epoch-axis scale fix): the flush must
+    equal the batch funnel exactly, the spill counter must prove the
+    path ran, and the scratch dir must be cleaned after each epoch's
+    write."""
+    import hha_spark.streaming.curation_stream as cs
+    from hha_spark.queries.corpus import curation_funnel
+
+    monkeypatch.setattr(cs, "LABEL_SPILL_ROWS", 0)
+    rows = [
+        (1, "a", _doc_text(100)),
+        (2, "a", _doc_text(100)),            # exact dup of 1
+        (9, "b", _doc_text(100, mutate=1)),  # near dup of 1 (batch 1)
+        (3, "a", _doc_text(200)),
+        (4, "b", _doc_text(300)),
+        (5, "b", "short doc"),               # gopher reject
+        (6, "c", _doc_text(400)),
+    ]
+    batches = [
+        [rows[1], rows[3], rows[5]],
+        [rows[0], rows[2], rows[4], rows[6]],
+    ]
+    stats: dict = {}
+    store = _run_stream(spark, tmp_path, batches, stats=stats)
+    assert stats.get("label_spills", 0) >= 1, stats
+    assert stats.get("closure_fallbacks", 0) == 0, stats  # small path
+    assert not os.path.exists(f"{store}/spill")  # scratch cleaned
+    streamed = _rollup(final_curation_funnel(spark, store_root=store))
+    batch = _rollup(curation_funnel(spark.createDataFrame(rows, SCHEMA)))
+    assert streamed == batch
+    # the spilled labels are durable in the store's label kind and
+    # still carry the cross-batch merge (doc 2 from batch 0 and doc 9
+    # from batch 1 both resolve to keeper 1)
+    labels = {
+        (r.doc_id, r.label)
+        for r in _read_versioned(spark, store, _CUR_STORE_SCHEMA)
+        .where(F.col("kind") == _K_LABEL)
+        .select("doc_id", "label")
+        .collect()
+    }
+    assert (2, 1) in labels and (9, 1) in labels
+
+
 def test_over_envelope_fallback_equals_batch(spark, tmp_path, monkeypatch):
     """Force the mega-probe's envelope down to 1 edge so every epoch
     with real edges takes the DISTRIBUTED fallback (and the closure
