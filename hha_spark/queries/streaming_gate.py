@@ -1446,3 +1446,83 @@ QUERIES["stream_curation_compacted"] = stream_curation_compacted
 ORACLES["stream_curation_compacted"] = _CORPUS_ORACLES[
     "corpus_curation_pipeline"
 ]
+
+
+def stream_curation_spilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming curation funnel with the LABEL SPILL forced on
+    (`label_spill_rows=0`): every epoch's driver-computed cluster
+    labels are serialized to parquet through the store's Hadoop
+    FileSystem and read back as a normal scan instead of riding the
+    write job's task binary as a LocalTableScan literal
+    (streaming/curation_stream.py::_uf_labels). Oracle: verbatim the
+    batch corpus_curation_pipeline oracle. What this gate
+    driver-verifies that stream_curation_funnel cannot: the spilled
+    label frame — a different PHYSICAL source feeding the store
+    write and therefore everything the final flush reads — is
+    value-identical to the literal path. The spill is the long-lived
+    -deployment scale fix (label state is cumulative, so on a
+    months-old stream the literal grows each epoch's task binary
+    without bound; measured ~4 MB binaries and a driver
+    broadcast-build OOM at 8g after ~4000 stages on the 96-epoch
+    probe axis), so the gate pins production semantics, not a test
+    convenience.
+
+    Scale: identical to stream_curation_funnel plus one driver-side
+    Arrow-parquet serialize + one small file round-trip per epoch —
+    O(labels) bytes written once, never re-broadcast per stage.
+    """
+    from hha_spark.operators.sketch import md5_mod
+    from hha_spark.queries.corpus import BUDGET_PCT, FILL_SALT
+    from hha_spark.streaming.curation_stream import (
+        final_curation_funnel,
+        run_streaming_curation,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    stats: dict = {}
+    # width 4, AQE off — same sweep-backed knobs as
+    # stream_curation_funnel (see its comment)
+    with _gate_scratch("hha_stream_curs_") as tmp, _gate_shuffle(
+        spark, partitions="4", aqe="false"
+    ):
+        in_dir = _write_file_slices(
+            docs,
+            md5_mod("curslice|", F.col("doc_id").cast("string"), 3),
+            tmp,
+            3,
+        )
+        q = run_streaming_curation(
+            spark,
+            data_root=in_dir,
+            schema="doc_id long, source string, text string",
+            store_root=f"{tmp}/store",
+            checkpoint=f"{tmp}/ckpt",
+            max_files_per_trigger=2,
+            available_now=True,
+            stats=stats,
+            label_spill_rows=0,
+        )
+        q.awaitTermination()
+        # explicit raise, not assert: the spill-fired invariant is
+        # the reason this gate exists (`python -O` strips asserts)
+        if stats.get("label_spills", 0) < 1:
+            raise RuntimeError(
+                "gate fixture no longer exercises the label spill: "
+                f"{stats}"
+            )
+        out = final_curation_funnel(
+            spark,
+            store_root=f"{tmp}/store",
+            budget_frac_pct=BUDGET_PCT,
+            salt=FILL_SALT,
+        )
+        # collected before the gate's scratch directories vanish
+        return spark.createDataFrame(out.collect(), _CUR_ROLLUP_SCHEMA)
+
+
+QUERIES["stream_curation_spilled"] = stream_curation_spilled
+# the spill changes the labels' physical SOURCE, never any value:
+# the batch curation pipeline's oracle is verbatim this gate's oracle
+ORACLES["stream_curation_spilled"] = _CORPUS_ORACLES[
+    "corpus_curation_pipeline"
+]

@@ -186,31 +186,39 @@ def _wide(df: DataFrame, kind: str, **cols) -> DataFrame:
 # The literal embeds the WHOLE label table into every referencing
 # job's task binary — fine at gate scale, but label state is
 # CUMULATIVE, so on a long stream each epoch's write job broadcasts
-# an ever-growing task binary (measured: ~4 MB binaries and a driver
-# broadcast-build OOM at 8g after ~4000 stages on the 96-epoch
-# scale-probe axis). 50k rows ≈ 1 MB Arrow — below it the literal is
-# cheaper than a file round-trip; above it the spill caps task-binary
-# size at O(1) regardless of stream age.
-LABEL_SPILL_ROWS = 50_000
+# an ever-growing task binary. Sizing is based on the SERIALIZED
+# task-binary cost, not Arrow bytes: the 96-epoch scale-probe axis
+# measured ~90 B per label row in the stage binary (~4 MB at ~45k
+# rows, with a driver broadcast-build OOM at 8g after ~4000 such
+# stages — the per-stage binaries are themselves TorrentBroadcasts
+# and outlive the stage on the driver's BlockManager). 5k rows keeps
+# every binary under ~450 KB (below Spark's 1000 KiB task-size
+# warning) while gate-scale streams (hundreds to ~3k labels at
+# sf0.1) stay on the cheaper literal path; past it the one-file
+# round-trip caps task-binary size at O(1) regardless of stream age.
+LABEL_SPILL_ROWS = 5_000
 
 _LABEL_SPILL_SCHEMA = "node long, label long"
 
 
 def _uf_labels(
     spark: SparkSession, pairs: list, *, spill_path: str | None = None,
-    stats: dict | None = None,
+    stats: dict | None = None, label_spill_rows: int | None = None,
 ) -> DataFrame:
     """Driver union-find over collected (u, v) long pairs — the same
     min-label kernel the closure operator's small path runs
     (operators/cluster.py::_min_label_table), fed directly from the
     epoch probe's Arrow columns so no second limit-probe job runs.
 
-    With `spill_path`, a result over LABEL_SPILL_ROWS is serialized
-    on the driver (pyarrow parquet buffer) and written through the
-    store's own Hadoop FileSystem (sources/fs.py::write_bytes — local,
-    HDFS, and object stores alike), then returned as a parquet scan:
-    zero label bytes in any task binary, at the cost of one small
-    file round-trip on the epochs that exceed the threshold."""
+    With `spill_path`, a result over the spill threshold
+    (`label_spill_rows`, default the module's LABEL_SPILL_ROWS — the
+    constant resolves at CALL time so tests and gates can lower it)
+    is serialized on the driver (pyarrow parquet buffer) and written
+    through the store's own Hadoop FileSystem
+    (sources/fs.py::write_bytes — local, HDFS, and object stores
+    alike), then returned as a parquet scan: zero label bytes in any
+    task binary, at the cost of one small file round-trip on the
+    epochs that exceed the threshold."""
     import pyarrow as pa
 
     from pyspark.sql.types import LongType
@@ -224,7 +232,10 @@ def _uf_labels(
         }
     )
     out = _min_label_table(tbl)
-    if spill_path is None or out.num_rows <= LABEL_SPILL_ROWS:
+    threshold = (
+        LABEL_SPILL_ROWS if label_spill_rows is None else label_spill_rows
+    )
+    if spill_path is None or out.num_rows <= threshold:
         from pyspark.sql.types import StructField, StructType
 
         return spark.createDataFrame(
@@ -258,6 +269,7 @@ def make_curation_funnel_processor(
     stats: dict | None = None,
     compact_every: int | None = None,
     kind_partitions: int = 1,
+    label_spill_rows: int | None = None,
 ):
     """Per-micro-batch body (see module docstring for the design and
     the bucket-cap reconciliation argument). TWO actions per epoch on
@@ -573,6 +585,7 @@ def make_curation_funnel_processor(
                             + en_pairs,
                             spill_path=f"{store_root}/spill/e{epoch}",
                             stats=stats,
+                            label_spill_rows=label_spill_rows,
                         )
                 else:
                     labels = _uf_labels(
@@ -580,6 +593,7 @@ def make_curation_funnel_processor(
                         pl_pairs + en_pairs,
                         spill_path=f"{store_root}/spill/e{epoch}",
                         stats=stats,
+                        label_spill_rows=label_spill_rows,
                     )
             if labels is None:
                 # over-envelope fallback: the distributed closure on
@@ -748,6 +762,7 @@ def run_streaming_curation(
     available_now: bool = True,
     stats: dict | None = None,
     compact_every: int | None = None,
+    label_spill_rows: int | None = None,
 ):
     """File source -> foreachBatch(incremental curation funnel).
     Returns the StreamingQuery. Heals any crashed store compaction
@@ -768,6 +783,7 @@ def run_streaming_curation(
             max_bucket=max_bucket,
             stats=stats,
             compact_every=compact_every,
+            label_spill_rows=label_spill_rows,
         )
     ).option("checkpointLocation", checkpoint)
     if available_now:

@@ -49,7 +49,10 @@ def _write_batches(spark, tmp_path, batches) -> str:
     return in_dir
 
 
-def _run_stream(spark, tmp_path, batches, *, max_bucket=None, stats=None):
+def _run_stream(
+    spark, tmp_path, batches, *, max_bucket=None, stats=None,
+    label_spill_rows=None,
+):
     in_dir = _write_batches(spark, tmp_path, batches)
     q = run_streaming_curation(
         spark,
@@ -59,6 +62,7 @@ def _run_stream(spark, tmp_path, batches, *, max_bucket=None, stats=None):
         checkpoint=str(tmp_path / "ckpt"),
         max_bucket=max_bucket,
         stats=stats,
+        label_spill_rows=label_spill_rows,
     )
     q.awaitTermination()
     return str(tmp_path / "store")
@@ -321,18 +325,18 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
     assert after == before
 
 
-def test_label_spill_equals_batch(spark, tmp_path, monkeypatch):
-    """Force LABEL_SPILL_ROWS to 0 so EVERY epoch's driver-computed
-    labels take the write-then-read-back spill (parquet under
-    store/spill/ instead of a LocalTableScan literal in the write
-    job's task binary — the epoch-axis scale fix): the flush must
-    equal the batch funnel exactly, the spill counter must prove the
-    path ran, and the scratch dir must be cleaned after each epoch's
-    write."""
-    import hha_spark.streaming.curation_stream as cs
+def test_label_spill_equals_batch(spark, tmp_path):
+    """Force the spill threshold to 0 (via the run_streaming_curation
+    `label_spill_rows` parameter — the same plumbing the
+    stream_curation_spilled gate uses) so EVERY epoch's
+    driver-computed labels take the write-then-read-back spill
+    (parquet under store/spill/ instead of a LocalTableScan literal
+    in the write job's task binary — the epoch-axis scale fix): the
+    flush must equal the batch funnel exactly, the spill counter must
+    prove the path ran, and the scratch dir must be cleaned after
+    each epoch's write."""
     from hha_spark.queries.corpus import curation_funnel
 
-    monkeypatch.setattr(cs, "LABEL_SPILL_ROWS", 0)
     rows = [
         (1, "a", _doc_text(100)),
         (2, "a", _doc_text(100)),            # exact dup of 1
@@ -347,7 +351,9 @@ def test_label_spill_equals_batch(spark, tmp_path, monkeypatch):
         [rows[0], rows[2], rows[4], rows[6]],
     ]
     stats: dict = {}
-    store = _run_stream(spark, tmp_path, batches, stats=stats)
+    store = _run_stream(
+        spark, tmp_path, batches, stats=stats, label_spill_rows=0
+    )
     assert stats.get("label_spills", 0) >= 1, stats
     assert stats.get("closure_fallbacks", 0) == 0, stats  # small path
     assert not os.path.exists(f"{store}/spill")  # scratch cleaned
