@@ -14,6 +14,16 @@ stage (pair blowup, driver collect, expression inflation) that a
 
 Emits one JSON line per K and a final summary with time ratios
 normalized to K=1; the artifact lands in .benchmarks/.
+
+NOTE: the K=16 battery needs HHA_DRIVER_MEM=16g. The epoch-axis leg
+runs 96 funnel epochs over a 480k-doc localCheckpointed fixture with
+the driver, all 32 executor threads, and ~3300 stages of session
+bookkeeping sharing ONE local-mode heap; at the 8g default it dies
+~60 epochs in with a broadcast-build OOM even though every data-path
+quantity is bounded (label literals are spilled past
+LABEL_SPILL_ROWS, task binaries stay <1 MB, per-epoch write cost is
+flat). Probe-harness heap sharing, not stream-age growth — a cluster
+driver hosts none of those.
 """
 
 from __future__ import annotations
