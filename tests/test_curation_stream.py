@@ -325,6 +325,36 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
     assert after == before
 
 
+def test_label_spill_threshold_cutover(spark, tmp_path):
+    """The DEFAULT threshold path: below LABEL_SPILL_ROWS the labels
+    ride the plan as a local literal (no spill file), above it they
+    take the parquet round-trip — pinned by calling _uf_labels
+    directly on either side of a small explicit threshold, values
+    identical both ways."""
+    from hha_spark.streaming.curation_stream import _uf_labels
+
+    pairs = [(i, i + 1) for i in range(0, 60, 2)]  # 30 tiny chains
+    expect = {(u, u) for u, _ in pairs} | {(v, u) for u, v in pairs}
+
+    spill = str(tmp_path / "spill_small")
+    stats: dict = {}
+    small = _uf_labels(
+        spark, pairs, spill_path=spill, stats=stats, label_spill_rows=1000
+    )
+    assert {tuple(r) for r in small.collect()} == expect
+    assert stats.get("label_spills", 0) == 0
+    assert not os.path.exists(spill)  # literal path wrote nothing
+
+    spill2 = str(tmp_path / "spill_big")
+    stats2: dict = {}
+    big = _uf_labels(
+        spark, pairs, spill_path=spill2, stats=stats2, label_spill_rows=10
+    )
+    assert {tuple(r) for r in big.collect()} == expect
+    assert stats2.get("label_spills", 0) == 1
+    assert glob.glob(f"{spill2}/*.parquet")  # scan-backed, not literal
+
+
 def test_label_spill_equals_batch(spark, tmp_path):
     """Force the spill threshold to 0 (via the run_streaming_curation
     `label_spill_rows` parameter — the same plumbing the
