@@ -62,6 +62,22 @@ GATE_SHUFFLE_PARTITIONS = "2"
 _SHM_MIN_FREE_BYTES = 2 << 30
 
 
+def _local_rows(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Gate-result frame from driver-local rows in ONE partition.
+
+    ``spark.createDataFrame(rows, schema)`` parallelizes even a
+    20-row rollup over defaultParallelism (32) partitions of a
+    PYTHON RDD, so every downstream scan (the bench's noop force,
+    the oracle collect) launches ~32 zero-or-one-row Python worker
+    tasks. Same rows, same pickle serialization path, one task.
+    Gate results are bounded rollups by construction (collected
+    before the gate's scratch dirs vanish), so one partition is the
+    right layout at any scale factor."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def _scratch_dir(prefix: str) -> str:
     """Gate-scoped scratch, on tmpfs when the host has a ROOMY one.
 
@@ -294,7 +310,8 @@ def _spike_gate_body(spark, tmp, hist, now, zones, params):
         .select("num_protocol", "type_proto", "dst_ip", "sum_val", "scope")
         .collect()
     )
-    return spark.createDataFrame(
+    return _local_rows(
+        spark,
         rows,
         "num_protocol int, type_proto int, dst_ip long, sum_val long, scope string",
     )
@@ -760,7 +777,7 @@ def _sessions_rollup(spark: SparkSession, sessions: DataFrame) -> DataFrame:
         .cast("long")
         .alias("sum_len_us"),
     )
-    return spark.createDataFrame(out.collect(), _SESS_ROLLUP_SCHEMA)
+    return _local_rows(spark, out.collect(), _SESS_ROLLUP_SCHEMA)
 
 
 def stream_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,7 +948,8 @@ def stream_cms_heavy(
         )
         q.awaitTermination()
 
-    counters = spark.createDataFrame(
+    counters = _local_rows(
+        spark,
         [(r, c, v) for (r, c), v in sorted(state.items())],
         "row long, col long, counter long",
     )
@@ -1036,7 +1054,8 @@ def stream_temperature_mixture(
         )
         q.awaitTermination()
 
-    per_source = spark.createDataFrame(
+    per_source = _local_rows(
+        spark,
         [(s, v[0], v[1]) for s, v in sorted(state.items())],
         "source string, n_docs long, n_tokens long",
     )
@@ -1257,7 +1276,7 @@ def stream_attribution_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("min_delay"),
         )
         # collected before the gate's scratch directories vanish
-        return spark.createDataFrame(out.collect(), _ATTR_ROLLUP_SCHEMA)
+        return _local_rows(spark, out.collect(), _ATTR_ROLLUP_SCHEMA)
 
 
 QUERIES["stream_attribution_disorder"] = stream_attribution_disorder
@@ -1343,7 +1362,7 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             salt=FILL_SALT,
         )
         # collected before the gate's scratch directories vanish
-        return spark.createDataFrame(out.collect(), _CUR_ROLLUP_SCHEMA)
+        return _local_rows(spark, out.collect(), _CUR_ROLLUP_SCHEMA)
 
 
 QUERIES["stream_curation_funnel"] = stream_curation_funnel
@@ -1437,7 +1456,7 @@ def stream_curation_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             salt=FILL_SALT,
         )
         # collected before the gate's scratch directories vanish
-        return spark.createDataFrame(out.collect(), _CUR_ROLLUP_SCHEMA)
+        return _local_rows(spark, out.collect(), _CUR_ROLLUP_SCHEMA)
 
 
 QUERIES["stream_curation_compacted"] = stream_curation_compacted
@@ -1517,7 +1536,7 @@ def stream_curation_spilled(spark: SparkSession, sf_dir: str) -> DataFrame:
             salt=FILL_SALT,
         )
         # collected before the gate's scratch directories vanish
-        return spark.createDataFrame(out.collect(), _CUR_ROLLUP_SCHEMA)
+        return _local_rows(spark, out.collect(), _CUR_ROLLUP_SCHEMA)
 
 
 QUERIES["stream_curation_spilled"] = stream_curation_spilled

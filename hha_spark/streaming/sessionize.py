@@ -213,6 +213,37 @@ def _state_versions(spark: SparkSession, state_root: str) -> list[int]:
     )
 
 
+# schema DDL -> rendered typed-null projection, so repeated pre-first-
+# write reads don't re-parse the (module-constant) schema per epoch
+_EMPTY_SELECTS: dict[str, str] = {}
+
+
+def _empty_frame(spark: SparkSession, schema: str) -> DataFrame:
+    """Zero-row frame with `schema` as a pure-JVM LocalRelation
+    (plans as `LocalTableScan <empty>`), replacing
+    ``spark.createDataFrame([], schema)`` on the pre-first-write read
+    paths. The createDataFrame route builds a defaultParallelism-
+    partition PYTHON RDD: every job that scans it launches ~one
+    zero-row Python worker task per core (measured ~0.5 s of pure
+    worker wait per task, re-paid on every re-execution of the
+    epoch-0 probe — 32-34-task stages with ~17 s of executor time
+    and ~0.3 s of CPU), and, being opaque to Catalyst, it blocks
+    PropagateEmptyRelation from pruning the empty prev-state
+    branches out of the first epoch's plan. A LocalRelation costs
+    zero tasks and folds away at optimize time. (Schema strings here
+    are module constants, never user input.)"""
+    sel = _EMPTY_SELECTS.get(schema)
+    if sel is None:
+        from pyspark.sql.types import StructType
+
+        sel = ", ".join(
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+            for f in StructType.fromDDL(schema).fields
+        )
+        _EMPTY_SELECTS[schema] = sel
+    return spark.sql(f"SELECT {sel} WHERE false")
+
+
 def read_open_state(
     spark: SparkSession, store_root: str, *, before_epoch: int | None = None
 ) -> DataFrame:
@@ -276,7 +307,7 @@ def _read_versioned(
     if before_epoch is not None:
         versions = [v for v in versions if v < before_epoch]
     if not versions:
-        return spark.createDataFrame([], schema)
+        return _empty_frame(spark, schema)
     # explicit schema (incl. the kind partition column, matched by
     # name) skips per-read footer inference — see read_kind_history
     return spark.read.schema(schema).parquet(f"{root}/v{versions[-1]}")
@@ -468,7 +499,7 @@ def read_kind_history(
         if fs.exists(spark, d)
     ]
     if not dirs:
-        return spark.createDataFrame([], schema)
+        return _empty_frame(spark, schema)
     # explicit schema: every stub of a kind is written with one fixed
     # schema, so footer-sniffing schema inference across N version
     # dirs is pure latency (one footer read per dir per history read)
