@@ -70,8 +70,14 @@ def bm25_topk(
     odds-ratio-idf x tf-saturation contributions.
     """
     spark = docs.sparkSession
+    # one partition: the query-term list is a bounded model input; a
+    # bare createDataFrame(list) would spread it over 32 Python-RDD
+    # partitions, paying ~32 Python worker tasks per broadcast build
     qterms = spark.createDataFrame(
-        [(int(qid), t) for qid, terms in queries for t in set(terms)],
+        spark.sparkContext.parallelize(
+            [(int(qid), t) for qid, terms in queries for t in set(terms)],
+            1,
+        ),
         "query_id long, tok string",
     )
 

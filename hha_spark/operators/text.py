@@ -596,8 +596,13 @@ def bpe_train_merges(
         padded = padded.select(
             F.replace(F.col("t"), F.lit(pat), F.lit(rep)).alias("t")
         )
+    # one partition: createDataFrame(list) would parallelize the
+    # 3-row model artifact over defaultParallelism (32) Python-RDD
+    # partitions, costing ~32 zero-row Python worker tasks
+    # (~0.2 s protocol latency each) on every downstream scan/collect
     return spark.createDataFrame(
-        out_rows, "step long, a string, b string, cnt long"
+        spark.sparkContext.parallelize(out_rows, 1),
+        "step long, a string, b string, cnt long",
     )
 
 

@@ -765,8 +765,8 @@ def ann_topk_ivf_trained(spark, sf_dir):
         _emb(spark, sf_dir),
         query_pred=(F.col("vec_id") % 16 == 0),
         k=5, nprobe=IVF_NPROBE, iters=IVF_ITERS,
-        # deterministic training -> the codebook is shared with
-        # ann_ivf_recall within a session (operators/ivf.py memo)
+        # trained-index identity; training runs fresh per call (the
+        # cross-query memo was removed in round 11 — bench integrity)
         train_key=sf_dir,
     )
 

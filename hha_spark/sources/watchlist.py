@@ -52,7 +52,16 @@ def zones_from_text_file(spark: SparkSession, path: str) -> DataFrame:
 
 
 def zones_from_ints(spark: SparkSession, ips: set[int] | list[int]) -> DataFrame:
-    return spark.createDataFrame([(int(ip),) for ip in sorted(set(ips))], ZONES_SCHEMA)
+    # one partition: the watchlist is driver-small by contract; a bare
+    # createDataFrame(list) would spread it over defaultParallelism
+    # (32) Python-RDD partitions, paying ~32 Python worker tasks on
+    # every scan/broadcast build of the zones dimension
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(int(ip),) for ip in sorted(set(ips))], 1
+        ),
+        ZONES_SCHEMA,
+    )
 
 
 def parse_consul_kv_payload(payload: bytes | str) -> set[int]:

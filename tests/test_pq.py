@@ -110,9 +110,10 @@ def test_trained_ivf_memo_is_idempotent(spark):
 
 
 def test_trained_lut_numpy_matches_pipeline(spark):
-    """The driver-side numpy training path (memo miss with train_key)
-    must be bit-identical to the distributed pq_query_lut pipeline —
-    the JVM-twin equivalence pin for _train_lut_rows."""
+    """The driver-side numpy training path (the collected
+    LocalTableScan shape selected by train_key+query_key) must be
+    bit-identical to the distributed pq_query_lut pipeline — the
+    JVM-twin equivalence pin for _train_lut_rows."""
     import hha_spark.operators.pq as pq
     from hha_spark.sources.tables import load_table
     from pyspark.sql import functions as F
@@ -124,45 +125,43 @@ def test_trained_lut_numpy_matches_pipeline(spark):
         r["qid"]: list(r["lut"])
         for r in pq.trained_query_lut(q, emb).collect()
     }
-    pq._LUT_MEMO.clear()
     trained = {
         r["qid"]: list(r["lut"])
         for r in pq.trained_query_lut(
             q, emb, train_key=sf, query_key="mod16"
         ).collect()
     }
-    pq._LUT_MEMO.clear()
     assert trained == pipeline and len(trained) > 0
 
 
-def test_trained_lut_memo_keyed_by_query_set(spark):
-    """Regression for the round-4 ADVICE: the memo must never serve
-    one query set's LUT to a caller with a different query predicate.
-    Same train_key + different query_key => different (correct) LUTs;
-    train_key without query_key must not memoize at all."""
+def test_trained_lut_no_cross_query_memo(spark):
+    """Round-11 bench-integrity pin: the former module-level
+    _LUT_MEMO / _CENT_MEMO (trained results shared across queries in
+    one process) are gone — every call must train fresh from its own
+    inputs, and distinct query sets must get their own correct
+    LUTs."""
+    import hha_spark.operators.ivf as ivf
     import hha_spark.operators.pq as pq
     from hha_spark.sources.tables import load_table
     from pyspark.sql import functions as F
 
+    assert not hasattr(pq, "_LUT_MEMO")
+    assert not hasattr(ivf, "_CENT_MEMO")
     sf = "/root/testdata/sf0.001"
     emb = load_table(spark, sf, "embeddings")
     q16 = emb.where(F.col("vec_id") % 16 == 0)
     q7 = emb.where(F.col("vec_id") % 16 == 7)
-    pq._LUT_MEMO.clear()
     a = {r["qid"] for r in pq.trained_query_lut(
         q16, emb, train_key=sf, query_key="mod16=0").collect()}
     b = {r["qid"] for r in pq.trained_query_lut(
         q7, emb, train_key=sf, query_key="mod16=7").collect()}
-    assert len(pq._LUT_MEMO) == 2  # distinct entries, no collision
-    assert a and b and a.isdisjoint(b)  # second call trained fresh
-    n_before = len(pq._LUT_MEMO)
-    pq.trained_query_lut(q16, emb, train_key=sf)  # no query_key
-    assert len(pq._LUT_MEMO) == n_before  # memo untouched
-    pq._LUT_MEMO.clear()
+    assert a and b and a.isdisjoint(b)
 
 
-def test_trained_pq_memo_is_idempotent(spark):
-    """Memo hit == cold call for the full pq_topk result."""
+def test_trained_pq_repeat_call_is_deterministic(spark):
+    """Two independent trainings over the same inputs must agree
+    bit-for-bit (determinism is what makes fresh-per-call training a
+    pure cost question, never a correctness one)."""
     import hha_spark.operators.pq as pq
     from hha_spark.sources.tables import load_table
     from pyspark.sql import functions as F
@@ -170,12 +169,10 @@ def test_trained_pq_memo_is_idempotent(spark):
     sf = "/root/testdata/sf0.001"
     emb = load_table(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") % 16 == 0)
-    pq._LUT_MEMO.clear()
     a = sorted(map(tuple, pq.pq_topk(
         q, emb, k=5, train_key=sf, query_key="mod16").collect()))
     b = sorted(map(tuple, pq.pq_topk(
         q, emb, k=5, train_key=sf, query_key="mod16").collect()))
-    pq._LUT_MEMO.clear()
     assert a == b and len(a) > 0
 
 
