@@ -70,14 +70,17 @@ def bm25_topk(
     odds-ratio-idf x tf-saturation contributions.
     """
     spark = docs.sparkSession
-    # one partition: the query-term list is a bounded model input; a
-    # bare createDataFrame(list) would spread it over 32 Python-RDD
-    # partitions, paying ~32 Python worker tasks per broadcast build
-    qterms = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(int(qid), t) for qid, terms in queries for t in set(terms)],
-            1,
-        ),
+    # Arrow table, not a Python RDD: the query-term list is a bounded
+    # model input on the BROADCAST side of every BM25 join, and a
+    # broadcast build re-evaluates its source per consumer job — a
+    # Python-RDD frame pays one Python worker task (~0.2 s protocol
+    # latency here) per such re-evaluation; the Arrow frame is a
+    # pure-JVM scan
+    from hha_spark.functions.local import arrow_rows_frame
+
+    qterms = arrow_rows_frame(
+        spark,
+        [(int(qid), t) for qid, terms in queries for t in set(terms)],
         "query_id long, tok string",
     )
 

@@ -569,8 +569,19 @@ def bpe_train_merges(
     checkpointing needed for small n_merges.
     """
     spark = docs.sparkSession
-    padded = docs.select(
-        F.expr(f"' ' || replace({text_col}, ' ', '  ') || ' '").alias("t")
+    from hha_spark.caching import tracked_persist
+
+    # persist the double-spaced base: every merge round re-derives its
+    # working text from this frame (narrow replace chain), so without
+    # the cache round k re-scans the corpus parquet and re-pads it —
+    # n_merges full input scans for one pass worth of data (guide
+    # §1.2, fewer passes). Session-scoped release via the registry.
+    padded = tracked_persist(
+        docs.select(
+            F.expr(
+                f"' ' || replace({text_col}, ' ', '  ') || ' '"
+            ).alias("t")
+        )
     )
     out_rows = []
     for step in range(1, n_merges + 1):
@@ -596,13 +607,15 @@ def bpe_train_merges(
         padded = padded.select(
             F.replace(F.col("t"), F.lit(pat), F.lit(rep)).alias("t")
         )
-    # one partition: createDataFrame(list) would parallelize the
-    # 3-row model artifact over defaultParallelism (32) Python-RDD
-    # partitions, costing ~32 zero-row Python worker tasks
-    # (~0.2 s protocol latency each) on every downstream scan/collect
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(out_rows, 1),
-        "step long, a string, b string, cnt long",
+    # Arrow table, not a Python RDD: the 3-row model artifact is
+    # rescanned by every consumer (bpe_tokenize_compression collects
+    # it; the oracle re-collects) — a Python-RDD frame pays one
+    # Python worker task (~0.2 s protocol latency here) per scan;
+    # the Arrow frame is a pure-JVM scan
+    from hha_spark.functions.local import arrow_rows_frame
+
+    return arrow_rows_frame(
+        spark, out_rows, "step long, a string, b string, cnt long"
     )
 
 

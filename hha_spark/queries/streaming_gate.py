@@ -63,19 +63,20 @@ _SHM_MIN_FREE_BYTES = 2 << 30
 
 
 def _local_rows(spark: SparkSession, rows, schema: str) -> DataFrame:
-    """Gate-result frame from driver-local rows in ONE partition.
+    """Gate-result frame from driver-local rows as an Arrow table —
+    a pure-JVM scan with ZERO Python tasks.
 
-    ``spark.createDataFrame(rows, schema)`` parallelizes even a
-    20-row rollup over defaultParallelism (32) partitions of a
-    PYTHON RDD, so every downstream scan (the bench's noop force,
-    the oracle collect) launches ~32 zero-or-one-row Python worker
-    tasks. Same rows, same pickle serialization path, one task.
-    Gate results are bounded rollups by construction (collected
-    before the gate's scratch dirs vanish), so one partition is the
-    right layout at any scale factor."""
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema
-    )
+    The round-11 shape (``parallelize(rows, 1)``) fixed the
+    32-partition Python-RDD fanout but still paid one Python worker
+    task (~0.2 s protocol latency on this sandbox) on every
+    downstream scan — the bench's noop force, the oracle collect.
+    The Arrow path ships the same rows as one Arrow batch the JVM
+    reads directly. Gate results are bounded rollups by construction
+    (collected before the gate's scratch dirs vanish), so a
+    driver-local frame is the right layout at any scale factor."""
+    from hha_spark.functions.local import arrow_rows_frame
+
+    return arrow_rows_frame(spark, rows, schema)
 
 
 def _scratch_dir(prefix: str) -> str:

@@ -52,15 +52,15 @@ def zones_from_text_file(spark: SparkSession, path: str) -> DataFrame:
 
 
 def zones_from_ints(spark: SparkSession, ips: set[int] | list[int]) -> DataFrame:
-    # one partition: the watchlist is driver-small by contract; a bare
-    # createDataFrame(list) would spread it over defaultParallelism
-    # (32) Python-RDD partitions, paying ~32 Python worker tasks on
-    # every scan/broadcast build of the zones dimension
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(int(ip),) for ip in sorted(set(ips))], 1
-        ),
-        ZONES_SCHEMA,
+    # Arrow table, not a Python RDD: the watchlist is driver-small by
+    # contract and sits on the BROADCAST side of every zones gate —
+    # each broadcast build re-evaluates the source, and a Python-RDD
+    # frame pays one Python worker task (~0.2 s protocol latency on
+    # this sandbox) per such job; the Arrow frame is a pure-JVM scan
+    from hha_spark.functions.local import arrow_rows_frame
+
+    return arrow_rows_frame(
+        spark, [(int(ip),) for ip in sorted(set(ips))], ZONES_SCHEMA
     )
 
 

@@ -236,9 +236,20 @@ def _empty_frame(spark: SparkSession, schema: str) -> DataFrame:
     if sel is None:
         from pyspark.sql.types import StructType
 
+        fields = StructType.fromDDL(schema).fields
+        # invariant of the string-SQL rendering (ADVICE r11): a
+        # backticked name would break the generated SELECT and a NOT
+        # NULL field would silently come back nullable — all call
+        # sites are module-constant schemas with neither feature
+        for f in fields:
+            if "`" in f.name or not f.nullable:
+                raise ValueError(
+                    "_empty_frame requires nullable, backtick-free "
+                    f"fields; got {f.name!r} in {schema!r}"
+                )
         sel = ", ".join(
             f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
-            for f in StructType.fromDDL(schema).fields
+            for f in fields
         )
         _EMPTY_SELECTS[schema] = sel
     return spark.sql(f"SELECT {sel} WHERE false")

@@ -58,12 +58,17 @@ def test_pre_first_write_reads_are_local_relations(spark, tmp_path):
     assert "Join" not in _executed(probe)
 
 
-def test_local_rows_single_partition_roundtrip(spark):
+def test_local_rows_arrow_localtablescan_roundtrip(spark):
+    """Gate-result frames are Arrow-backed LocalTableScans: zero
+    Python tasks on any downstream scan (round-12 follow-up to the
+    round-11 1-partition fix), values and nulls round-tripping."""
     rows = [(1, "a"), (2, None), (3, "c")]
     df = _local_rows(spark, rows, "k long, v string")
-    assert df.rdd.getNumPartitions() == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "PythonRDD" not in plan and "ExistingRDD" not in plan
     got = sorted((r.k, r.v) for r in df.collect())
     assert got == sorted(rows)
     empty = _local_rows(spark, [], "k long, v string")
-    assert empty.rdd.getNumPartitions() == 1
     assert empty.count() == 0
+    assert empty.schema.simpleString() == df.schema.simpleString()

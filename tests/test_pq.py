@@ -94,10 +94,11 @@ def test_ivfpq_shape_and_recall(spark, emb):
     assert len(ivfpq & bf) / len(bf) >= 0.1
 
 
-def test_trained_ivf_memo_is_idempotent(spark):
-    """A memo hit (second call in one session) must return the exact
-    same frame as the cold call — guards the codebook-memo path
-    against staleness/partial-state bugs."""
+def test_trained_ivf_repeat_call_is_deterministic(spark):
+    """A repeat call in one session must return the exact same frame
+    as the cold call — with the cross-query codebook memo removed
+    (round 11), this pins Lloyd-training determinism, matching the
+    parallel PQ rename."""
     import hha_spark.queries.llm_ops as L
     from hha_spark.caching import release_tracked
 

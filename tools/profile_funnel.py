@@ -100,11 +100,21 @@ def run_gate(spark, sf_dir: str, gate: str) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     reps = 1
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):  # accepts --reps=N and --reps N (ADVICE r11)
+        a = argv[i]
         if a.startswith("--reps"):
-            reps = int(a.split("=", 1)[1]) if "=" in a else reps
+            if "=" in a:
+                reps = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                reps = int(argv[i])
+        else:
+            args.append(a)
+        i += 1
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     gates = args[1:] or ["funnel", "compacted", "spilled"]
     spark = get_spark("hha_profile_funnel")
