@@ -115,6 +115,55 @@ _K_CLICK = "click"
 _K_BUF = "buf"
 _K_ATTR = "attr"
 
+# Fused per-epoch statement (round 12): the processor body used to
+# build ~12 chained DataFrame constructions per epoch — each one a
+# py4j round-trip plus an eager analysis pass (see the _MERGE_CTES
+# block comment in streaming/sessionize.py for the measured cost).
+# One statement, literal transcription of the former Column chain:
+# watermark split, click-state union, the interval join, eviction,
+# and the unified kind-partitioned write frame.
+_ATTR_EPOCH_SQL = """
+WITH _m AS (
+    SELECT user_id, ts_s, etype FROM {ev} WHERE ts_s < {wm}),
+  _clicks AS (
+    SELECT user_id, ts_s FROM {store} WHERE kind = 'click'
+    UNION ALL
+    SELECT user_id, ts_s FROM _m WHERE etype = 'click'),
+  _pairs AS (
+    SELECT p.user_id, c.ts_s AS ts_s, p.ts_s AS ts2_s
+    FROM (SELECT user_id, ts_s FROM _m WHERE etype = 'purchase') p
+    JOIN _clicks c
+      ON p.user_id = c.user_id
+     AND p.ts_s >= c.ts_s AND p.ts_s <= c.ts_s + {max_delay})
+SELECT user_id, ts_s, ts2_s, CAST(NULL AS STRING) AS etype,
+       'attr' AS kind
+FROM _pairs
+UNION ALL
+SELECT user_id, ts_s, CAST(NULL AS BIGINT) AS ts2_s,
+       CAST(NULL AS STRING) AS etype, 'click' AS kind
+FROM _clicks WHERE ts_s + {max_delay} >= {wm}
+UNION ALL
+SELECT user_id, ts_s, CAST(NULL AS BIGINT) AS ts2_s, etype,
+       'buf' AS kind
+FROM {ev} WHERE ts_s >= {wm}
+"""
+
+# Fused end-of-stream flush tail: buffered purchases join the click
+# state plus buffered clicks — final_attributions' former chain
+_ATTR_FLUSH_SQL = """
+WITH _clicks AS (
+    SELECT user_id, ts_s FROM {store} WHERE kind = 'click'
+    UNION ALL
+    SELECT user_id, ts_s FROM {store}
+    WHERE kind = 'buf' AND etype = 'click')
+SELECT p.user_id, c.ts_s AS ts_s, p.ts_s AS ts2_s
+FROM (SELECT user_id, ts_s FROM {store}
+      WHERE kind = 'buf' AND etype = 'purchase') p
+JOIN _clicks c
+  ON p.user_id = c.user_id
+ AND p.ts_s >= c.ts_s AND p.ts_s <= c.ts_s + {max_delay}
+"""
+
 
 def make_disorder_attribution_processor(
     spark,
@@ -134,11 +183,13 @@ def make_disorder_attribution_processor(
 
     def process(batch_df, epoch_id: int) -> None:
         epoch = int(epoch_id)
+        # per-batch clone session: foreachBatch frames live on a clone
+        # of the stream's session, and the fused statement's frame
+        # substitution registers temp views in each frame's OWN
+        # session — everything here must stay on that clone
+        session = batch_df.sparkSession
         store = _read_versioned(
-            spark, store_root, _ATTR_STORE_SCHEMA, before_epoch=epoch
-        )
-        clicks_state = store.where(F.col("kind") == _K_CLICK).select(
-            "user_id", "ts_s"
+            session, store_root, _ATTR_STORE_SCHEMA, before_epoch=epoch
         )
         buf = store.where(F.col("kind") == _K_BUF).select(
             "user_id", "ts_s", "etype"
@@ -153,60 +204,15 @@ def make_disorder_attribution_processor(
             if mx is None:  # empty batch AND empty buffer: no-op epoch
                 return
             wm = int(mx) - disorder_sec
-            # strict: ts == wm buffers (see module block comment)
-            mature = all_ev.where(F.col("ts_s") < wm)
-            immature = all_ev.where(F.col("ts_s") >= wm)
-            m_clicks = mature.where(F.col("etype") == "click").select(
-                "user_id", "ts_s"
-            )
-            m_purchases = mature.where(
-                F.col("etype") == "purchase"
-            ).select("user_id", F.col("ts_s").alias("p_ts"))
-            clicks_all = clicks_state.unionByName(m_clicks)
-            pairs = (
-                m_purchases.join(
-                    clicks_all.select(
-                        "user_id", F.col("ts_s").alias("c_ts")
-                    ),
-                    "user_id",
-                )
-                .where(
-                    (F.col("p_ts") >= F.col("c_ts"))
-                    & (F.col("p_ts") <= F.col("c_ts") + max_delay_sec)
-                )
-                .select("user_id", "c_ts", "p_ts")
-            )
-            null_ts = F.lit(None).cast("long")
-            null_et = F.lit(None).cast("string")
-            unified = (
-                pairs.select(
-                    "user_id",
-                    F.col("c_ts").alias("ts_s"),
-                    F.col("p_ts").alias("ts2_s"),
-                    null_et.alias("etype"),
-                    F.lit(_K_ATTR).alias("kind"),
-                )
-                .unionByName(
-                    # evict clicks no future purchase can reach
-                    clicks_all.where(
-                        F.col("ts_s") + max_delay_sec >= wm
-                    ).select(
-                        "user_id",
-                        "ts_s",
-                        null_ts.alias("ts2_s"),
-                        null_et.alias("etype"),
-                        F.lit(_K_CLICK).alias("kind"),
-                    )
-                )
-                .unionByName(
-                    immature.select(
-                        "user_id",
-                        "ts_s",
-                        null_ts.alias("ts2_s"),
-                        "etype",
-                        F.lit(_K_BUF).alias("kind"),
-                    )
-                )
+            # strict: ts == wm buffers (see module block comment).
+            # One fused statement = one analysis pass (_ATTR_EPOCH_SQL
+            # above); literal transcription of the former Column chain
+            unified = session.sql(
+                _ATTR_EPOCH_SQL,
+                ev=all_ev,
+                store=store,
+                wm=wm,
+                max_delay=max_delay_sec,
             )
             # non-empty by construction: the max event satisfies
             # ts = max >= max - disorder_sec = wm, so it is always
@@ -221,7 +227,7 @@ def make_disorder_attribution_processor(
                 f"{store_root}/v{epoch}"
             )
             _prune_store_versions(
-                spark,
+                session,
                 store_root,
                 current_epoch=epoch,
                 prune_kinds=(_K_CLICK, _K_BUF),
@@ -282,33 +288,12 @@ def final_attributions(
         read_kind_history,
     )
 
-    store = _read_versioned(spark, store_root, _ATTR_STORE_SCHEMA)
-    clicks_state = store.where(F.col("kind") == _K_CLICK).select(
-        "user_id", "ts_s"
-    )
-    buf = store.where(F.col("kind") == _K_BUF)
-    b_clicks = buf.where(F.col("etype") == "click").select(
-        "user_id", "ts_s"
-    )
-    b_purchases = buf.where(F.col("etype") == "purchase").select(
-        "user_id", F.col("ts_s").alias("p_ts")
-    )
-    tail = (
-        b_purchases.join(
-            clicks_state.unionByName(b_clicks).select(
-                "user_id", F.col("ts_s").alias("c_ts")
-            ),
-            "user_id",
-        )
-        .where(
-            (F.col("p_ts") >= F.col("c_ts"))
-            & (F.col("p_ts") <= F.col("c_ts") + max_delay_sec)
-        )
-        .select(
-            "user_id",
-            F.col("c_ts").alias("ts_s"),
-            F.col("p_ts").alias("ts2_s"),
-        )
+    # one fused statement (_ATTR_FLUSH_SQL): the buffered-purchase x
+    # (state + buffered clicks) interval join as a single analysis
+    tail = spark.sql(
+        _ATTR_FLUSH_SQL,
+        store=_read_versioned(spark, store_root, _ATTR_STORE_SCHEMA),
+        max_delay=max_delay_sec,
     )
     emitted = read_kind_history(
         spark,

@@ -205,6 +205,128 @@ def _merge_intervals_nonested(
     )
 
 
+# --- fused per-epoch SQL (round 12) ---------------------------------
+# Each foreachBatch body used to build its epoch plan as ~15 chained
+# DataFrame constructions; every construction is one py4j round-trip
+# plus one eager JVM analysis pass over a growing tree, measured
+# ~0.3-0.5 s per epoch of pure driver-side latency (the r11 census:
+# gate wall ~3.9 s with only ~1.6 s inside Spark jobs). The chains
+# below are now ONE spark.sql statement per epoch (guide §4.1 —
+# control what crosses the Python/JVM boundary; here the PLAN was
+# crossing it piecewise). The SQL is the literal transcription of the
+# former Column chain: same expressions, same column order, same
+# frame types — _merge_intervals_nonested stays as the kernel the
+# statements embed (and tests differential-check against
+# merge_adjacent_sessions).
+
+# the _merge_intervals_nonested window chain as CTE layers over _iv
+# (running-frame ROWS bounds are explicit: the ORDER BY carries ties
+# — degenerate same-ts intervals — and SQL's default RANGE frame
+# would group them)
+_MERGE_CTES = """
+  _x AS (
+    SELECT user_id, start_us, end_us, n_events,
+           CASE WHEN lag(end_us) OVER (PARTITION BY user_id
+                                       ORDER BY start_us, end_us)
+                     IS NULL
+                 OR start_us - lag(end_us) OVER (PARTITION BY user_id
+                                                 ORDER BY start_us,
+                                                          end_us)
+                    > {gap_us}
+                THEN 1 ELSE 0 END AS _new
+    FROM _iv),
+  _y AS (
+    SELECT user_id, start_us, end_us, n_events, _new,
+           sum(n_events) OVER (PARTITION BY user_id
+                               ORDER BY start_us, end_us
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS _rs
+    FROM _x),
+  _z AS (
+    SELECT user_id, start_us, end_us, _rs,
+           max(CASE WHEN _new = 1 THEN start_us END)
+             OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS _gstart,
+           max(CASE WHEN _new = 1 THEN _rs - n_events END)
+             OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS _gbase,
+           lead(_new) OVER (PARTITION BY user_id
+                            ORDER BY start_us, end_us) AS _next_new
+    FROM _y),
+  _merged AS (
+    SELECT user_id, _gstart AS start_us, end_us,
+           _rs - _gbase AS n_events
+    FROM _z WHERE _next_new IS NULL OR _next_new = 1)
+"""
+
+# ordered epoch: (open state ∪ batch-as-degenerate-intervals) merged,
+# last session per user stays open — the make_sessionize_processor
+# body in one statement
+_ORDERED_EPOCH_SQL = (
+    """
+WITH _iv AS (
+    SELECT user_id, start_us, end_us, n_events FROM {state}
+    UNION ALL
+    SELECT user_id, ts_us AS start_us, ts_us AS end_us,
+           CAST(1 AS BIGINT) AS n_events
+    FROM {batch}),
+"""
+    + _MERGE_CTES
+    + """
+SELECT user_id, start_us, end_us, n_events,
+       CASE WHEN start_us = max(start_us)
+                             OVER (PARTITION BY user_id)
+            THEN 'open' ELSE 'closed' END AS kind
+FROM _merged
+"""
+)
+
+# disorder epoch: watermark split + merge + closure rule + buffer —
+# the make_disorder_sessionize_processor body in one statement
+_DISORDER_EPOCH_SQL = (
+    """
+WITH _iv AS (
+    SELECT user_id, start_us, end_us, n_events
+    FROM {store} WHERE kind = 'open'
+    UNION ALL
+    SELECT user_id, ts_us AS start_us, ts_us AS end_us,
+           CAST(1 AS BIGINT) AS n_events
+    FROM {ev} WHERE ts_us <= {wm}),
+"""
+    + _MERGE_CTES
+    + """
+SELECT user_id, start_us, end_us, n_events,
+       CASE WHEN end_us < {wm} - {gap_us}
+            THEN 'closed' ELSE 'open' END AS kind
+FROM _merged
+UNION ALL
+SELECT user_id, ts_us AS start_us, ts_us AS end_us,
+       CAST(1 AS BIGINT) AS n_events, 'buf' AS kind
+FROM {ev} WHERE ts_us > {wm}
+"""
+)
+
+# disorder end-of-stream flush tail: (open state ∪ buffer-as-
+# degenerate-intervals) merged once — final_sessions_disorder's tail
+_DISORDER_FLUSH_SQL = (
+    """
+WITH _iv AS (
+    SELECT user_id, start_us, end_us, n_events
+    FROM {store} WHERE kind = 'open'
+    UNION ALL
+    SELECT user_id, start_us, start_us AS end_us,
+           CAST(1 AS BIGINT) AS n_events
+    FROM {store} WHERE kind = 'buf'),
+"""
+    + _MERGE_CTES
+    + """
+SELECT user_id, start_us, end_us, n_events FROM _merged
+"""
+)
+
+
 def _state_versions(spark: SparkSession, state_root: str) -> list[int]:
     return sorted(
         int(d[1:])
@@ -355,21 +477,21 @@ def make_sessionize_processor(
         epoch = int(epoch_id)
         if batch_df.isEmpty():
             return  # no events: state is exact, versions need not move
-        state = read_open_state(spark, store_root, before_epoch=epoch)
-        merged = _merge_intervals_nonested(
-            state.unionByName(
-                _as_intervals(batch_df.select("user_id", "ts_us"))
-            ),
+        # foreachBatch hands a frame bound to a per-batch CLONE of the
+        # stream's session; the fused statement's frame substitution
+        # registers temp views in each frame's OWN session, so every
+        # frame — and the .sql call — must live on that clone
+        session = batch_df.sparkSession
+        state = read_open_state(session, store_root, before_epoch=epoch)
+        # one fused statement = one analysis pass (see _MERGE_CTES
+        # block comment); literal transcription of the former
+        # merge-then-tag Column chain
+        tagged = session.sql(
+            _ORDERED_EPOCH_SQL,
+            state=state,
+            batch=batch_df.select("user_id", "ts_us"),
             gap_us=gap_us,
         )
-        w = Window.partitionBy("user_id")
-        tagged = merged.withColumn(
-            "kind",
-            F.when(
-                F.col("start_us") == F.max("start_us").over(w),
-                F.lit(_KIND_OPEN),
-            ).otherwise(F.lit(_KIND_CLOSED)),
-        ).select(*SESSION_COLS, "kind")
         # non-empty by construction: a non-empty batch leaves every
         # active user exactly one kind=open row.
         # partitionOverwriteMode pinned static: retry idempotence
@@ -382,7 +504,7 @@ def make_sessionize_processor(
         ).partitionBy("kind").mode("overwrite").parquet(
             f"{store_root}/v{epoch}"
         )
-        _prune_store_versions(spark, store_root, current_epoch=epoch)
+        _prune_store_versions(session, store_root, current_epoch=epoch)
 
     return process
 
@@ -468,7 +590,10 @@ def _as_intervals(events: DataFrame) -> DataFrame:
     sessionization, so merge_adjacent_sessions over
     (open state ∪ _as_intervals(mature)) replaces the two-pass
     sessionize_batch-then-merge — one window shuffle per epoch
-    instead of two. Correct because no interval nesting can occur:
+    instead of two. (The fused epoch statements embed this projection
+    literally — the `ts_us AS start_us, ts_us AS end_us, CAST(1 AS
+    BIGINT)` branches of their _iv CTEs; this function remains the
+    named definition of the argument and the tests' spelling.) Correct because no interval nesting can occur:
     every admissible new event's ts >= the previous watermark >= every
     open session's end (sessions only ever contain events at or below
     the watermark of their merge epoch), so sorted-by-start gap
@@ -599,11 +724,12 @@ def make_disorder_sessionize_processor(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         epoch = int(epoch_id)
-        state, buf = _split_store(
-            _read_versioned(
-                spark, store_root, _STORE_SCHEMA, before_epoch=epoch
-            )
+        # per-batch clone session: see make_sessionize_processor
+        session = batch_df.sparkSession
+        store = _read_versioned(
+            session, store_root, _STORE_SCHEMA, before_epoch=epoch
         )
+        _, buf = _split_store(store)
         all_ev = (
             batch_df.select("user_id", "ts_us").unionByName(buf).persist()
         )
@@ -615,21 +741,15 @@ def make_disorder_sessionize_processor(
             if mx is None:  # empty batch AND empty buffer: no-op epoch
                 return
             wm = int(mx) - disorder_us
-            mature = all_ev.where(F.col("ts_us") <= wm)
-            immature = all_ev.where(F.col("ts_us") > wm)
-            merged = _merge_intervals_nonested(
-                state.unionByName(_as_intervals(mature)), gap_us=gap_us
-            )
-            sessions = merged.withColumn(
-                "kind",
-                F.when(
-                    F.col("end_us") < wm - gap_us, F.lit(_KIND_CLOSED)
-                ).otherwise(F.lit(_KIND_OPEN)),
-            ).select(*SESSION_COLS, "kind")
-            unified = sessions.unionByName(
-                _as_intervals(immature).withColumn(
-                    "kind", F.lit(_KIND_BUF)
-                )
+            # one fused statement = one analysis pass (see _MERGE_CTES
+            # block comment); literal transcription of the former
+            # split/merge/close/buffer Column chain
+            unified = session.sql(
+                _DISORDER_EPOCH_SQL,
+                store=store,
+                ev=all_ev,
+                wm=wm,
+                gap_us=gap_us,
             )
             # non-empty by construction: the max event is always
             # immature (disorder_us > 0), so kind=buf always exists.
@@ -640,7 +760,7 @@ def make_disorder_sessionize_processor(
             ).partitionBy("kind").mode("overwrite").parquet(
                 f"{store_root}/v{epoch}"
             )
-            _prune_store_versions(spark, store_root, current_epoch=epoch)
+            _prune_store_versions(session, store_root, current_epoch=epoch)
         finally:
             all_ev.unpersist()
 
@@ -694,12 +814,9 @@ def final_sessions_disorder(
     with the open-session state in one pass (see _as_intervals) and
     closes alongside the per-epoch closed partitions — one read of
     the unified store."""
-    opens, buf = _split_store(
-        _read_versioned(spark, store_root, _STORE_SCHEMA)
+    tail = spark.sql(
+        _DISORDER_FLUSH_SQL,
+        store=_read_versioned(spark, store_root, _STORE_SCHEMA),
+        gap_us=gap_us,
     )
-    tail = _merge_intervals_nonested(
-        opens.unionByName(_as_intervals(buf)), gap_us=gap_us
-    )
-    return read_closed_sessions(spark, store_root).unionByName(
-        tail.select(*SESSION_COLS)
-    )
+    return read_closed_sessions(spark, store_root).unionByName(tail)

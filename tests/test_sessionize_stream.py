@@ -584,3 +584,47 @@ def test_nonested_merge_matches_general_merge(spark, data):
     got = sorted(map(key, _merge_intervals_nonested(df, gap_us=GAP).collect()))
     ref = sorted(map(key, merge_adjacent_sessions(df, gap_us=GAP).collect()))
     assert got == ref
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_fused_merge_sql_matches_column_chain(spark, data):
+    """The round-12 fused epoch SQL embeds the _merge_intervals_nonested
+    window chain as CTE layers (_MERGE_CTES); on the no-nesting domain
+    the SQL transcription must equal the Column-chain kernel it
+    replaced in the processors, row for row."""
+    from hha_spark.streaming.sessionize import (
+        _MERGE_CTES,
+        _merge_intervals_nonested,
+    )
+
+    rows = []
+    for user in (1, 2):
+        n = data.draw(st.integers(min_value=0, max_value=5))
+        start, prev_end = 0, 0
+        for _ in range(n):
+            start += data.draw(st.integers(min_value=0, max_value=250))
+            delta = data.draw(st.integers(min_value=0, max_value=200))
+            end = max(prev_end, start + delta)  # monotone ends
+            rows.append((user, start, end, 1 + delta % 3))
+            prev_end = end
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id long, start_us long, end_us long, n_events long"
+    )
+    stmt = (
+        "WITH _iv AS (SELECT * FROM {iv}),"
+        + _MERGE_CTES
+        + "SELECT user_id, start_us, end_us, n_events FROM _merged"
+    )
+    key = lambda r: (r.user_id, r.start_us, r.end_us, r.n_events)  # noqa: E731
+    got = sorted(
+        map(key, spark.sql(stmt, iv=df, gap_us=GAP).collect())
+    )
+    ref = sorted(map(key, _merge_intervals_nonested(df, gap_us=GAP).collect()))
+    assert got == ref
