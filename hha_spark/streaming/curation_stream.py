@@ -142,42 +142,126 @@ _WIDE_TYPES = {
 }
 
 
-# mega-probe tagged-union branch projections (see the processor):
-# static string tuples so each per-epoch branch is ONE selectExpr call
-_PROBE_RAW_EXPRS = (
-    "'raw' AS _k", "CAST(NULL AS long) AS u", "CAST(NULL AS long) AS v",
-    "source", "n",
-)
-_PROBE_CROSSED_EXPRS = (
-    "'crossed' AS _k", "CAST(NULL AS long) AS u",
-    "CAST(NULL AS long) AS v", "CAST(NULL AS string) AS source", "n",
-)
-_PROBE_EDGE_EXPRS = (
-    "'en' AS _k", "doc_id AS u", "doc_id_b AS v",
-    "CAST(NULL AS string) AS source", "CAST(NULL AS long) AS n",
-)
-_PROBE_LABEL_EXPRS = (
-    "'pl' AS _k", "doc_id AS u", "label AS v",
-    "CAST(NULL AS string) AS source", "CAST(NULL AS long) AS n",
-)
+# --- fused per-epoch SQL (round 12) ---------------------------------
+# The processor used to build each epoch's plan as ~80 chained
+# DataFrame constructions (the r11 cProfile: ~1.2k py4j round-trips
+# per epoch, t_build ~0.5 s/epoch of pure driver-side latency). Each
+# multi-frame chain below is now ONE spark.sql statement — a literal
+# transcription of the former Column chain (guide §4.1: here the PLAN
+# was crossing the Python/JVM boundary piecewise). Frames substitute
+# via {name} kwargs; all run on the per-batch clone session.
+
+# merged bucket counts in ONE exchange (carried counts weight n_prev,
+# batch band rows weight 1) — the former two-selectExpr+union+agg chain
+_BCNT_SQL = """
+SELECT band, key,
+       CAST(sum(IF(_is_prev = 1, _c, 0)) AS BIGINT) AS n_prev,
+       CAST(sum(_c) AS BIGINT) AS n
+FROM (
+  SELECT band, key, CAST(n_prev AS BIGINT) AS _c, 1 AS _is_prev
+  FROM {prev}
+  UNION ALL
+  SELECT band, key, CAST(1 AS BIGINT) AS _c, 0 AS _is_prev
+  FROM {bands_new})
+GROUP BY band, key
+"""
+
+# candidate generation (new-new / new-hist pair split, no distinct)
+# + Jaccard verification — the former bn_ok/cand/toks_all/edges chain
+_EDGES_SQL = """
+WITH under AS (SELECT band, key FROM {bcnt} WHERE n <= {cap}),
+  bn_ok AS (
+    SELECT b.doc_id, b.band, b.key FROM {bands_new} b
+    LEFT SEMI JOIN under u ON b.band = u.band AND b.key = u.key),
+  cand AS (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.band, a.key
+    FROM bn_ok a JOIN {bands_new} b
+      ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+    UNION ALL
+    SELECT least(a.doc_id, h.doc_id) AS doc_id_a,
+           greatest(a.doc_id, h.doc_id) AS doc_id_b, a.band, a.key
+    FROM bn_ok a JOIN {bands_hist} h
+      ON a.band = h.band AND a.key = h.key
+    WHERE a.doc_id != h.doc_id),
+  toks AS (
+    SELECT doc_id, tokens FROM {docs_hist}
+    UNION ALL
+    SELECT doc_id, tokens FROM {qdocs})
+SELECT c.doc_id_a AS doc_id, c.doc_id_b, c.band, c.key
+FROM cand c
+JOIN toks ta ON ta.doc_id = c.doc_id_a
+JOIN toks tb ON tb.doc_id = c.doc_id_b
+WHERE 17 * size(array_intersect(ta.tokens, tb.tokens))
+      >= 7 * (size(ta.tokens) + size(tb.tokens))
+"""
+
+# the ONE tagged-union mega-probe (raw counts, cap-crossing count,
+# envelope-capped new edges and carried labels) — the former
+# four-branch selectExpr/union chain
+_PROBE_SQL = """
+SELECT 'raw' AS _k, CAST(NULL AS BIGINT) AS u, CAST(NULL AS BIGINT) AS v,
+       source, CAST(count(1) AS BIGINT) AS n
+FROM {batch} GROUP BY source
+UNION ALL
+SELECT 'crossed', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS STRING), CAST(count(1) AS BIGINT)
+FROM {bcnt} WHERE n_prev >= 2 AND n_prev <= {cap} AND n > {cap}
+UNION ALL
+SELECT 'en', doc_id, doc_id_b, CAST(NULL AS STRING),
+       CAST(NULL AS BIGINT)
+FROM (SELECT doc_id, doc_id_b FROM {edges} LIMIT {lim})
+UNION ALL
+SELECT 'pl', doc_id, label, CAST(NULL AS STRING), CAST(NULL AS BIGINT)
+FROM (SELECT doc_id, label FROM {labels} LIMIT {lim})
+"""
+
+# the unified kind-partitioned write frame: six typed-null-padded
+# branches, each coalesced BEFORE the union so the write stays
+# exchange-free and partitions stay pure-kind (per-branch COALESCE
+# hints == the former per-branch .coalesce(kp); plan-asserted in
+# tests/test_curation_stream.py) — the former six-_wide chain
+_UNIFIED_SQL = """
+SELECT /*+ COALESCE({kp}) */ doc_id, CAST(NULL AS BIGINT) AS doc_id_b,
+       source, n_tokens, tokens, CAST(NULL AS INT) AS band,
+       CAST(NULL AS STRING) AS key, CAST(NULL AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS label, 'doc' AS kind
+FROM {qdocs}
+UNION ALL
+SELECT /*+ COALESCE({kp}) */ doc_id, CAST(NULL AS BIGINT),
+       CAST(NULL AS STRING), CAST(NULL AS BIGINT),
+       CAST(NULL AS ARRAY<STRING>), band, key, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), 'band'
+FROM {bands_new}
+UNION ALL
+SELECT /*+ COALESCE({kp}) */ doc_id, doc_id_b, CAST(NULL AS STRING),
+       CAST(NULL AS BIGINT), CAST(NULL AS ARRAY<STRING>), band, key,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'edge'
+FROM {edges}
+UNION ALL
+SELECT /*+ COALESCE({kp}) */ CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS STRING),
+       CAST(NULL AS BIGINT), CAST(NULL AS ARRAY<STRING>), band, key,
+       n, CAST(NULL AS BIGINT), 'bcnt'
+FROM {bcnt}
+UNION ALL
+SELECT /*+ COALESCE({kp}) */ node AS doc_id, CAST(NULL AS BIGINT),
+       CAST(NULL AS STRING), CAST(NULL AS BIGINT),
+       CAST(NULL AS ARRAY<STRING>), CAST(NULL AS INT),
+       CAST(NULL AS STRING), CAST(NULL AS BIGINT), label, 'label'
+FROM {labels}
+UNION ALL
+SELECT /*+ COALESCE({kp}) */ CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), source, CAST(NULL AS BIGINT),
+       CAST(NULL AS ARRAY<STRING>), CAST(NULL AS INT),
+       CAST(NULL AS STRING), n, CAST(NULL AS BIGINT), 'raw'
+FROM {raw}
+"""
 
 
-def _wide(df: DataFrame, kind: str, **cols) -> DataFrame:
-    """Project a kind's frame onto the unified store schema; columns
-    not in `cols` become typed nulls. selectExpr strings, not Column
-    objects: six _wide branches run per streaming epoch, and ~11
-    typed-null casts each is exactly the per-epoch py4j construction
-    chatter the build timer flagged (column names here are
-    module-internal identifiers, never user input)."""
-    exprs = [
-        (
-            f"{cols[name]} AS {name}"
-            if name in cols
-            else f"CAST(NULL AS {dtype}) AS {name}"
-        )
-        for name, dtype in _WIDE_TYPES.items()
-    ]
-    return df.selectExpr(*exprs, f"'{kind}' AS kind")
+# (The former per-branch `_wide` projection helper is inlined into
+# _UNIFIED_SQL above — its typed-null padding appears there verbatim,
+# in _WIDE_TYPES order.)
 
 
 # Above this many label rows, the epoch's driver-computed labels are
@@ -332,8 +416,13 @@ def make_curation_funnel_processor(
 
         epoch = int(epoch_id)
         t = time.monotonic()
+        # per-batch clone session: the fused statements' frame
+        # substitution registers temp views in each frame's OWN
+        # session, so every frame this epoch builds must live on
+        # batch_df's session (see streaming/sessionize.py)
+        session = batch_df.sparkSession
         cur = _read_versioned(
-            spark, store_root, _CUR_STORE_SCHEMA, before_epoch=epoch
+            session, store_root, _CUR_STORE_SCHEMA, before_epoch=epoch
         )
         prev_labels = cur.where(F.col("kind") == _K_LABEL).select(
             "doc_id", "label"
@@ -342,7 +431,7 @@ def make_curation_funnel_processor(
             "band", "key", F.col("n").alias("n_prev")
         )
         docs_hist = read_kind_history(
-            spark,
+            session,
             store_root,
             _K_DOC,
             _DOC_SCHEMA,
@@ -350,7 +439,7 @@ def make_curation_funnel_processor(
             before_epoch=epoch,
         )
         bands_hist = read_kind_history(
-            spark,
+            session,
             store_root,
             _K_BAND,
             _BAND_SCHEMA,
@@ -376,96 +465,39 @@ def make_curation_funnel_processor(
         # doc) feeds three consumers — bucket counts, the candidate
         # join, and the store write
         bands_new = band_keys(minhash_signatures(qdocs)).persist()
-        # merged bucket counts in ONE exchange: union the carried
-        # per-bucket counts (is_prev=1) with the batch's band rows
-        # (weight 1 each) and aggregate — replaces the previous
-        # [groupBy new + full_outer join prev] two-exchange shape
-        bcnt = (
-            prev_bcnt.selectExpr(
-                "band", "key", "CAST(n_prev AS long) AS _c",
-                "1 AS _is_prev",
-            )
-            .unionByName(
-                bands_new.selectExpr(
-                    "band", "key", "CAST(1 AS long) AS _c",
-                    "0 AS _is_prev",
-                )
-            )
-            .groupBy("band", "key")
-            .agg(
-                F.expr(
-                    "CAST(sum(IF(_is_prev = 1, _c, 0)) AS long)"
-                    " AS n_prev"
-                ),
-                F.expr("CAST(sum(_c) AS long) AS n"),
-            )
-            .persist()
-        )
-        under = bcnt.where(f"n <= {cap}").select("band", "key")
+        # merged bucket counts in ONE exchange AND one fused statement
+        # (_BCNT_SQL) — replaces the previous [groupBy new +
+        # full_outer join prev] two-exchange shape (r11) and its
+        # chained construction (r12)
+        bcnt = session.sql(
+            _BCNT_SQL, prev=prev_bcnt, bands_new=bands_new
+        ).persist()
         # candidates split by pair provenance instead of the previous
         # [join against hist+new, least/greatest, distinct] shape:
-        # a new-new pair surfaces exactly once through doc_id < _other
+        # a new-new pair surfaces exactly once through doc_id < other
         # and a new-hist pair exactly once because hist docs are never
         # on the left — so the distinct (a full exchange of the
         # candidate set, the widest frame in the epoch) is dropped.
         # Same pair set: the old shape produced new-new pairs twice
         # (both orderings -> same least/greatest row) and new-hist
         # once; hist-hist never (left side is bands_new in both).
-        bn_ok = bands_new.join(under, ["band", "key"], "left_semi")
-        cand = (
-            bn_ok.join(
-                bands_new.withColumnRenamed("doc_id", "_other"),
-                ["band", "key"],
-            )
-            .where("doc_id < _other")
-            .selectExpr(
-                "doc_id AS doc_id_a", "_other AS doc_id_b",
-                "band", "key",
-            )
-            .unionByName(
-                bn_ok.join(
-                    bands_hist.withColumnRenamed("doc_id", "_other"),
-                    ["band", "key"],
-                )
-                .where("doc_id != _other")
-                .selectExpr(
-                    "least(doc_id, _other) AS doc_id_a",
-                    "greatest(doc_id, _other) AS doc_id_b",
-                    "band", "key",
-                )
-            )
-        )
-        toks_all = docs_hist.select("doc_id", "tokens").unionByName(
-            qdocs.select("doc_id", "tokens")
-        )
-        edges_new = (
-            cand.join(
-                toks_all.selectExpr(
-                    "doc_id AS doc_id_a", "tokens AS _ta"
-                ),
-                "doc_id_a",
-            )
-            .join(
-                toks_all.selectExpr(
-                    "doc_id AS doc_id_b", "tokens AS _tb"
-                ),
-                "doc_id_b",
-            )
-            # jaccard >= 0.7 via the intersection ONLY:
-            # |A u B| = |A| + |B| - |A n B|, so
-            # 10*ix >= 7*(sa + sb - ix)  <=>  17*ix >= 7*(sa + sb)
-            # — exact integer arithmetic, one array op instead of
-            # two (array_union allocates a merged array per pair;
-            # the verify join is the candidate-volume hot path)
-            .where(
-                "17 * size(array_intersect(_ta, _tb))"
-                " >= 7 * (size(_ta) + size(_tb))"
-            )
-            .selectExpr(
-                "doc_id_a AS doc_id", "doc_id_b", "band", "key"
-            )
-            .persist()
-        )
+        # Jaccard >= 0.7 via the intersection ONLY:
+        # |A u B| = |A| + |B| - |A n B|, so
+        # 10*ix >= 7*(sa + sb - ix)  <=>  17*ix >= 7*(sa + sb)
+        # — exact integer arithmetic, one array op instead of two.
+        # The whole under/cand/verify chain is ONE fused statement.
+        edges_new = session.sql(
+            _EDGES_SQL,
+            bcnt=bcnt,
+            bands_new=bands_new,
+            bands_hist=bands_hist,
+            docs_hist=docs_hist,
+            qdocs=qdocs,
+            cap=cap,
+        ).persist()
+        # the under-cap bucket set, needed again only on the rare
+        # cap-crossing recompute paths below
+        under = bcnt.where(f"n <= {cap}").select("band", "key")
         try:
             # ONE tagged-union Arrow probe per epoch answers FIVE
             # questions: is the batch empty, the raw per-source
@@ -497,30 +529,16 @@ def make_curation_funnel_processor(
             # generated only for under-cap buckets of the SAME merged
             # counts, so re-filtering them is a no-op).
             probe_cap = SMALL_GRAPH_EDGES
-            # branch selects as selectExpr strings (module constants
-            # below) — the same per-epoch py4j-construction trim as
-            # _wide; each branch is one call instead of ~15
-            probe_df = (
-                batch.groupBy("source")
-                .agg(F.expr("CAST(count(1) AS long) AS n"))
-                .selectExpr(*_PROBE_RAW_EXPRS)
-                .unionByName(
-                    bcnt.where(
-                        f"n_prev >= 2 AND n_prev <= {cap} AND n > {cap}"
-                    )
-                    .agg(F.expr("CAST(count(1) AS long) AS n"))
-                    .selectExpr(*_PROBE_CROSSED_EXPRS)
-                )
-                .unionByName(
-                    edges_new.limit(probe_cap + 1).selectExpr(
-                        *_PROBE_EDGE_EXPRS
-                    )
-                )
-                .unionByName(
-                    prev_labels.limit(probe_cap + 1).selectExpr(
-                        *_PROBE_LABEL_EXPRS
-                    )
-                )
+            # the four tagged branches as ONE fused statement
+            # (_PROBE_SQL) — one analysis pass instead of ~12
+            probe_df = session.sql(
+                _PROBE_SQL,
+                batch=batch,
+                bcnt=bcnt,
+                edges=edges_new,
+                labels=prev_labels,
+                cap=cap,
+                lim=probe_cap + 1,
             )
             # split the probe timer at the action boundary: t_build is
             # the driver-side cost (py4j plan construction of the
@@ -558,7 +576,7 @@ def make_curation_funnel_processor(
                     # the rare crossing epochs
                     eh_tbl = (
                         read_kind_history(
-                            spark,
+                            session,
                             store_root,
                             _K_EDGE,
                             _EDGE_SCHEMA,
@@ -575,7 +593,7 @@ def make_curation_funnel_processor(
                     )
                     if eh_tbl.num_rows <= probe_cap:
                         labels = _uf_labels(
-                            spark,
+                            session,
                             list(
                                 zip(
                                     eh_tbl.column("u").to_pylist(),
@@ -589,7 +607,7 @@ def make_curation_funnel_processor(
                         )
                 else:
                     labels = _uf_labels(
-                        spark,
+                        session,
                         pl_pairs + en_pairs,
                         spill_path=f"{store_root}/spill/e{epoch}",
                         stats=stats,
@@ -604,7 +622,7 @@ def make_curation_funnel_processor(
                     )
                 if crossed > 0:
                     edge_hist = read_kind_history(
-                        spark,
+                        session,
                         store_root,
                         _K_EDGE,
                         _EDGE_SCHEMA,
@@ -633,7 +651,7 @@ def make_curation_funnel_processor(
             t = _clock("t_closure", t)
             import pyarrow as pa
 
-            raw_rows = spark.createDataFrame(
+            raw_rows = session.createDataFrame(
                 pa.table(
                     {
                         "source": pa.array(
@@ -659,48 +677,15 @@ def make_curation_funnel_processor(
             # tasks — the write stays exchange-free because coalesce
             # only merges cached partitions.
             kp = kind_partitions
-            unified = (
-                _wide(
-                    qdocs,
-                    _K_DOC,
-                    doc_id="doc_id",
-                    source="source",
-                    n_tokens="n_tokens",
-                    tokens="tokens",
-                ).coalesce(kp)
-                .unionByName(
-                    _wide(
-                        bands_new, _K_BAND,
-                        doc_id="doc_id", band="band", key="key",
-                    ).coalesce(kp)
-                )
-                .unionByName(
-                    _wide(
-                        edges_new, _K_EDGE,
-                        doc_id="doc_id", doc_id_b="doc_id_b",
-                        band="band", key="key",
-                    ).coalesce(kp)
-                )
-                .unionByName(
-                    _wide(
-                        bcnt, _K_BCNT, band="band", key="key", n="n"
-                    ).coalesce(kp)
-                )
-                .unionByName(
-                    _wide(
-                        labels.select(
-                            F.col("node").alias("doc_id"), "label"
-                        ),
-                        _K_LABEL,
-                        doc_id="doc_id",
-                        label="label",
-                    ).coalesce(kp)
-                )
-                .unionByName(
-                    _wide(
-                        raw_rows, _K_RAW, source="source", n="n"
-                    ).coalesce(kp)
-                )
+            unified = session.sql(
+                _UNIFIED_SQL,
+                qdocs=qdocs,
+                bands_new=bands_new,
+                edges=edges_new,
+                bcnt=bcnt,
+                labels=labels,
+                raw=raw_rows,
+                kp=kp,
             )
             # non-empty by construction: kind=raw has >= 1 row for any
             # non-empty batch. static overwrite pinned for retry
@@ -712,7 +697,7 @@ def make_curation_funnel_processor(
             )
             t = _clock("t_write", t)
             _prune_store_versions(
-                spark,
+                session,
                 store_root,
                 current_epoch=epoch,
                 prune_kinds=(_K_BCNT, _K_LABEL),
@@ -725,7 +710,7 @@ def make_curation_funnel_processor(
             # matches only v<digits> dirs).
             from hha_spark.sources import fs as _fs
 
-            _fs.delete(spark, f"{store_root}/spill")
+            _fs.delete(session, f"{store_root}/spill")
             t = _clock("t_prune", t)
             if compact_every and (epoch + 1) % compact_every == 0:
                 from hha_spark.streaming.store import (
@@ -734,7 +719,7 @@ def make_curation_funnel_processor(
                 )
 
                 folded = compact_store(
-                    spark, store_root, history_kinds=CURATION_HISTORY
+                    session, store_root, history_kinds=CURATION_HISTORY
                 )["folded"]
                 if stats is not None and folded:
                     stats["compactions"] = stats.get("compactions", 0) + 1

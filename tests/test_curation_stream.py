@@ -520,3 +520,45 @@ def test_over_envelope_fallback_on_crossing_epoch(spark, tmp_path, monkeypatch):
     }
     assert stream_labels == batch_labels, (stream_labels, batch_labels)
     assert len(streamed) > 0
+
+
+def test_fused_unified_write_frame_is_exchange_free(spark):
+    """The fused _UNIFIED_SQL must keep the round-10 exchange-free
+    write shape: each kind branch coalesced BEFORE the union (per-
+    branch COALESCE hints == the former per-branch .coalesce(kp)), so
+    partitionBy("kind") never repartitions."""
+    from hha_spark.streaming.curation_stream import _UNIFIED_SQL
+
+    qdocs = spark.sql(
+        "SELECT id AS doc_id, 'a' AS source, id AS n_tokens,"
+        " array('t') AS tokens FROM range(8)"
+    ).repartition(4)
+    bands = spark.sql(
+        "SELECT id AS doc_id, CAST(id AS INT) AS band,"
+        " 'k' AS key FROM range(8)"
+    ).repartition(4)
+    edges = spark.sql(
+        "SELECT id AS doc_id, id + 1 AS doc_id_b,"
+        " CAST(id AS INT) AS band, 'k' AS key FROM range(4)"
+    ).repartition(4)
+    bcnt = spark.sql(
+        "SELECT CAST(id AS INT) AS band, 'k' AS key, id AS n"
+        " FROM range(4)"
+    ).repartition(4)
+    labels = spark.sql(
+        "SELECT id AS node, id AS label FROM range(4)"
+    )
+    raw = spark.sql("SELECT 'a' AS source, 4 AS n")
+    unified = spark.sql(
+        _UNIFIED_SQL, qdocs=qdocs, bands_new=bands, edges=edges,
+        bcnt=bcnt, labels=labels, raw=raw, kp=1,
+    )
+    plan = unified._jdf.queryExecution().executedPlan().toString()
+    # the only exchanges allowed are the fixture repartitions above
+    assert plan.count("Exchange") == plan.count("REPARTITION_BY_NUM")
+    assert plan.count("Coalesce 1") == 6  # one per kind branch
+    cols = [f.name for f in unified.schema.fields]
+    assert cols == [
+        "doc_id", "doc_id_b", "source", "n_tokens", "tokens",
+        "band", "key", "n", "label", "kind",
+    ]
