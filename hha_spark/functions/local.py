@@ -48,6 +48,37 @@ def _pa_type(dt: DataType):
     raise TypeError(f"unsupported local-frame column type: {dt}")
 
 
+def sql_over_views(
+    session: SparkSession,
+    template: str,
+    frames: dict[str, DataFrame] | None = None,
+    **literals,
+) -> DataFrame:
+    """Run a fused SQL statement with every referenced frame
+    registered as an EXPLICIT temp view — never via ``spark.sql``'s
+    ``{df}`` kwargs. PySpark's kwarg formatter registers a throwaway
+    view per frame and then drops it (SQLStringFormatter.clear ->
+    dropTempView), and dropping a temp view UNCACHES the plan it
+    points at: substituting a persisted frame evicts its persist()
+    entry, so every later consumer recomputes it from scratch
+    (measured round 12: the curation funnel's store write re-derived
+    the whole candidate-join chain, t_write ~6x). Explicit
+    createOrReplaceTempView — one py4j call per frame, the same
+    boundary cost the formatter pays — keeps cache reuse intact. The
+    views are deliberately left registered: replaced on the next
+    call, never dropped (dropping is exactly the eviction being
+    avoided), and scoped to `session` (foreachBatch bodies run on a
+    per-batch clone, so nothing leaks to the main session). Every
+    frame must already live on `session`.
+    """
+    names = {}
+    for key, df in (frames or {}).items():
+        name = f"_hha_fused_{key}"
+        df.createOrReplaceTempView(name)
+        names[key] = name
+    return session.sql(template.format(**names, **literals))
+
+
 def arrow_rows_frame(
     spark: SparkSession, rows, schema: str | StructType
 ) -> DataFrame:

@@ -104,6 +104,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hha_spark.functions.local import sql_over_views
 from hha_spark.streaming.sessionize import (
     _prune_store_versions,
     _read_versioned,
@@ -469,8 +470,10 @@ def make_curation_funnel_processor(
         # (_BCNT_SQL) — replaces the previous [groupBy new +
         # full_outer join prev] two-exchange shape (r11) and its
         # chained construction (r12)
-        bcnt = session.sql(
-            _BCNT_SQL, prev=prev_bcnt, bands_new=bands_new
+        bcnt = sql_over_views(
+            session,
+            _BCNT_SQL,
+            frames={"prev": prev_bcnt, "bands_new": bands_new},
         ).persist()
         # candidates split by pair provenance instead of the previous
         # [join against hist+new, least/greatest, distinct] shape:
@@ -486,13 +489,16 @@ def make_curation_funnel_processor(
         # 10*ix >= 7*(sa + sb - ix)  <=>  17*ix >= 7*(sa + sb)
         # — exact integer arithmetic, one array op instead of two.
         # The whole under/cand/verify chain is ONE fused statement.
-        edges_new = session.sql(
+        edges_new = sql_over_views(
+            session,
             _EDGES_SQL,
-            bcnt=bcnt,
-            bands_new=bands_new,
-            bands_hist=bands_hist,
-            docs_hist=docs_hist,
-            qdocs=qdocs,
+            frames={
+                "bcnt": bcnt,
+                "bands_new": bands_new,
+                "bands_hist": bands_hist,
+                "docs_hist": docs_hist,
+                "qdocs": qdocs,
+            },
             cap=cap,
         ).persist()
         # the under-cap bucket set, needed again only on the rare
@@ -531,12 +537,15 @@ def make_curation_funnel_processor(
             probe_cap = SMALL_GRAPH_EDGES
             # the four tagged branches as ONE fused statement
             # (_PROBE_SQL) — one analysis pass instead of ~12
-            probe_df = session.sql(
+            probe_df = sql_over_views(
+                session,
                 _PROBE_SQL,
-                batch=batch,
-                bcnt=bcnt,
-                edges=edges_new,
-                labels=prev_labels,
+                frames={
+                    "batch": batch,
+                    "bcnt": bcnt,
+                    "edges": edges_new,
+                    "labels": prev_labels,
+                },
                 cap=cap,
                 lim=probe_cap + 1,
             )
@@ -677,14 +686,17 @@ def make_curation_funnel_processor(
             # tasks — the write stays exchange-free because coalesce
             # only merges cached partitions.
             kp = kind_partitions
-            unified = session.sql(
+            unified = sql_over_views(
+                session,
                 _UNIFIED_SQL,
-                qdocs=qdocs,
-                bands_new=bands_new,
-                edges=edges_new,
-                bcnt=bcnt,
-                labels=labels,
-                raw=raw_rows,
+                frames={
+                    "qdocs": qdocs,
+                    "bands_new": bands_new,
+                    "edges": edges_new,
+                    "bcnt": bcnt,
+                    "labels": labels,
+                    "raw": raw_rows,
+                },
                 kp=kp,
             )
             # non-empty by construction: kind=raw has >= 1 row for any

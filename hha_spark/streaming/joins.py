@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hha_spark.functions.local import sql_over_views
+
 
 def attribution_join(
     clicks: DataFrame,
@@ -207,10 +209,10 @@ def make_disorder_attribution_processor(
             # strict: ts == wm buffers (see module block comment).
             # One fused statement = one analysis pass (_ATTR_EPOCH_SQL
             # above); literal transcription of the former Column chain
-            unified = session.sql(
+            unified = sql_over_views(
+                session,
                 _ATTR_EPOCH_SQL,
-                ev=all_ev,
-                store=store,
+                frames={"ev": all_ev, "store": store},
                 wm=wm,
                 max_delay=max_delay_sec,
             )
@@ -290,9 +292,12 @@ def final_attributions(
 
     # one fused statement (_ATTR_FLUSH_SQL): the buffered-purchase x
     # (state + buffered clicks) interval join as a single analysis
-    tail = spark.sql(
+    tail = sql_over_views(
+        spark,
         _ATTR_FLUSH_SQL,
-        store=_read_versioned(spark, store_root, _ATTR_STORE_SCHEMA),
+        frames={
+            "store": _read_versioned(spark, store_root, _ATTR_STORE_SCHEMA)
+        },
         max_delay=max_delay_sec,
     )
     emitted = read_kind_history(

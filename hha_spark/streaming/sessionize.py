@@ -72,6 +72,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hha_spark.functions.local import sql_over_views
 from hha_spark.sources import fs
 
 SESSION_COLS = ("user_id", "start_us", "end_us", "n_events")
@@ -486,10 +487,13 @@ def make_sessionize_processor(
         # one fused statement = one analysis pass (see _MERGE_CTES
         # block comment); literal transcription of the former
         # merge-then-tag Column chain
-        tagged = session.sql(
+        tagged = sql_over_views(
+            session,
             _ORDERED_EPOCH_SQL,
-            state=state,
-            batch=batch_df.select("user_id", "ts_us"),
+            frames={
+                "state": state,
+                "batch": batch_df.select("user_id", "ts_us"),
+            },
             gap_us=gap_us,
         )
         # non-empty by construction: a non-empty batch leaves every
@@ -744,10 +748,10 @@ def make_disorder_sessionize_processor(
             # one fused statement = one analysis pass (see _MERGE_CTES
             # block comment); literal transcription of the former
             # split/merge/close/buffer Column chain
-            unified = session.sql(
+            unified = sql_over_views(
+                session,
                 _DISORDER_EPOCH_SQL,
-                store=store,
-                ev=all_ev,
+                frames={"store": store, "ev": all_ev},
                 wm=wm,
                 gap_us=gap_us,
             )
@@ -814,9 +818,10 @@ def final_sessions_disorder(
     with the open-session state in one pass (see _as_intervals) and
     closes alongside the per-epoch closed partitions — one read of
     the unified store."""
-    tail = spark.sql(
+    tail = sql_over_views(
+        spark,
         _DISORDER_FLUSH_SQL,
-        store=_read_versioned(spark, store_root, _STORE_SCHEMA),
+        frames={"store": _read_versioned(spark, store_root, _STORE_SCHEMA)},
         gap_us=gap_us,
     )
     return read_closed_sessions(spark, store_root).unionByName(tail)

@@ -527,6 +527,7 @@ def test_fused_unified_write_frame_is_exchange_free(spark):
     write shape: each kind branch coalesced BEFORE the union (per-
     branch COALESCE hints == the former per-branch .coalesce(kp)), so
     partitionBy("kind") never repartitions."""
+    from hha_spark.functions.local import sql_over_views
     from hha_spark.streaming.curation_stream import _UNIFIED_SQL
 
     qdocs = spark.sql(
@@ -549,9 +550,11 @@ def test_fused_unified_write_frame_is_exchange_free(spark):
         "SELECT id AS node, id AS label FROM range(4)"
     )
     raw = spark.sql("SELECT 'a' AS source, 4 AS n")
-    unified = spark.sql(
-        _UNIFIED_SQL, qdocs=qdocs, bands_new=bands, edges=edges,
-        bcnt=bcnt, labels=labels, raw=raw, kp=1,
+    unified = sql_over_views(
+        spark, _UNIFIED_SQL,
+        frames={"qdocs": qdocs, "bands_new": bands, "edges": edges,
+                "bcnt": bcnt, "labels": labels, "raw": raw},
+        kp=1,
     )
     plan = unified._jdf.queryExecution().executedPlan().toString()
     # the only exchanges allowed are the fixture repartitions above

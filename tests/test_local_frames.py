@@ -58,6 +58,33 @@ def test_pre_first_write_reads_are_local_relations(spark, tmp_path):
     assert "Join" not in _executed(probe)
 
 
+def test_sql_over_views_preserves_persist_cache(spark):
+    """Fused SQL statements must reference frames through EXPLICIT
+    temp views (sql_over_views), never spark.sql's {df} kwargs: the
+    kwarg formatter's cleanup (dropTempView) UNCACHES the substituted
+    frame, so a persisted frame referenced by a fused statement is
+    both recomputed by that statement and evicted for every later
+    consumer (measured round 12: funnel t_write ~6x)."""
+    from hha_spark.functions.local import sql_over_views
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS y").persist()
+    try:
+        df.count()  # materialize the cache entry
+        out = sql_over_views(
+            spark, "SELECT sum(y) AS s FROM {d}", frames={"d": df}
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan  # the statement reuses it
+        assert out.collect()[0][0] == sum(2 * i for i in range(100))
+        # ...and the entry survives the statement (the kwarg form
+        # would have evicted it here)
+        again = df.groupBy().sum("y")
+        plan2 = again._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan2
+    finally:
+        df.unpersist()
+
+
 def test_local_rows_arrow_localtablescan_roundtrip(spark):
     """Gate-result frames are Arrow-backed LocalTableScans: zero
     Python tasks on any downstream scan (round-12 follow-up to the
